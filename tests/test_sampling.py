@@ -1,0 +1,187 @@
+"""Tests for the on-device neighbor sampler (ref test model: scala SGS task
+tests assert sampled-subgraph correctness vs expected protos; here we assert
+structural invariants + determinism of the dense-block sampler)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gigl_tpu.graph.csr import build_csr
+from gigl_tpu.sampling.neighbor_sampler import (
+    DeviceCSR,
+    SampledBlocks,
+    counter_rng_uniform,
+    sample_blocks,
+    sample_neighbors,
+)
+
+
+def _toy_csr(num_nodes=50, num_edges=400, seed=0, weights=False):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, num_nodes, num_edges)
+    dst = rng.integers(0, num_nodes, num_edges)
+    csr = build_csr(src, dst, num_anchor_nodes=num_nodes, num_neighbor_nodes=num_nodes)
+    w = rng.random(num_edges).astype(np.float32) if weights else None
+    # edge_weights must be in CSR slot order.
+    dev = DeviceCSR.from_csr(csr, edge_weights=w[csr.edge_ids] if weights else None)
+    return csr, dev
+
+
+class TestSampleNeighbors:
+    def test_sampled_are_real_neighbors(self):
+        csr, dev = _toy_csr()
+        frontier = jnp.arange(50, dtype=jnp.int32)
+        nbr, mask, _ = sample_neighbors(dev, frontier, 8, seed=1, hop=1)
+        nbr, mask = np.asarray(nbr), np.asarray(mask)
+        for v in range(50):
+            true_nbrs = set(csr.neighbors(v).tolist())
+            for k in range(8):
+                if mask[v, k]:
+                    assert nbr[v, k] in true_nbrs, (v, k, nbr[v, k])
+
+    def test_low_degree_takes_all(self):
+        # Node with degree 3, fanout 8: exactly its neighbors once, 3 valid.
+        csr = build_csr(np.array([5, 6, 7]), np.array([0, 0, 0]),
+                        num_anchor_nodes=1, num_neighbor_nodes=8)
+        dev = DeviceCSR.from_csr(csr)
+        nbr, mask, _ = sample_neighbors(dev, jnp.array([0], dtype=jnp.int32), 8,
+                                        seed=0, hop=0)
+        assert np.asarray(mask)[0].sum() == 3
+        assert sorted(np.asarray(nbr)[0][np.asarray(mask)[0]].tolist()) == [5, 6, 7]
+
+    def test_isolated_node_fully_masked(self):
+        csr = build_csr(np.array([1]), np.array([1]), num_anchor_nodes=3)
+        dev = DeviceCSR.from_csr(csr)
+        nbr, mask, _ = sample_neighbors(dev, jnp.array([0, 2], dtype=jnp.int32), 4,
+                                        seed=0, hop=0)
+        assert not np.asarray(mask).any()
+
+    def test_deterministic_across_batch_composition(self):
+        """Counter-based RNG: a node's draw doesn't depend on batch position
+        (v1 deterministic-permutation parity, SamplingStrategy.scala:16)."""
+        _, dev = _toy_csr()
+        a, am, _ = sample_neighbors(dev, jnp.array([7, 3, 9], dtype=jnp.int32), 6,
+                                    seed=5, hop=2)
+        b, bm, _ = sample_neighbors(dev, jnp.array([1, 9], dtype=jnp.int32), 6,
+                                    seed=5, hop=2)
+        np.testing.assert_array_equal(np.asarray(a)[2], np.asarray(b)[1])
+        np.testing.assert_array_equal(np.asarray(am)[2], np.asarray(bm)[1])
+
+    def test_seed_and_hop_change_samples(self):
+        _, dev = _toy_csr(num_nodes=20, num_edges=2000)  # high degree
+        f = jnp.arange(20, dtype=jnp.int32)
+        a, _, _ = sample_neighbors(dev, f, 16, seed=1, hop=1)
+        b, _, _ = sample_neighbors(dev, f, 16, seed=2, hop=1)
+        c, _, _ = sample_neighbors(dev, f, 16, seed=1, hop=2)
+        assert not np.array_equal(np.asarray(a), np.asarray(b))
+        assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+    def test_uniformity_rough(self):
+        """Chi-square-ish sanity: sampled neighbor counts are roughly flat."""
+        # One node with 10 neighbors, sample fanout 4 over many hops (as
+        # independent draws via hop counter).
+        csr = build_csr(np.arange(10), np.zeros(10, dtype=int),
+                        num_anchor_nodes=1, num_neighbor_nodes=10)
+        dev = DeviceCSR.from_csr(csr)
+        sample = jax.jit(lambda hop: sample_neighbors(
+            dev, jnp.array([0], dtype=jnp.int32), 4, seed=3, hop=hop))
+        counts = np.zeros(10)
+        for hop in range(500):
+            nbr, mask, _ = sample(hop)
+            for x in np.asarray(nbr)[0][np.asarray(mask)[0]]:
+                counts[x] += 1
+        freq = counts / counts.sum()
+        assert np.all(np.abs(freq - 0.1) < 0.03), freq
+
+    def test_weighted_prefers_heavy_edges(self):
+        rng = np.random.default_rng(0)
+        csr = build_csr(np.arange(20), np.zeros(20, dtype=int),
+                        num_anchor_nodes=1, num_neighbor_nodes=20)
+        w = np.full(20, 1e-6, dtype=np.float32)
+        w[3] = w[7] = 1000.0
+        dev = DeviceCSR.from_csr(csr, edge_weights=w[csr.edge_ids])
+        sample = jax.jit(lambda hop: sample_neighbors(
+            dev, jnp.array([0], dtype=jnp.int32), 2, seed=0, hop=hop,
+            method="weighted"))
+        hits = 0
+        for hop in range(50):
+            nbr, mask, _ = sample(hop)
+            got = set(np.asarray(nbr)[0][np.asarray(mask)[0]].tolist())
+            hits += len(got & {3, 7})
+        assert hits >= 95, hits  # heavy edges dominate
+
+    def test_top_k_exact(self):
+        csr = build_csr(np.arange(10), np.zeros(10, dtype=int),
+                        num_anchor_nodes=1, num_neighbor_nodes=10)
+        w = np.arange(10, dtype=np.float32)
+        dev = DeviceCSR.from_csr(csr, edge_weights=w[csr.edge_ids])
+        nbr, mask, _ = sample_neighbors(dev, jnp.array([0], dtype=jnp.int32), 3,
+                                        seed=0, hop=0, method="top_k")
+        assert sorted(np.asarray(nbr)[0][np.asarray(mask)[0]].tolist()) == [7, 8, 9]
+
+    def test_weighted_requires_weights(self):
+        _, dev = _toy_csr(weights=False)
+        with pytest.raises(ValueError, match="edge_weights"):
+            sample_neighbors(dev, jnp.array([0], dtype=jnp.int32), 2,
+                             seed=0, hop=0, method="weighted")
+
+
+class TestSampleBlocks:
+    def test_shapes_and_parent_masking(self):
+        csr, dev = _toy_csr()
+        roots = jnp.array([0, 1, 2, 3], dtype=jnp.int32)
+        blocks = sample_blocks(dev, roots, fanouts=(5, 3), seed=0)
+        assert blocks.num_hops == 2
+        assert blocks.node_ids[0].shape == (4,)
+        assert blocks.node_ids[1].shape == (4, 5)
+        assert blocks.node_ids[2].shape == (4, 5, 3)
+        m1, m2 = np.asarray(blocks.masks[1]), np.asarray(blocks.masks[2])
+        # Child valid => parent valid.
+        assert not np.any(m2 & ~m1[..., None])
+
+    def test_jit_compiles_once_and_matches_eager(self):
+        _, dev = _toy_csr()
+        roots = jnp.arange(8, dtype=jnp.int32)
+        fn = jax.jit(lambda r: sample_blocks(dev, r, fanouts=(4, 2), seed=7))
+        jitted = fn(roots)
+        eager = sample_blocks(dev, roots, fanouts=(4, 2), seed=7)
+        for a, b in zip(jitted.node_ids, eager.node_ids):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_second_hop_samples_from_first_hop_nodes(self):
+        csr, dev = _toy_csr()
+        blocks = sample_blocks(dev, jnp.arange(10, dtype=jnp.int32),
+                               fanouts=(4, 3), seed=1)
+        ids1 = np.asarray(blocks.node_ids[1])
+        ids2 = np.asarray(blocks.node_ids[2])
+        m1 = np.asarray(blocks.masks[1])
+        m2 = np.asarray(blocks.masks[2])
+        for b in range(10):
+            for k1 in range(4):
+                if not m1[b, k1]:
+                    continue
+                parent = ids1[b, k1]
+                true_nbrs = set(csr.neighbors(parent).tolist())
+                for k2 in range(3):
+                    if m2[b, k1, k2]:
+                        assert ids2[b, k1, k2] in true_nbrs
+
+    def test_flat_ids(self):
+        _, dev = _toy_csr()
+        blocks = sample_blocks(dev, jnp.arange(4, dtype=jnp.int32), fanouts=(5, 3))
+        assert blocks.all_node_ids_flat().shape == (4 + 20 + 60,)
+
+
+class TestCounterRng:
+    def test_shape_and_determinism(self):
+        ids = jnp.array([3, 5], dtype=jnp.int32)
+        a = counter_rng_uniform(ids, seed=1, hop=2, num_slots=4)
+        b = counter_rng_uniform(ids, seed=1, hop=2, num_slots=4)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert a.shape == (2, 4)
+
+    def test_slots_differ(self):
+        ids = jnp.array([3], dtype=jnp.int32)
+        a = np.asarray(counter_rng_uniform(ids, seed=1, hop=1, num_slots=8))[0]
+        assert len(set(a.tolist())) > 1
