@@ -1,0 +1,94 @@
+"""Link-prediction model wrapper and decoders.
+
+Ref parity: `pyg/link_prediction.py:13-67` LinkPredictionGNN(encoder,
+decoder) with forward (encode) and decode; `layers/decoder.py:10-19`
+LinkPredictionDecoder with DecoderType (inner product default).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class DecoderType(str, enum.Enum):
+    INNER_PRODUCT = "inner_product"
+    COSINE = "cosine"
+    MLP = "mlp"
+    HADAMARD_MLP = "hadamard_mlp"
+
+
+class LinkPredictionDecoder(nn.Module):
+    """Scores (query, candidate) embedding pairs.
+
+    ``__call__(q, c)`` supports broadcasting: q [..., D], c [..., D] →
+    scores [...]; ``all_pairs(q, c)`` gives the [Nq, Nc] score matrix used by
+    retrieval-style losses.
+    """
+
+    decoder_type: DecoderType = DecoderType.INNER_PRODUCT
+    hidden_dim: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+        t = DecoderType(self.decoder_type)
+        if t == DecoderType.INNER_PRODUCT:
+            return jnp.sum(q * c, axis=-1)
+        if t == DecoderType.COSINE:
+            qn = q * jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-12))
+            cn = c * jax.lax.rsqrt(jnp.maximum(jnp.sum(c * c, -1, keepdims=True), 1e-12))
+            return jnp.sum(qn * cn, axis=-1)
+        if t == DecoderType.HADAMARD_MLP:
+            h = q * c
+            h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="mlp0")(h)
+            h = jax.nn.relu(h)
+            return nn.Dense(1, dtype=self.dtype, name="mlp1")(h).squeeze(-1)
+        if t == DecoderType.MLP:
+            h = jnp.concatenate(jnp.broadcast_arrays(q, c), axis=-1)
+            h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="mlp0")(h)
+            h = jax.nn.relu(h)
+            return nn.Dense(1, dtype=self.dtype, name="mlp1")(h).squeeze(-1)
+        raise ValueError(f"Unknown decoder type {t}")
+
+    def all_pairs(self, q: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+        """q: [Nq, D], c: [Nc, D] → [Nq, Nc]."""
+        t = DecoderType(self.decoder_type)
+        if t == DecoderType.INNER_PRODUCT:
+            return q @ c.T
+        if t == DecoderType.COSINE:
+            qn = q * jax.lax.rsqrt(jnp.maximum(jnp.sum(q * q, -1, keepdims=True), 1e-12))
+            cn = c * jax.lax.rsqrt(jnp.maximum(jnp.sum(c * c, -1, keepdims=True), 1e-12))
+            return qn @ cn.T
+        # MLP decoders: broadcast pairwise.
+        return self(q[:, None, :], c[None, :, :])
+
+
+class LinkPredictionGNN(nn.Module):
+    """Encoder + decoder bundle.
+
+    Ref parity: pyg/link_prediction.py:13-67 — forward() encodes, decode()
+    scores pairs. The encoder is any module exposing the dense-block
+    ``__call__`` and ``encode_coo``.
+    """
+
+    encoder: nn.Module
+    decoder: LinkPredictionDecoder
+
+    def __call__(self, hop_feats, masks, edge_feats=None, train: bool = False):
+        return self.encoder(hop_feats, masks, edge_feats, train=train)
+
+    def encode_coo(self, x, src, dst, num_nodes, edge_attr=None,
+                   train: bool = False):
+        return self.encoder.encode_coo(x, src, dst, num_nodes, edge_attr,
+                                       train=train)
+
+    def decode(self, q, c):
+        return self.decoder(q, c)
+
+    def decode_all_pairs(self, q, c):
+        return self.decoder.all_pairs(q, c)
