@@ -1,0 +1,311 @@
+"""Data Preprocessor component: enumeration + feature transform + metadata.
+
+Ref parity: `python/gigl/src/data_preprocessor/data_preprocessor.py:86+` —
+per node/edge type: (a) enumerate ids (lib/enumerate), (b) run the user
+preprocessing_fn as an analyze-then-transform job (lib/transform), (c) write
+transformed outputs + a `PreprocessedMetadata` manifest consumed by every
+later stage (preprocessed_metadata.proto:5-65). The user plugin is a
+``DataPreprocessorConfig`` subclass addressed by class path
+(lib/data_preprocessor_config.py:27-55).
+
+TPU-native: sources are record-batch iterators (in-memory arrays, npz, or
+custom); outputs are npz shards + YAML metadata. Entity types process
+sequentially or via threads (the reference caps at 4 parallel Dataflow jobs,
+data_preprocessor.py:353-356 — here IO-bound thread parallelism only).
+"""
+
+from __future__ import annotations
+
+import abc
+import dataclasses
+import io
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Iterable, Iterator, List, Mapping, Optional
+
+import numpy as np
+import yaml
+
+from gigl_tpu.data.enumerate import Enumerator
+from gigl_tpu.data.transform import TransformSpec
+from gigl_tpu.data.uri import UriFactory
+from gigl_tpu.types.graph import EdgeType, GraphMetadata, NodeType
+from gigl_tpu.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+RecordBatch = Mapping[str, np.ndarray]
+
+
+@dataclass
+class NodeDataSource:
+    """One node type's raw data (ref BigqueryNodeDataReference analog,
+    lib/ingest/bigquery.py:30). ``batches()`` streams dict-of-column
+    record batches; ``id_column`` names the raw node-id column."""
+
+    node_type: NodeType
+    id_column: str
+    batch_fn: Callable[[], Iterator[RecordBatch]]
+    label_column: Optional[str] = None
+
+    def batches(self) -> Iterator[RecordBatch]:
+        return self.batch_fn()
+
+    @classmethod
+    def from_arrays(cls, node_type: NodeType, ids: np.ndarray,
+                    features: Mapping[str, np.ndarray],
+                    labels: Optional[np.ndarray] = None,
+                    batch_size: int = 65536) -> "NodeDataSource":
+        cols = {"__id__": np.asarray(ids), **{k: np.asarray(v)
+                                              for k, v in features.items()}}
+        if labels is not None:
+            cols["__label__"] = np.asarray(labels)
+
+        def gen():
+            n = len(cols["__id__"])
+            for i in range(0, n, batch_size):
+                yield {k: v[i: i + batch_size] for k, v in cols.items()}
+
+        return cls(node_type=node_type, id_column="__id__", batch_fn=gen,
+                   label_column="__label__" if labels is not None else None)
+
+
+@dataclass
+class EdgeDataSource:
+    """One edge type's raw edge list (+ optional edge features)."""
+
+    edge_type: EdgeType
+    src_column: str
+    dst_column: str
+    batch_fn: Callable[[], Iterator[RecordBatch]]
+
+    def batches(self) -> Iterator[RecordBatch]:
+        return self.batch_fn()
+
+    @classmethod
+    def from_arrays(cls, edge_type: EdgeType, src: np.ndarray,
+                    dst: np.ndarray,
+                    features: Optional[Mapping[str, np.ndarray]] = None,
+                    batch_size: int = 1 << 20) -> "EdgeDataSource":
+        cols = {"__src__": np.asarray(src), "__dst__": np.asarray(dst)}
+        for k, v in (features or {}).items():
+            cols[k] = np.asarray(v)
+
+        def gen():
+            n = len(cols["__src__"])
+            for i in range(0, n, batch_size):
+                yield {k: v[i: i + batch_size] for k, v in cols.items()}
+
+        return cls(edge_type=edge_type, src_column="__src__",
+                   dst_column="__dst__", batch_fn=gen)
+
+
+class DataPreprocessorConfig(abc.ABC):
+    """User plugin: declares sources and per-type transform specs.
+
+    Ref parity: lib/data_preprocessor_config.py:27-55 (prepare_for_pipeline,
+    get_nodes_preprocessing_spec, get_edges_preprocessing_spec).
+    """
+
+    def prepare_for_pipeline(self) -> None:  # optional hook
+        pass
+
+    @abc.abstractmethod
+    def node_sources(self) -> List[NodeDataSource]:
+        ...
+
+    @abc.abstractmethod
+    def edge_sources(self) -> List[EdgeDataSource]:
+        ...
+
+    def node_transform(self, node_type: NodeType) -> Optional[TransformSpec]:
+        return None  # None -> identity over all non-id columns
+
+    def edge_transform(self, edge_type: EdgeType) -> Optional[TransformSpec]:
+        return None
+
+
+@dataclass
+class PreprocessedMetadata:
+    """Manifest of preprocessed outputs (ref preprocessed_metadata.proto)."""
+
+    num_nodes: Dict[str, int] = field(default_factory=dict)
+    node_feature_dim: Dict[str, int] = field(default_factory=dict)
+    node_feature_uris: Dict[str, str] = field(default_factory=dict)
+    node_label_uris: Dict[str, str] = field(default_factory=dict)
+    edge_uris: Dict[str, str] = field(default_factory=dict)
+    edge_feature_dim: Dict[str, int] = field(default_factory=dict)
+    enumerator_uri: str = ""
+    transform_stats_uris: Dict[str, str] = field(default_factory=dict)
+
+    def to_yaml(self) -> str:
+        return yaml.safe_dump(dataclasses.asdict(self), sort_keys=False)
+
+    @classmethod
+    def from_yaml(cls, text: str) -> "PreprocessedMetadata":
+        return cls(**yaml.safe_load(text))
+
+    def save(self, uri) -> None:
+        UriFactory.create(uri).write_text(self.to_yaml())
+
+    @classmethod
+    def load(cls, uri) -> "PreprocessedMetadata":
+        return cls.from_yaml(UriFactory.create(uri).read_text())
+
+
+def _write_npz(uri, **arrays) -> None:
+    buf = io.BytesIO()
+    np.savez_compressed(buf, **arrays)
+    UriFactory.create(uri).write_bytes(buf.getvalue())
+
+
+def read_npz(uri) -> Dict[str, np.ndarray]:
+    with np.load(io.BytesIO(UriFactory.create(uri).read_bytes()),
+                 allow_pickle=False) as z:
+        return {k: z[k] for k in z.files}
+
+
+class DataPreprocessor:
+    """Runs enumeration + transform for all sources; writes outputs."""
+
+    def __init__(self, config: DataPreprocessorConfig, output_dir,
+                 max_workers: int = 4):
+        self.config = config
+        self.output_dir = UriFactory.create(output_dir)
+        # Ref parity: thread pool capped at 4 (data_preprocessor.py:353-356).
+        self.max_workers = max_workers
+
+    def run(self) -> PreprocessedMetadata:
+        self.config.prepare_for_pipeline()
+        node_sources = self.config.node_sources()
+        edge_sources = self.config.edge_sources()
+        meta = PreprocessedMetadata()
+
+        # Pass 0: enumerate all node ids.
+        enumerator = Enumerator()
+        ids_by_type: Dict[NodeType, List[np.ndarray]] = {}
+        for src in node_sources:
+            for batch in src.batches():
+                ids_by_type.setdefault(src.node_type, []).append(
+                    batch[src.id_column])
+        enumerator.enumerate_nodes(
+            {nt: np.concatenate(chunks) for nt, chunks in ids_by_type.items()})
+        enum_uri = self.output_dir.join("enumeration.npz")
+        enumerator.save(enum_uri)
+        meta.enumerator_uri = str(enum_uri)
+
+        with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
+            node_futs = [pool.submit(self._process_node_source, s, enumerator,
+                                     meta) for s in node_sources]
+            edge_futs = [pool.submit(self._process_edge_source, s, enumerator,
+                                     meta) for s in edge_sources]
+            for f in node_futs + edge_futs:
+                f.result()
+
+        meta_uri = self.output_dir.join("preprocessed_metadata.yaml")
+        meta.save(meta_uri)
+        logger.info("preprocessed metadata written to %s", meta_uri)
+        return meta
+
+    # -- per-entity jobs -------------------------------------------------------
+    def _process_node_source(self, src: NodeDataSource,
+                             enumerator: Enumerator,
+                             meta: PreprocessedMetadata) -> None:
+        nt = src.node_type
+        emap = enumerator.maps[nt]
+        spec = self.config.node_transform(nt)
+        if spec is None:
+            first = next(iter(src.batches()), None)
+            feat_cols = [c for c in (first or {})
+                         if c not in (src.id_column, src.label_column)]
+            from gigl_tpu.data.transform import Identity
+
+            spec = TransformSpec(ops={c: Identity(c) for c in sorted(feat_cols)})
+        stats = spec.analyze(src.batches())
+
+        dim = None
+        feats = None
+        labels = None
+        for batch in src.batches():
+            dense = emap.to_dense(batch[src.id_column])
+            x = spec.apply(stats, batch) if spec.ops else np.zeros(
+                (len(dense), 0), np.float32)
+            if feats is None:
+                dim = x.shape[1]
+                feats = np.zeros((emap.num_nodes, dim), np.float32)
+            feats[dense] = x
+            if src.label_column and src.label_column in batch:
+                if labels is None:
+                    labels = np.full(emap.num_nodes, -1, np.int64)
+                labels[dense] = np.asarray(batch[src.label_column],
+                                           np.int64).reshape(-1)
+        feat_uri = self.output_dir.join(f"node_features_{nt}.npz")
+        _write_npz(feat_uri, features=feats if feats is not None
+                   else np.zeros((emap.num_nodes, 0), np.float32))
+        meta.num_nodes[nt] = emap.num_nodes
+        meta.node_feature_dim[nt] = int(dim or 0)
+        meta.node_feature_uris[nt] = str(feat_uri)
+        if labels is not None:
+            lab_uri = self.output_dir.join(f"node_labels_{nt}.npz")
+            _write_npz(lab_uri, labels=labels)
+            meta.node_label_uris[nt] = str(lab_uri)
+        stats_uri = self.output_dir.join(f"transform_stats_node_{nt}.json")
+        spec.save_stats(stats, stats_uri)
+        meta.transform_stats_uris[f"node/{nt}"] = str(stats_uri)
+
+    def _process_edge_source(self, src: EdgeDataSource,
+                             enumerator: Enumerator,
+                             meta: PreprocessedMetadata) -> None:
+        et = src.edge_type
+        spec = self.config.edge_transform(et)
+        srcs, dsts, feats = [], [], []
+        stats = spec.analyze(src.batches()) if spec else None
+        for batch in src.batches():
+            coo = enumerator.enumerate_edges(
+                et, batch[src.src_column], batch[src.dst_column])
+            srcs.append(coo[0])
+            dsts.append(coo[1])
+            if spec:
+                feats.append(spec.apply(stats, batch))
+        edges = np.stack([np.concatenate(srcs), np.concatenate(dsts)])
+        uri = self.output_dir.join(f"edges_{et}.npz")
+        arrays = {"edges": edges}
+        dim = 0
+        if feats:
+            ef = np.concatenate(feats)
+            arrays["edge_features"] = ef
+            dim = ef.shape[1]
+        _write_npz(uri, **arrays)
+        meta.edge_uris[str(et)] = str(uri)
+        meta.edge_feature_dim[str(et)] = dim
+        if spec:
+            stats_uri = self.output_dir.join(f"transform_stats_edge_{et}.json")
+            spec.save_stats(stats, stats_uri)
+            meta.transform_stats_uris[f"edge/{et}"] = str(stats_uri)
+
+
+def load_graph_from_metadata(meta: PreprocessedMetadata,
+                             graph_metadata: GraphMetadata):
+    """Assemble a HeteroGraph from preprocessed outputs (the dataset-build
+    entry the trainer uses — ref build_dataset, dataset_factory.py:1-120)."""
+    from gigl_tpu.graph.csr import HeteroGraph
+
+    edges = {}
+    for et in graph_metadata.edge_types:
+        data = read_npz(meta.edge_uris[str(et)])
+        edges[et] = data["edges"]
+    g = HeteroGraph(
+        metadata=graph_metadata,
+        num_nodes={nt: meta.num_nodes[nt] for nt in graph_metadata.node_types},
+        edges=edges,
+    )
+    for nt in graph_metadata.node_types:
+        if nt in meta.node_feature_uris:
+            g.node_features[nt] = read_npz(meta.node_feature_uris[nt])["features"]
+        if nt in meta.node_label_uris:
+            g.node_labels[nt] = read_npz(meta.node_label_uris[nt])["labels"]
+    for et in graph_metadata.edge_types:
+        data = read_npz(meta.edge_uris[str(et)])
+        if "edge_features" in data:
+            g.edge_features[str(et)] = data["edge_features"]
+    return g

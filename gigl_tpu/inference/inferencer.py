@@ -1,0 +1,74 @@
+"""Batch embedding/prediction inference over the whole graph.
+
+Ref parity: the Inferencer component (dispatcher `inference/inferencer.py:49-59`;
+v1 Beam batch inference `v1/gnn_inferencer.py:59-344`; v2 GLT flow
+`examples/distributed/homogeneous_inference.py:1-100`): iterate all nodes of
+each inference node type in batches, run the trained model's ``infer_batch``,
+export (node_id, embedding) rows, then load them into the warehouse.
+
+TPU-native design: node-id ranges are iterated host-side; each batch is a
+jit-compiled sample+encode on device; export shards are written by the
+EmbeddingExporter (gigl_tpu.data.export). No Beam/Dataflow — the batch loop
+is trivially shardable across hosts by node-range (rank-strided), mirroring
+the v1 per-node-type fan-out (gnn_inferencer.py:142-234).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Callable, Iterator, Optional, Tuple
+
+import numpy as np
+
+from gigl_tpu.data.export import EmbeddingExporter
+from gigl_tpu.training.base import BaseInferencer
+from gigl_tpu.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclass
+class InferenceConfig:
+    batch_size: int = 512  # ref gbml_config.proto:206-208 inference_batch_size
+    # Rank-strided sharding of the node range across workers (host-level DP).
+    worker_rank: int = 0
+    num_workers: int = 1
+    log_every_n_batches: int = 50
+
+
+def node_batches(
+    num_nodes: int, cfg: InferenceConfig
+) -> Iterator[np.ndarray]:
+    """Static-size batches of node ids for this worker (tail padded by
+    wrapping; exporter callers drop dup ids via the returned valid counts)."""
+    ids = np.arange(cfg.worker_rank, num_nodes, cfg.num_workers)
+    for i in range(0, len(ids), cfg.batch_size):
+        chunk = ids[i: i + cfg.batch_size]
+        if len(chunk) < cfg.batch_size:
+            pad = np.zeros(cfg.batch_size - len(chunk), dtype=chunk.dtype)
+            yield np.concatenate([chunk, pad]), len(chunk)
+        else:
+            yield chunk, cfg.batch_size
+
+
+def run_inference(
+    inferencer: BaseInferencer,
+    num_nodes: int,
+    exporter: EmbeddingExporter,
+    cfg: Optional[InferenceConfig] = None,
+) -> int:
+    """Embed every node (this worker's shard) and export. Returns row count."""
+    cfg = cfg or InferenceConfig()
+    total = 0
+    t0 = time.time()
+    for batch_idx, (ids, valid) in enumerate(node_batches(num_nodes, cfg)):
+        emb = np.asarray(inferencer.infer_batch(ids))
+        exporter.add_embeddings(ids[:valid], emb[:valid])
+        total += valid
+        if (batch_idx + 1) % cfg.log_every_n_batches == 0:
+            rate = total / max(time.time() - t0, 1e-9)
+            logger.info("inference: %d nodes embedded (%.0f nodes/s)",
+                        total, rate)
+    exporter.flush()
+    return total

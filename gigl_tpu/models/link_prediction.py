@@ -79,8 +79,10 @@ class LinkPredictionGNN(nn.Module):
     encoder: nn.Module
     decoder: LinkPredictionDecoder
 
-    def __call__(self, hop_feats, masks, edge_feats=None, train: bool = False):
-        return self.encoder(hop_feats, masks, edge_feats, train=train)
+    def __call__(self, hop_feats, masks, edge_feats=None, train: bool = False,
+                 hop_degrees=None):
+        return self.encoder(hop_feats, masks, edge_feats, train=train,
+                            hop_degrees=hop_degrees)
 
     def encode_coo(self, x, src, dst, num_nodes, edge_attr=None,
                    train: bool = False):

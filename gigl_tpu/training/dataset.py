@@ -1,0 +1,236 @@
+"""Device-resident training dataset: graph + features + splits + loaders.
+
+TPU-native replacement for the reference's two data paths:
+  - v1: precomputed TFRecord sample protos + CPU collation
+    (training/v1/lib/data_loaders/), and
+  - v2: GLT DistDataset + DistNeighborLoader (distributed/).
+
+Here the (preprocessed) graph lives on device as CSR + feature tables;
+*everything per-batch* — neighbor sampling, positive/hard-negative lookup,
+feature hydration — is jit-compiled device work. Host code only iterates
+anchor-id permutations (cheap NumPy), mirroring the reference's seed-node
+sharding (`distributed_neighborloader.py:195 _shard_nodes_by_process`).
+
+Positive sampling uses the same on-device CSR sampler over the *supervision*
+edge CSR — the NALP sample contract of SGS
+(NodeAnchorBasedLinkPredictionBaseTask.scala:19-388: per root, sample
+numPositiveSamples pos edges + user-defined hard negatives).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gigl_tpu.graph.csr import CSR, HeteroGraph, build_csr
+from gigl_tpu.graph.splitters import HashedNodeAnchorLinkSplitter
+from gigl_tpu.sampling.neighbor_sampler import (
+    DeviceCSR,
+    SampledBlocks,
+    sample_blocks,
+    sample_neighbors,
+)
+from gigl_tpu.types.graph import (
+    DEFAULT_HOMOGENEOUS_EDGE_TYPE,
+    DEFAULT_HOMOGENEOUS_NODE_TYPE,
+    EdgeType,
+    NodeType,
+)
+
+
+class NALPBatch(NamedTuple):
+    """Node-anchor link prediction batch (device arrays).
+
+    Ref parity: the (main_batch, random_negative_batch) pair contract of
+    Appendix A.2 (task_inputs.py:16-58): anchors with per-anchor positives
+    and hard negatives + batch-shared random negatives.
+    """
+
+    anchors: jnp.ndarray      # [B] int32
+    pos: jnp.ndarray          # [B, P] int32
+    pos_mask: jnp.ndarray     # [B, P] bool
+    hard_neg: jnp.ndarray     # [B, H] int32 (H may be 0)
+    hard_neg_mask: jnp.ndarray  # [B, H] bool
+    random_neg: jnp.ndarray   # [R] int32
+
+
+class NodeClassificationBatch(NamedTuple):
+    nodes: jnp.ndarray   # [B] int32
+    labels: jnp.ndarray  # [B] int32
+    mask: jnp.ndarray    # [B] bool (padding)
+
+
+@dataclass
+class DeviceGraph:
+    """Homogeneous device-side graph bundle for training/inference.
+
+    message_csr: adjacency used for message passing (sampling direction
+    "in": anchored on dst). supervision_csr: positive-label edges anchored
+    on the anchor side. hard_neg_csr: user-defined negatives (optional).
+    """
+
+    message_csr: DeviceCSR
+    node_features: jnp.ndarray          # [N, D]
+    num_nodes: int
+    supervision_csr: Optional[DeviceCSR] = None
+    hard_neg_csr: Optional[DeviceCSR] = None
+    node_labels: Optional[jnp.ndarray] = None
+    edge_features: Optional[jnp.ndarray] = None  # [E, De] in CSR slot order
+    degrees: Optional[jnp.ndarray] = None        # [N] float32 in-degrees
+
+    @classmethod
+    def from_hetero(
+        cls,
+        graph: HeteroGraph,
+        *,
+        supervision_edges: Optional[np.ndarray] = None,  # [2, Es]
+        hard_neg_edges: Optional[np.ndarray] = None,
+        edge_type: Optional[EdgeType] = None,
+        sampling_direction: str = "in",
+    ) -> "DeviceGraph":
+        et = edge_type or graph.metadata.edge_types[0]
+        nt = et.dst_node_type if sampling_direction == "in" else et.src_node_type
+        anchor = "dst" if sampling_direction == "in" else "src"
+        csr = graph.csr(et, anchor=anchor)
+        n = graph.num_nodes[nt]
+        feats = (
+            graph.node_features[nt]
+            if nt in graph.node_features
+            else np.zeros((n, 1), np.float32)
+        )
+        ef_key = str(et)
+        edge_features = None
+        if ef_key in graph.edge_features:
+            # reorder raw COO edge features into CSR slot order
+            edge_features = jnp.asarray(
+                graph.edge_features[ef_key][csr.edge_ids], dtype=jnp.float32)
+        sup_csr = None
+        if supervision_edges is not None:
+            sup = build_csr(
+                supervision_edges[0], supervision_edges[1],
+                num_anchor_nodes=n, num_neighbor_nodes=n,
+                anchor=anchor,
+            )
+            sup_csr = DeviceCSR.from_csr(sup)
+        hn_csr = None
+        if hard_neg_edges is not None:
+            hn = build_csr(
+                hard_neg_edges[0], hard_neg_edges[1],
+                num_anchor_nodes=n, num_neighbor_nodes=n, anchor=anchor,
+            )
+            hn_csr = DeviceCSR.from_csr(hn)
+        labels = graph.node_labels.get(nt)
+        deg = np.diff(csr.indptr).astype(np.float32)
+        return cls(
+            message_csr=DeviceCSR.from_csr(csr),
+            node_features=jnp.asarray(np.asarray(feats), dtype=jnp.float32),
+            num_nodes=n,
+            supervision_csr=sup_csr,
+            hard_neg_csr=hn_csr,
+            node_labels=(
+                jnp.asarray(labels, dtype=jnp.int32) if labels is not None else None
+            ),
+            edge_features=edge_features,
+            degrees=jnp.asarray(deg),
+        )
+
+    # -- device-side batch assembly -------------------------------------------
+    def sample_nalp_batch(
+        self,
+        anchors: jnp.ndarray,
+        *,
+        num_positives: int,
+        num_hard_negs: int = 0,
+        num_random_negs: int = 512,
+        seed: int = 0,
+        step: int = 0,
+    ) -> NALPBatch:
+        """jit-safe: draw positives/hard negs from supervision CSRs and
+        batch-shared uniform random negatives."""
+        if self.supervision_csr is None:
+            raise ValueError("No supervision CSR registered for NALP sampling")
+        pos, pos_mask, _ = sample_neighbors(
+            self.supervision_csr, anchors, num_positives,
+            seed=seed, hop=1_000_003 + step)
+        if num_hard_negs > 0 and self.hard_neg_csr is not None:
+            hard, hard_mask, _ = sample_neighbors(
+                self.hard_neg_csr, anchors, num_hard_negs,
+                seed=seed, hop=2_000_003 + step)
+        else:
+            hard = jnp.zeros(anchors.shape + (num_hard_negs,), jnp.int32)
+            hard_mask = jnp.zeros(anchors.shape + (num_hard_negs,), bool)
+        # Batch-shared random negatives: uniform over all nodes, counter-RNG
+        # keyed by step so the draw is deterministic per step.
+        from gigl_tpu.sampling.neighbor_sampler import counter_rng_uniform
+
+        bits = counter_rng_uniform(
+            jnp.arange(num_random_negs, dtype=jnp.int32),
+            seed=seed, hop=3_000_017 + step, num_slots=1)[:, 0]
+        rand = (bits % jnp.uint32(self.num_nodes)).astype(jnp.int32)
+        return NALPBatch(
+            anchors=anchors.astype(jnp.int32),
+            pos=pos, pos_mask=pos_mask,
+            hard_neg=hard, hard_neg_mask=hard_mask,
+            random_neg=rand,
+        )
+
+    def sample_hop_blocks(
+        self,
+        node_ids: jnp.ndarray,
+        fanouts: Sequence[int],
+        *,
+        seed: int = 0,
+    ) -> SampledBlocks:
+        return sample_blocks(self.message_csr, node_ids.reshape(-1),
+                             fanouts, seed=seed)
+
+    def hydrate(self, blocks: SampledBlocks):
+        """Gather hop features (+ per-hop degrees) for encoder input."""
+        feats = [self.node_features[ids] for ids in blocks.node_ids]
+        degs = None
+        if self.degrees is not None:
+            degs = [self.degrees[ids] for ids in blocks.node_ids]
+        return feats, blocks.masks, degs
+
+    def hydrate_edges(self, blocks: SampledBlocks):
+        """Per-hop edge features aligned to block slots (or None)."""
+        if self.edge_features is None:
+            return None
+        out = [None]
+        for es in blocks.edge_slots[1:]:
+            out.append(self.edge_features[es])
+        return out
+
+
+@dataclass
+class AnchorBatchIterator:
+    """Host-side iterator over shuffled anchor-node batches (drops remainder
+    to keep shapes static; epochs reshuffle deterministically by epoch)."""
+
+    anchor_ids: np.ndarray
+    batch_size: int
+    seed: int = 0
+    drop_remainder: bool = True
+
+    def num_batches(self) -> int:
+        n = len(self.anchor_ids) // self.batch_size
+        if not self.drop_remainder and len(self.anchor_ids) % self.batch_size:
+            n += 1
+        return n
+
+    def epoch(self, epoch_idx: int) -> Iterator[np.ndarray]:
+        rng = np.random.default_rng(self.seed * 1_000_003 + epoch_idx)
+        perm = rng.permutation(self.anchor_ids)
+        n_full = len(perm) // self.batch_size
+        for i in range(n_full):
+            yield perm[i * self.batch_size: (i + 1) * self.batch_size]
+        rem = len(perm) % self.batch_size
+        if rem and not self.drop_remainder:
+            # Pad the tail batch by wrapping (callers mask by position).
+            tail = perm[-rem:]
+            pad = perm[: self.batch_size - rem]
+            yield np.concatenate([tail, pad])

@@ -1,49 +1,262 @@
-"""Built-in modeling task specs (trainer + inferencer in one class).
+"""Built-in modeling task specs — trainer + inferencer in one class.
 
 Ref parity: `python/gigl/src/common/modeling_task_specs/` —
-NodeAnchorBasedLinkPredictionModelingTaskSpec (:66) and
-NodeClassificationModelingTaskSpec (:47). Filled in by the training milestone;
-this module is the canonical import target for trainer_cls_path defaults.
+NodeAnchorBasedLinkPredictionModelingTaskSpec
+(node_anchor_based_link_prediction_modeling_task_spec.py:66) and
+NodeClassificationModelingTaskSpec (node_classification_modeling_task_spec.py:47).
+Like the reference, each spec implements BOTH the BaseTrainer and
+BaseInferencer interfaces and reads its hyperparameters from the
+trainer_args string map (ArgumentReader pattern,
+modeling_task_specs/utils/parameter_loading.py:8).
+
+The spec owns: dataset build (split + supervision-edge selection from the
+HeteroGraph), model construction from config, the train/eval loops
+(delegated to gigl_tpu.training.trainer), checkpointing, warm start.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
 
 from gigl_tpu.config.task_config import TaskConfig
+from gigl_tpu.graph.csr import HeteroGraph
+from gigl_tpu.graph.splitters import (
+    HashedNodeAnchorLinkSplitter,
+    select_ssl_positive_edges,
+)
+from gigl_tpu.models.encoders import GNNEncoder, encoder_from_config
+from gigl_tpu.models.link_prediction import (
+    DecoderType,
+    LinkPredictionDecoder,
+    LinkPredictionGNN,
+)
 from gigl_tpu.training.base import BaseInferencer, BaseTrainer
+from gigl_tpu.training.checkpoint import restore_params, save_params
+from gigl_tpu.training.dataset import AnchorBatchIterator, DeviceGraph
+from gigl_tpu.training.trainer import (
+    NALPTrainer,
+    NALPTrainerConfig,
+    NodeClassificationTrainer,
+    NodeClassificationTrainerConfig,
+    TrainState,
+)
+from gigl_tpu.types.task import TaskMetadataType
+from gigl_tpu.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+
+def _fanouts_from_config(cfg: TaskConfig, args: Dict[str, Any]) -> Tuple[int, ...]:
+    if "fanouts" in args:
+        v = args["fanouts"]
+        if isinstance(v, str):
+            return tuple(int(s) for s in v.replace(" ", "").split(","))
+        return tuple(int(s) for s in v)
+    sampling = cfg.dataset.sampling
+    if sampling.fanouts:
+        return tuple(sampling.fanouts)
+    if sampling.message_passing_paths:
+        # Chain-DAG depth-ordered fanouts for the (single) root path.
+        ops = next(iter(sampling.message_passing_paths.values()))
+        return tuple(op.num_nodes_to_sample for op in ops)
+    return (10, 5)
 
 
 class NodeAnchorLinkPredictionTaskSpec(BaseTrainer, BaseInferencer):
-    """Self-/un-supervised link prediction on anchor nodes (NALP).
+    """Self-/un-supervised node-anchor link prediction (NALP).
 
-    Placeholder shell — real loop lands with gigl_tpu.training.trainer.
+    Dataset semantics (v2/GLT path of the reference): anchor nodes are
+    hash-split into train/val/test (`HashedNodeAnchorLinkSplitter`,
+    data_splitters.py:90); supervision edges come from the task config's
+    supervision edge types, or are self-supervised positives selected from
+    structural edges (`select_ssl_positive_label_edges`,
+    dataset_factory.py:38-54).
     """
 
-    def init_model(self, task_config: TaskConfig, state: Optional[Any] = None):
-        raise NotImplementedError("NALP task spec training loop: in progress")
+    def __init__(self, **kwargs: Any):
+        super().__init__(**kwargs)
+        self.trainer: Optional[NALPTrainer] = None
+        self.state: Optional[TrainState] = None
+        self.splits: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None
+        self.task_config: Optional[TaskConfig] = None
 
-    def train(self, *args, **kwargs) -> Dict[str, float]:
-        raise NotImplementedError
+    # -- setup -----------------------------------------------------------------
+    def init_model(self, task_config: TaskConfig, state: Optional[Any] = None,
+                   graph: Optional[HeteroGraph] = None):
+        if graph is None:
+            raise ValueError("NALP task spec requires graph=HeteroGraph")
+        self.task_config = task_config
+        args = {**task_config.trainer.trainer_args, **self.kwargs}
+        fanouts = _fanouts_from_config(task_config, args)
 
-    def eval(self, *args, **kwargs) -> Dict[str, float]:
-        raise NotImplementedError
+        # Supervision edges: explicit supervision edge type or SSL positives.
+        sup_types = task_config.task_metadata.supervision_edge_types
+        et = sup_types[0] if sup_types else graph.metadata.edge_types[0]
+        coo = graph.edges[et]
+        ssl_ratio = float(args.get("ssl_positive_ratio", 0.0))
+        if ssl_ratio > 0:
+            cols = select_ssl_positive_edges(
+                coo, ssl_ratio, seed=task_config.dataset.split.seed)
+            sup_edges = coo[:, cols]
+        else:
+            sup_edges = coo
 
-    def infer_batch(self, batch: Any) -> Any:
-        raise NotImplementedError
+        # Anchor split (node-anchor hash semantics).
+        sp = task_config.dataset.split
+        splitter = HashedNodeAnchorLinkSplitter(
+            sampling_direction="in",
+            num_val=sp.val_ratio,
+            num_test=max(1.0 - sp.train_ratio - sp.val_ratio, 0.0),
+        )
+        self.splits = splitter(np.asarray(sup_edges))
+
+        device_graph = DeviceGraph.from_hetero(
+            graph, supervision_edges=np.asarray(sup_edges), edge_type=et)
+        encoder = encoder_from_config(args)
+        decoder = LinkPredictionDecoder(
+            decoder_type=DecoderType(args.get("decoder", "inner_product")))
+        model = LinkPredictionGNN(encoder=encoder, decoder=decoder)
+        cfg = NALPTrainerConfig(
+            fanouts=fanouts,
+            num_positives=int(args.get(
+                "num_positives", task_config.dataset.num_positive_samples)),
+            num_hard_negs=int(args.get(
+                "num_hard_negs", task_config.dataset.num_hard_negatives)),
+            num_random_negs=int(args.get("random_negative_batch_size", 512)),
+            loss_type=str(args.get("loss", "retrieval")),
+            margin=float(args.get("margin", 0.5)),
+            temperature=float(args.get("temperature", 0.07)),
+            use_cms_correction=str(args.get("use_cms_correction", "false")
+                                   ).lower() in ("1", "true"),
+            seed=int(args.get("seed", sp.seed)),
+        )
+        self.trainer = NALPTrainer(model, device_graph, cfg,
+                                   optimizer_args=args)
+        batch_size = int(args.get("main_sample_batch_size", 512))
+        self._batch_size = batch_size
+        params = state
+        if params is None and task_config.trainer.pretrained_model_uri:
+            params = restore_params(task_config.trainer.pretrained_model_uri)
+            logger.info("warm-started params from %s",
+                        task_config.trainer.pretrained_model_uri)
+        self.state = self.trainer.init_state(
+            jax.random.PRNGKey(cfg.seed), batch_size, params=params)
+        return self.state.params
+
+    # -- train/eval ------------------------------------------------------------
+    def train(self, **kwargs) -> Dict[str, float]:
+        assert self.trainer is not None and self.state is not None
+        args = {**(self.task_config.trainer.trainer_args if self.task_config
+                   else {}), **self.kwargs, **kwargs}
+        train_anchors, val_anchors, _ = self.splits
+        self.state, metrics = self.trainer.fit(
+            self.state, train_anchors, val_anchors,
+            batch_size=self._batch_size,
+            num_epochs=int(args.get("num_epochs", 1)),
+            val_every_n_batches=int(args.get("val_every_num_batches", 100)),
+            num_val_batches=int(args.get("num_val_batches", 8)),
+            early_stop_patience=int(args.get("early_stop_patience", 5)),
+        )
+        return metrics
+
+    def eval(self, split: str = "test", num_batches: int = 16,
+             **kwargs) -> Dict[str, float]:
+        assert self.trainer is not None and self.state is not None
+        anchors = {"train": self.splits[0], "val": self.splits[1],
+                   "test": self.splits[2]}[split]
+        it = AnchorBatchIterator(anchors, min(self._batch_size, len(anchors)),
+                                 seed=99)
+        batches = []
+        for i, b in enumerate(it.epoch(0)):
+            if i >= num_batches:
+                break
+            batches.append(b)
+        return self.trainer.evaluate(self.state.params, batches)
+
+    def save(self, uri, step: int = 0) -> None:
+        save_params(uri, self.state.params, step=step)
+
+    # -- inference -------------------------------------------------------------
+    def infer_batch(self, batch: Any) -> jnp.ndarray:
+        """batch: array of node ids → embeddings [B, D]."""
+        assert self.trainer is not None and self.state is not None
+        nodes = jnp.asarray(batch, jnp.int32)
+        return self.trainer._encode(self.state.params, nodes, 0, train=False)
 
 
 class NodeClassificationTaskSpec(BaseTrainer, BaseInferencer):
-    """Supervised node classification task spec (placeholder shell)."""
+    """Supervised node classification task spec.
 
-    def init_model(self, task_config: TaskConfig, state: Optional[Any] = None):
-        raise NotImplementedError
+    Ref parity: NodeClassificationModelingTaskSpec (:47) — CE training over
+    labeled nodes, accuracy eval, logits at inference.
+    """
 
-    def train(self, *args, **kwargs) -> Dict[str, float]:
-        raise NotImplementedError
+    def __init__(self, **kwargs: Any):
+        super().__init__(**kwargs)
+        self.trainer: Optional[NodeClassificationTrainer] = None
+        self.state: Optional[TrainState] = None
+        self.task_config: Optional[TaskConfig] = None
 
-    def eval(self, *args, **kwargs) -> Dict[str, float]:
-        raise NotImplementedError
+    def init_model(self, task_config: TaskConfig, state: Optional[Any] = None,
+                   graph: Optional[HeteroGraph] = None):
+        if graph is None:
+            raise ValueError("task spec requires graph=HeteroGraph")
+        self.task_config = task_config
+        args = {**task_config.trainer.trainer_args, **self.kwargs}
+        fanouts = _fanouts_from_config(task_config, args)
+        device_graph = DeviceGraph.from_hetero(graph)
+        if device_graph.node_labels is None:
+            raise ValueError("graph has no node labels for classification")
+        num_classes = int(args.get(
+            "num_classes", int(np.asarray(device_graph.node_labels).max()) + 1))
+        encoder = encoder_from_config(args, out_dim=num_classes)
+        self.trainer = NodeClassificationTrainer(
+            encoder, device_graph,
+            NodeClassificationTrainerConfig(
+                fanouts=fanouts, seed=int(args.get("seed", 0))),
+            optimizer_args=args)
+        # Node split by hash over all labeled nodes.
+        sp = task_config.dataset.split
+        labeled = np.arange(device_graph.num_nodes)
+        edges = np.stack([labeled, labeled])
+        splitter = HashedNodeAnchorLinkSplitter(
+            sampling_direction="in", num_val=sp.val_ratio,
+            num_test=max(1.0 - sp.train_ratio - sp.val_ratio, 0.0))
+        self.splits = splitter(edges)
+        self._batch_size = int(args.get("main_sample_batch_size", 256))
+        params = state
+        if params is None and task_config.trainer.pretrained_model_uri:
+            params = restore_params(task_config.trainer.pretrained_model_uri)
+        self.state = self.trainer.init_state(
+            jax.random.PRNGKey(int(args.get("seed", 0))),
+            self._batch_size, params=params)
+        return self.state.params
 
-    def infer_batch(self, batch: Any) -> Any:
-        raise NotImplementedError
+    def train(self, **kwargs) -> Dict[str, float]:
+        args = {**(self.task_config.trainer.trainer_args if self.task_config
+                   else {}), **self.kwargs, **kwargs}
+        train_nodes, val_nodes, _ = self.splits
+        self.state, metrics = self.trainer.fit(
+            self.state, train_nodes, val_nodes,
+            batch_size=self._batch_size,
+            num_epochs=int(args.get("num_epochs", 5)),
+            early_stop_patience=int(args.get("early_stop_patience", 5)))
+        return metrics
+
+    def eval(self, split: str = "test", **kwargs) -> Dict[str, float]:
+        nodes = {"train": self.splits[0], "val": self.splits[1],
+                 "test": self.splits[2]}[split]
+        acc = self.trainer.evaluate(self.state.params, nodes,
+                                    self._batch_size)
+        return {"accuracy": acc}
+
+    def save(self, uri, step: int = 0) -> None:
+        save_params(uri, self.state.params, step=step)
+
+    def infer_batch(self, batch: Any) -> jnp.ndarray:
+        nodes = jnp.asarray(batch, jnp.int32)
+        return self.trainer._forward(self.state.params, nodes, train=False)

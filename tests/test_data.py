@@ -1,0 +1,186 @@
+"""Tests for enumeration, transforms, preprocessor, export, inference."""
+
+import numpy as np
+import pytest
+
+from gigl_tpu.data.enumerate import Enumerator
+from gigl_tpu.data.export import (
+    EmbeddingExporter,
+    load_embeddings_to_table,
+    read_embedding_shards,
+)
+from gigl_tpu.data.preprocessor import (
+    DataPreprocessor,
+    DataPreprocessorConfig,
+    EdgeDataSource,
+    NodeDataSource,
+    PreprocessedMetadata,
+    load_graph_from_metadata,
+)
+from gigl_tpu.data.transform import (
+    FeatureStats,
+    Identity,
+    Log1p,
+    ScaleTo01,
+    ScaleToZScore,
+    TransformSpec,
+    Vocabulary,
+)
+from gigl_tpu.types.graph import (
+    DEFAULT_HOMOGENEOUS_EDGE_TYPE,
+    EdgeType,
+    GraphMetadata,
+)
+
+
+class TestEnumerator:
+    def test_dense_ids_deterministic_sorted(self):
+        e = Enumerator()
+        e.enumerate_nodes({"user": np.array([30, 10, 20, 10])})
+        m = e.maps["user"]
+        assert m.num_nodes == 3
+        np.testing.assert_array_equal(m.to_dense(np.array([10, 20, 30])),
+                                      [0, 1, 2])
+        np.testing.assert_array_equal(m.to_orig(np.array([2, 0])), [30, 10])
+
+    def test_string_ids(self):
+        e = Enumerator()
+        e.enumerate_nodes({"u": np.array(["b", "a", "c", "a"])})
+        np.testing.assert_array_equal(
+            e.maps["u"].to_dense(np.array(["a", "b", "c"])), [0, 1, 2])
+
+    def test_edges_remapped_per_endpoint_type(self):
+        e = Enumerator()
+        e.enumerate_nodes({"u": np.array([100, 200]),
+                           "i": np.array([7, 8, 9])})
+        et = EdgeType("u", "buys", "i")
+        coo = e.enumerate_edges(et, np.array([200, 100]), np.array([9, 7]))
+        np.testing.assert_array_equal(coo, [[1, 0], [2, 0]])
+
+    def test_unknown_id_raises(self):
+        e = Enumerator()
+        e.enumerate_nodes({"u": np.array([1, 2])})
+        with pytest.raises(KeyError, match="Unknown node ids"):
+            e.maps["u"].to_dense(np.array([99]))
+
+    def test_save_load_round_trip(self, tmp_path):
+        e = Enumerator()
+        e.enumerate_nodes({"u": np.array([5, 3]), "i": np.array([2])})
+        e.save(str(tmp_path / "enum.npz"))
+        e2 = Enumerator.load(str(tmp_path / "enum.npz"))
+        np.testing.assert_array_equal(e2.maps["u"].orig_ids, [3, 5])
+
+
+class TestTransforms:
+    def test_z_score(self):
+        spec = TransformSpec(ops={"out": ScaleToZScore("x")})
+        batches = [{"x": np.array([1.0, 2.0])}, {"x": np.array([3.0, 4.0])}]
+        stats = spec.analyze(batches)
+        out = np.concatenate([spec.apply(stats, b) for b in batches])
+        np.testing.assert_allclose(out.mean(), 0.0, atol=1e-6)
+        np.testing.assert_allclose(out.std(), 1.0, atol=1e-3)
+
+    def test_min_max(self):
+        spec = TransformSpec(ops={"o": ScaleTo01("x")})
+        stats = spec.analyze([{"x": np.array([2.0, 4.0, 6.0])}])
+        out = spec.apply(stats, {"x": np.array([2.0, 6.0])})
+        np.testing.assert_allclose(out.reshape(-1), [0.0, 1.0])
+
+    def test_vocab_frequency_order_and_oov(self):
+        spec = TransformSpec(ops={"c": Vocabulary("cat", num_oov_buckets=1)})
+        stats = spec.analyze(
+            [{"cat": np.array(["b", "b", "b", "a", "a", "z"])}])
+        out = spec.apply(stats, {"cat": np.array(["b", "a", "unseen"])})
+        assert out[0, 0] == 0  # most frequent
+        assert out[1, 0] == 1
+        assert out[2, 0] == 3  # OOV bucket after vocab of size 3
+        assert spec.ops["c"].vocab_size(stats["c"]) == 4
+
+    def test_multi_feature_concat_order(self):
+        spec = TransformSpec(ops={"a": Identity("x"), "b": Log1p("y")})
+        stats = spec.analyze([{"x": np.array([1.0]), "y": np.array([0.0])}])
+        out = spec.apply(stats, {"x": np.array([2.0]), "y": np.array([0.0])})
+        np.testing.assert_allclose(out, [[2.0, 0.0]])  # sorted: a then b
+
+    def test_stats_save_load(self, tmp_path):
+        spec = TransformSpec(ops={"z": ScaleToZScore("x"),
+                                  "v": Vocabulary("c", top_k=2)})
+        stats = spec.analyze([{"x": np.array([1.0, 3.0]),
+                               "c": np.array(["p", "p", "q", "r"])}])
+        spec.save_stats(stats, str(tmp_path / "s.json"))
+        spec2, stats2 = TransformSpec.load_stats(str(tmp_path / "s.json"))
+        out1 = spec.apply(stats, {"x": np.array([2.0]), "c": np.array(["q"])})
+        out2 = spec2.apply(stats2, {"x": np.array([2.0]), "c": np.array(["q"])})
+        np.testing.assert_allclose(out1, out2)
+
+
+class _ToyConfig(DataPreprocessorConfig):
+    def __init__(self, seed=0):
+        rng = np.random.default_rng(seed)
+        self.N = 50
+        self.ids = np.array([f"n{i}" for i in rng.permutation(self.N)])
+        self.age = rng.random(self.N).astype(np.float32)
+        self.labels = rng.integers(0, 3, self.N)
+        self.src = self.ids[rng.integers(0, self.N, 300)]
+        self.dst = self.ids[rng.integers(0, self.N, 300)]
+
+    def node_sources(self):
+        return [NodeDataSource.from_arrays(
+            "default", self.ids, {"age": self.age}, labels=self.labels)]
+
+    def edge_sources(self):
+        return [EdgeDataSource.from_arrays(
+            DEFAULT_HOMOGENEOUS_EDGE_TYPE, self.src, self.dst)]
+
+    def node_transform(self, nt):
+        return TransformSpec(ops={"age_z": ScaleToZScore("age")})
+
+
+class TestDataPreprocessor:
+    def test_end_to_end_metadata_and_graph(self, tmp_path):
+        cfg = _ToyConfig()
+        meta = DataPreprocessor(cfg, str(tmp_path)).run()
+        assert meta.num_nodes["default"] == 50
+        assert meta.node_feature_dim["default"] == 1
+        meta2 = PreprocessedMetadata.load(
+            str(tmp_path / "preprocessed_metadata.yaml"))
+        g = load_graph_from_metadata(meta2, GraphMetadata.homogeneous())
+        assert g.default_edges.shape == (2, 300)
+        assert g.node_features["default"].shape == (50, 1)
+        assert g.node_labels["default"].shape == (50,)
+        # Features are z-scored.
+        np.testing.assert_allclose(
+            g.node_features["default"].mean(), 0.0, atol=1e-5)
+
+    def test_labels_follow_enumeration(self, tmp_path):
+        cfg = _ToyConfig()
+        meta = DataPreprocessor(cfg, str(tmp_path)).run()
+        g = load_graph_from_metadata(meta, GraphMetadata.homogeneous())
+        enum = Enumerator.load(meta.enumerator_uri)
+        dense = enum.maps["default"].to_dense(cfg.ids)
+        np.testing.assert_array_equal(
+            g.node_labels["default"][dense], cfg.labels)
+
+
+class TestExport:
+    def test_shard_flush_and_read(self, tmp_path):
+        exp = EmbeddingExporter(str(tmp_path), shard_size_bytes=1)
+        exp.add_embeddings(np.array([1, 2]), np.ones((2, 4), np.float32))
+        exp.add_embeddings(np.array([3]), np.zeros((1, 4), np.float32))
+        exp.flush()
+        assert len(exp.written_shards) == 2
+        rows = load_embeddings_to_table(str(tmp_path))
+        assert rows == 3
+        ids = np.concatenate([i for i, _ in
+                              read_embedding_shards(str(tmp_path))])
+        np.testing.assert_array_equal(np.sort(ids), [1, 2, 3])
+
+    def test_mismatched_shapes_raise(self, tmp_path):
+        exp = EmbeddingExporter(str(tmp_path))
+        with pytest.raises(ValueError, match="!= embeddings"):
+            exp.add_embeddings(np.array([1]), np.ones((2, 4)))
+
+    def test_context_manager_flushes(self, tmp_path):
+        with EmbeddingExporter(str(tmp_path)) as exp:
+            exp.add_embeddings(np.array([9]), np.ones((1, 2)))
+        assert load_embeddings_to_table(str(tmp_path)) == 1
