@@ -64,6 +64,7 @@ class NodeClassificationBatch(NamedTuple):
     mask: jnp.ndarray    # [B] bool (padding)
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclass
 class DeviceGraph:
     """Homogeneous device-side graph bundle for training/inference.
@@ -71,6 +72,11 @@ class DeviceGraph:
     message_csr: adjacency used for message passing (sampling direction
     "in": anchored on dst). supervision_csr: positive-label edges anchored
     on the anchor side. hard_neg_csr: user-defined negatives (optional).
+
+    Registered as a pytree so it is passed to jit-compiled steps as an
+    ARGUMENT (device buffers stay XLA parameters). Closing over the graph
+    inside jit would bake every array into the HLO as a constant — slow to
+    lower (device→host fetch per array) and duplicated into the executable.
     """
 
     message_csr: DeviceCSR
@@ -81,6 +87,21 @@ class DeviceGraph:
     node_labels: Optional[jnp.ndarray] = None
     edge_features: Optional[jnp.ndarray] = None  # [E, De] in CSR slot order
     degrees: Optional[jnp.ndarray] = None        # [N] float32 in-degrees
+
+    def tree_flatten(self):
+        children = (self.message_csr, self.node_features,
+                    self.supervision_csr, self.hard_neg_csr,
+                    self.node_labels, self.edge_features, self.degrees)
+        return children, self.num_nodes
+
+    @classmethod
+    def tree_unflatten(cls, num_nodes, children):
+        (message_csr, node_features, supervision_csr, hard_neg_csr,
+         node_labels, edge_features, degrees) = children
+        return cls(message_csr=message_csr, node_features=node_features,
+                   num_nodes=num_nodes, supervision_csr=supervision_csr,
+                   hard_neg_csr=hard_neg_csr, node_labels=node_labels,
+                   edge_features=edge_features, degrees=degrees)
 
     @classmethod
     def from_hetero(

@@ -184,8 +184,7 @@ class NodeAnchorLinkPredictionTaskSpec(BaseTrainer, BaseInferencer):
     def infer_batch(self, batch: Any) -> jnp.ndarray:
         """batch: array of node ids → embeddings [B, D]."""
         assert self.trainer is not None and self.state is not None
-        nodes = jnp.asarray(batch, jnp.int32)
-        return self.trainer._encode(self.state.params, nodes, 0, train=False)
+        return self.trainer.encode_batch(self.state.params, batch)
 
 
 class NodeClassificationTaskSpec(BaseTrainer, BaseInferencer):
@@ -258,5 +257,4 @@ class NodeClassificationTaskSpec(BaseTrainer, BaseInferencer):
         save_params(uri, self.state.params, step=step)
 
     def infer_batch(self, batch: Any) -> jnp.ndarray:
-        nodes = jnp.asarray(batch, jnp.int32)
-        return self.trainer._forward(self.state.params, nodes, train=False)
+        return self.trainer.predict_batch(self.state.params, batch)

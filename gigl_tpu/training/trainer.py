@@ -108,17 +108,28 @@ class NALPTrainer:
         self.graph = graph
         self.cfg = config
         self.tx = make_optimizer(optimizer_args or {})
+        # The graph is a pytree ARGUMENT of every jitted step (its buffers
+        # stay XLA parameters); closing over it would embed every array as
+        # an HLO constant — slow to lower and baked into the executable.
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
+        self._encode_step = jax.jit(self._encode_impl, static_argnums=(3, 4))
+        self._init_params = jax.jit(self._init_params_impl)
 
     # -- state -----------------------------------------------------------------
+    def _init_params_impl(self, graph: DeviceGraph, rng: jax.Array,
+                          anchors: jnp.ndarray):
+        """Single jitted sample+hydrate+init (eager op-by-op dispatch is a
+        round-trip per op on a tunneled device)."""
+        blocks = graph.sample_hop_blocks(anchors, self.cfg.fanouts)
+        feats, masks, _ = graph.hydrate(blocks)
+        return self.model.init(rng, feats, masks)
+
     def init_state(self, rng: jax.Array, batch_size: int,
                    params: Optional[Any] = None) -> TrainState:
         if params is None:
             anchors = jnp.zeros((batch_size,), jnp.int32)
-            blocks = self.graph.sample_hop_blocks(anchors, self.cfg.fanouts)
-            feats, masks, _ = self.graph.hydrate(blocks)
-            params = self.model.init(rng, feats, masks)
+            params = self._init_params(self.graph, rng, anchors)
         cms = cms_init() if self.cfg.use_cms_correction else None
         return TrainState(
             params=params,
@@ -128,33 +139,39 @@ class NALPTrainer:
         )
 
     # -- encoding --------------------------------------------------------------
-    def _encode(self, params, node_ids: jnp.ndarray, seed_offset: int,
-                train: bool, rng=None):
+    def _encode_impl(self, graph: DeviceGraph, params, node_ids: jnp.ndarray,
+                     seed_offset: int, train: bool, rng=None):
         """Encode arbitrary-shaped node id array -> embeddings of same
         leading shape + [D]."""
         shape = node_ids.shape
-        blocks = self.graph.sample_hop_blocks(
+        blocks = graph.sample_hop_blocks(
             node_ids, self.cfg.fanouts, seed=self.cfg.seed + seed_offset)
-        feats, masks, degs = self.graph.hydrate(blocks)
-        edge_feats = self.graph.hydrate_edges(blocks)
+        feats, masks, degs = graph.hydrate(blocks)
+        edge_feats = graph.hydrate_edges(blocks)
         rngs = {"dropout": rng} if (train and rng is not None) else None
         emb = self.model.apply(
             params, feats, masks, edge_feats, train=train,
             hop_degrees=degs, rngs=rngs)
         return emb.reshape(shape + (emb.shape[-1],))
 
-    def _scores(self, params, batch: NALPBatch, train: bool, rng=None):
-        q = self._encode(params, batch.anchors, 0, train, rng)          # [B, D]
-        pos = self._encode(params, batch.pos, 1, train, rng)            # [B, P, D]
-        rand = self._encode(params, batch.random_neg, 2, train, rng)    # [R, D]
+    def encode_batch(self, params, node_ids) -> jnp.ndarray:
+        """Jitted inference encode (used by infer_batch / export)."""
+        return self._encode_step(self.graph, params,
+                                 jnp.asarray(node_ids, jnp.int32), 0, False)
+
+    def _scores(self, graph, params, batch: NALPBatch, train: bool, rng=None):
+        q = self._encode_impl(graph, params, batch.anchors, 0, train, rng)
+        pos = self._encode_impl(graph, params, batch.pos, 1, train, rng)
+        rand = self._encode_impl(graph, params, batch.random_neg, 2, train, rng)
         hard = None
         if batch.hard_neg.shape[-1] > 0:
-            hard = self._encode(params, batch.hard_neg, 3, train, rng)  # [B, H, D]
+            hard = self._encode_impl(graph, params, batch.hard_neg, 3, train, rng)
         return q, pos, hard, rand
 
     # -- loss ------------------------------------------------------------------
-    def _loss(self, params, batch: NALPBatch, cms, rng):
-        q, pos, hard, rand = self._scores(params, batch, train=True, rng=rng)
+    def _loss(self, graph, params, batch: NALPBatch, cms, rng):
+        q, pos, hard, rand = self._scores(graph, params, batch,
+                                          train=True, rng=rng)
         B, P, D = pos.shape
         decode = lambda a, b: self.model.apply(params, a, b, method="decode")
         if self.cfg.loss_type == "retrieval":
@@ -207,9 +224,9 @@ class NALPTrainer:
         return loss, cms
 
     # -- steps -----------------------------------------------------------------
-    def _train_step_impl(self, state: TrainState, anchors: jnp.ndarray,
-                         rng: jax.Array):
-        batch = self.graph.sample_nalp_batch(
+    def _train_step_impl(self, graph: DeviceGraph, state: TrainState,
+                         anchors: jnp.ndarray, rng: jax.Array):
+        batch = graph.sample_nalp_batch(
             anchors,
             num_positives=self.cfg.num_positives,
             num_hard_negs=self.cfg.num_hard_negs,
@@ -218,7 +235,7 @@ class NALPTrainer:
             step=state.step,
         )
         (loss, cms), grads = jax.value_and_grad(
-            lambda p: self._loss(p, batch, state.cms, rng), has_aux=True
+            lambda p: self._loss(graph, p, batch, state.cms, rng), has_aux=True
         )(state.params)
         updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -226,10 +243,11 @@ class NALPTrainer:
                                step=state.step + 1, cms=cms)
         return new_state, loss
 
-    def _eval_step_impl(self, params, anchors: jnp.ndarray, step: jnp.ndarray):
+    def _eval_step_impl(self, graph: DeviceGraph, params,
+                        anchors: jnp.ndarray, step: jnp.ndarray):
         """Ref parity (modeling_task_spec:534-546): rank each positive
         against the random negatives only; MRR + hits@ks."""
-        batch = self.graph.sample_nalp_batch(
+        batch = graph.sample_nalp_batch(
             anchors,
             num_positives=self.cfg.num_positives,
             num_hard_negs=0,
@@ -237,7 +255,7 @@ class NALPTrainer:
             seed=self.cfg.seed + 7_777_777,
             step=step,
         )
-        q, pos, _, rand = self._scores(params, batch, train=False)
+        q, pos, _, rand = self._scores(graph, params, batch, train=False)
         B, P, D = pos.shape
         pos_scores = self.model.apply(
             params, q[:, None, :], pos, method="decode")           # [B, P]
@@ -257,14 +275,15 @@ class NALPTrainer:
 
     # -- public API ------------------------------------------------------------
     def train_step(self, state: TrainState, anchors, rng) -> Tuple[TrainState, float]:
-        return self._train_step(state, jnp.asarray(anchors, jnp.int32), rng)
+        return self._train_step(self.graph, state,
+                                jnp.asarray(anchors, jnp.int32), rng)
 
     def evaluate(self, params, anchor_batches, step: int = 0) -> Dict[str, float]:
         rr_total, cnt_total = 0.0, 0.0
         hits_total: Dict[int, float] = {k: 0.0 for k in self.cfg.eval_ks}
         for i, anchors in enumerate(anchor_batches):
             rr, hits, cnt = self._eval_step(
-                params, jnp.asarray(anchors, jnp.int32),
+                self.graph, params, jnp.asarray(anchors, jnp.int32),
                 jnp.asarray(step + i, jnp.int32))
             rr_total += float(rr)
             cnt_total += float(cnt)
@@ -367,32 +386,45 @@ class NodeClassificationTrainer:
         self.graph = graph
         self.cfg = config
         self.tx = make_optimizer(optimizer_args or {})
+        # Graph passed as pytree argument (not closure) — see NALPTrainer.
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
+        self._forward_step = jax.jit(self._forward, static_argnums=(3,))
+        self._init_params = jax.jit(self._init_params_impl)
+
+    def _init_params_impl(self, graph: DeviceGraph, rng: jax.Array,
+                          nodes: jnp.ndarray):
+        blocks = graph.sample_hop_blocks(nodes, self.cfg.fanouts)
+        feats, masks, _ = graph.hydrate(blocks)
+        return self.model.init(rng, feats, masks)
 
     def init_state(self, rng: jax.Array, batch_size: int,
                    params: Optional[Any] = None) -> TrainState:
         if params is None:
             nodes = jnp.zeros((batch_size,), jnp.int32)
-            blocks = self.graph.sample_hop_blocks(nodes, self.cfg.fanouts)
-            feats, masks, _ = self.graph.hydrate(blocks)
-            params = self.model.init(rng, feats, masks)
+            params = self._init_params(self.graph, rng, nodes)
         return TrainState(params=params, opt_state=self.tx.init(params),
                           step=jnp.zeros((), jnp.int32))
 
-    def _forward(self, params, nodes, train, rng=None):
-        blocks = self.graph.sample_hop_blocks(nodes, self.cfg.fanouts,
-                                              seed=self.cfg.seed)
-        feats, masks, degs = self.graph.hydrate(blocks)
+    def _forward(self, graph, params, nodes, train, rng=None):
+        blocks = graph.sample_hop_blocks(nodes, self.cfg.fanouts,
+                                         seed=self.cfg.seed)
+        feats, masks, degs = graph.hydrate(blocks)
         rngs = {"dropout": rng} if (train and rng is not None) else None
         return self.model.apply(params, feats, masks, None, train=train,
                                 hop_degrees=degs, rngs=rngs)
 
-    def _train_step_impl(self, state: TrainState, nodes, rng):
-        labels = self.graph.node_labels[nodes]
+    def predict_batch(self, params, nodes) -> jnp.ndarray:
+        """Jitted inference logits (used by infer_batch / export)."""
+        return self._forward_step(self.graph, params,
+                                  jnp.asarray(nodes, jnp.int32), False)
+
+    def _train_step_impl(self, graph: DeviceGraph, state: TrainState,
+                         nodes, rng):
+        labels = graph.node_labels[nodes]
 
         def loss_fn(p):
-            logits = self._forward(p, nodes, True, rng)
+            logits = self._forward(graph, p, nodes, True, rng)
             s, c = cross_entropy_loss(logits, labels)
             return s / jnp.maximum(c.astype(jnp.float32), 1.0)
 
@@ -402,9 +434,9 @@ class NodeClassificationTrainer:
             params=optax.apply_updates(state.params, updates),
             opt_state=opt_state, step=state.step + 1), loss
 
-    def _eval_step_impl(self, params, nodes):
-        logits = self._forward(params, nodes, False)
-        labels = self.graph.node_labels[nodes]
+    def _eval_step_impl(self, graph: DeviceGraph, params, nodes):
+        logits = self._forward(graph, params, nodes, False)
+        labels = graph.node_labels[nodes]
         return accuracy(logits, labels)
 
     def fit(self, state: TrainState, train_nodes, val_nodes, *,
@@ -419,7 +451,7 @@ class NodeClassificationTrainer:
             for nodes in it.epoch(epoch):
                 rng, srng = jax.random.split(rng)
                 state, loss = self._train_step(
-                    state, jnp.asarray(nodes, jnp.int32), srng)
+                    self.graph, state, jnp.asarray(nodes, jnp.int32), srng)
                 step += 1
                 if step % log_every == 0:
                     logger.info("epoch %d step %d loss %.4f",
@@ -437,7 +469,8 @@ class NodeClassificationTrainer:
         it = AnchorBatchIterator(np.asarray(nodes), batch_size,
                                  drop_remainder=False)
         for b in it.epoch(0):
-            c, n = self._eval_step(params, jnp.asarray(b, jnp.int32))
+            c, n = self._eval_step(self.graph, params,
+                                   jnp.asarray(b, jnp.int32))
             correct += float(c)
             total += float(n)
         return correct / max(total, 1.0)

@@ -1,0 +1,146 @@
+"""Full-pipeline integration test: all seven components end-to-end on a
+mocked dataset + restartability (ref test model: e2e KFP Cora tests,
+Makefile:319-352, and integration/pipeline tests)."""
+
+import numpy as np
+import pytest
+import yaml
+
+from gigl_tpu.data.mocking import (
+    CORA_NODE_CLASSIFICATION,
+    TOY_GRAPH_NODE_ANCHOR_LP,
+    MockedPreprocessorConfig,
+    get_mocked_graph,
+    mocked_task_config,
+)
+from gigl_tpu.data.uri import UriFactory
+from gigl_tpu.orchestration.runner import Component, PipelineConfig, Runner
+
+
+@pytest.fixture(scope="module")
+def nalp_pipeline_dir(tmp_path_factory):
+    """Run the full NALP pipeline once for the module."""
+    tmp = tmp_path_factory.mktemp("pipe")
+    g = get_mocked_graph(TOY_GRAPH_NODE_ANCHOR_LP)
+    cfg = mocked_task_config(TOY_GRAPH_NODE_ANCHOR_LP,
+                             num_epochs=2, val_every_num_batches=3)
+    template = str(tmp / "template.yaml")
+    cfg.save(template)
+    runner = Runner(PipelineConfig(
+        job_name="e2e_nalp",
+        template_task_config_uri=template,
+        working_dir=str(tmp),
+        data_preprocessor_config=MockedPreprocessorConfig(g),
+    ))
+    frozen = runner.run()
+    return tmp, frozen, runner
+
+
+class TestFullPipeline:
+    def test_all_stage_artifacts_exist(self, nalp_pipeline_dir):
+        _, frozen, _ = nalp_pipeline_dir
+        for uri in (frozen.shared.preprocessed_metadata_uri,
+                    frozen.shared.flattened_graph_metadata_uri,
+                    frozen.shared.dataset_metadata_uri,
+                    frozen.shared.trained_model_metadata_uri,
+                    frozen.shared.inference_metadata_uri,
+                    frozen.shared.postprocessed_metadata_uri):
+            assert UriFactory.create(uri).exists(), uri
+
+    def test_training_learned(self, nalp_pipeline_dir):
+        _, frozen, _ = nalp_pipeline_dir
+        info = yaml.safe_load(UriFactory.create(
+            frozen.shared.trained_model_metadata_uri).read_text())
+        assert info["eval_metrics"]["mrr"] > 0.3, info
+
+    def test_inference_covers_all_nodes(self, nalp_pipeline_dir):
+        _, frozen, _ = nalp_pipeline_dir
+        info = yaml.safe_load(UriFactory.create(
+            frozen.shared.inference_metadata_uri).read_text())
+        assert info["num_rows"] == 128  # toy graph: 32 clusters x 4
+
+    def test_postprocessor_unenumerates_to_raw_ids(self, nalp_pipeline_dir):
+        _, frozen, _ = nalp_pipeline_dir
+        import io as _io
+
+        post = yaml.safe_load(UriFactory.create(
+            frozen.shared.postprocessed_metadata_uri).read_text())
+        d = UriFactory.create(post["unenumerated_dir"])
+        shard = [c for c in d.list_children()
+                 if "unenumerated" in c.uri][0]
+        with np.load(_io.BytesIO(shard.read_bytes())) as z:
+            ids = z["node_ids"]
+        # MockedPreprocessorConfig offsets raw ids by 1000.
+        assert ids.min() >= 1000
+
+    def test_restart_from_trainer(self, nalp_pipeline_dir):
+        """Component restartability: re-run from TRAINER against the same
+        frozen config (ref runner.py:81-86)."""
+        tmp, frozen, _ = nalp_pipeline_dir
+        g = get_mocked_graph(TOY_GRAPH_NODE_ANCHOR_LP)
+        runner2 = Runner(PipelineConfig(
+            job_name="e2e_nalp",
+            template_task_config_uri=str(tmp / "template.yaml"),
+            working_dir=str(tmp),
+            data_preprocessor_config=MockedPreprocessorConfig(g),
+        ))
+        frozen2 = runner2.run(start_at=Component.TRAINER,
+                              stop_after=Component.TRAINER)
+        assert UriFactory.create(
+            frozen2.shared.trained_model_metadata_uri).exists()
+
+    def test_stop_after_gating(self, tmp_path):
+        g = get_mocked_graph(TOY_GRAPH_NODE_ANCHOR_LP)
+        cfg = mocked_task_config(TOY_GRAPH_NODE_ANCHOR_LP)
+        template = str(tmp_path / "t.yaml")
+        cfg.save(template)
+        runner = Runner(PipelineConfig(
+            job_name="gated", template_task_config_uri=template,
+            working_dir=str(tmp_path),
+            data_preprocessor_config=MockedPreprocessorConfig(g)))
+        frozen = runner.run(stop_after=Component.SPLIT_GENERATOR)
+        assert UriFactory.create(
+            frozen.shared.dataset_metadata_uri).exists()
+        assert not UriFactory.create(
+            frozen.shared.trained_model_metadata_uri).exists()
+
+
+class TestNodeClassificationPipeline:
+    def test_cora_like_pipeline(self, tmp_path):
+        g = get_mocked_graph(CORA_NODE_CLASSIFICATION)
+        cfg = mocked_task_config(CORA_NODE_CLASSIFICATION, num_epochs=4)
+        template = str(tmp_path / "t.yaml")
+        cfg.save(template)
+        runner = Runner(PipelineConfig(
+            job_name="cora_nc", template_task_config_uri=template,
+            working_dir=str(tmp_path),
+            data_preprocessor_config=MockedPreprocessorConfig(g)))
+        frozen = runner.run(stop_after=Component.TRAINER)
+        info = yaml.safe_load(UriFactory.create(
+            frozen.shared.trained_model_metadata_uri).read_text())
+        assert info["eval_metrics"]["accuracy"] > 0.5, info
+
+
+class TestMockedDatasets:
+    def test_all_handles_build(self):
+        from gigl_tpu.data import mocking
+
+        for name in (mocking.TOY_GRAPH_NODE_ANCHOR_LP,
+                     mocking.CORA_NODE_CLASSIFICATION,
+                     mocking.BIPARTITE_TOY_GRAPH_LP,
+                     mocking.HETEROGENEOUS_TOY_GRAPH):
+            g = mocking.get_mocked_graph(name)
+            assert g.num_total_edges > 0
+
+    def test_unknown_handle_raises(self):
+        from gigl_tpu.data.mocking import get_mocked_graph
+
+        with pytest.raises(KeyError, match="Unknown mocked dataset"):
+            get_mocked_graph("nope")
+
+    def test_cora_like_homophilous(self):
+        g = get_mocked_graph(CORA_NODE_CLASSIFICATION)
+        labels = g.node_labels["default"]
+        coo = g.default_edges
+        same = (labels[coo[0]] == labels[coo[1]]).mean()
+        assert same > 0.7  # homophily
