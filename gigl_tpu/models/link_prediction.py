@@ -68,6 +68,23 @@ class LinkPredictionDecoder(nn.Module):
         return self(q[:, None, :], c[None, :, :])
 
 
+class HeteroLinkPredictionGNN(nn.Module):
+    """Typed encoder + decoder bundle (hetero analog of LinkPredictionGNN;
+    ref pyg/link_prediction.py:13-67 wraps any encoder the same way)."""
+
+    encoder: nn.Module  # HeteroGNNEncoder
+    decoder: LinkPredictionDecoder
+
+    def __call__(self, blocks, feats, train: bool = False):
+        return self.encoder(blocks, feats, train=train)
+
+    def decode(self, q, c):
+        return self.decoder(q, c)
+
+    def decode_all_pairs(self, q, c):
+        return self.decoder.all_pairs(q, c)
+
+
 class LinkPredictionGNN(nn.Module):
     """Encoder + decoder bundle.
 

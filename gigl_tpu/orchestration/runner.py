@@ -244,13 +244,19 @@ class Runner:
             frozen.shared.inference_metadata_uri).uri.rsplit("/", 1)[0]
         exporter = EmbeddingExporter(f"{out_dir}/embeddings")
         num_nodes = spec.trainer.graph.num_nodes
+        if isinstance(num_nodes, dict):  # hetero: embed the anchor node type
+            num_nodes = num_nodes[str(spec.trainer.cfg.anchor_node_type)]
         n = run_inference(
             spec, num_nodes, exporter,
             InferenceConfig(
                 batch_size=frozen.inferencer.inference_batch_size))
+        inf_nt = (str(spec.trainer.cfg.anchor_node_type)
+                  if hasattr(spec.trainer.cfg, "anchor_node_type")
+                  else str(frozen.graph_metadata.node_types[0]))
         UriFactory.create(frozen.shared.inference_metadata_uri).write_text(
             yaml.safe_dump({"embeddings_dir": f"{out_dir}/embeddings",
-                            "num_rows": int(n)}))
+                            "num_rows": int(n),
+                            "node_type": inf_nt}))
 
     def run_post_processor(self, frozen: TaskConfig) -> None:
         """Un-enumeration of inferred assets + optional user hook
@@ -263,7 +269,7 @@ class Runner:
         meta = PreprocessedMetadata.load(
             frozen.shared.preprocessed_metadata_uri)
         enum = Enumerator.load(meta.enumerator_uri)
-        nt = frozen.graph_metadata.node_types[0]
+        nt = inf.get("node_type") or frozen.graph_metadata.node_types[0]
         out_dir = UriFactory.create(
             frozen.shared.postprocessed_metadata_uri).uri.rsplit("/", 1)[0]
         total = 0

@@ -91,6 +91,12 @@ class NodeAnchorLinkPredictionTaskSpec(BaseTrainer, BaseInferencer):
             raise ValueError("NALP task spec requires graph=HeteroGraph")
         self.task_config = task_config
         args = {**task_config.trainer.trainer_args, **self.kwargs}
+        # Heterogeneous graphs (multiple node types, or an explicit
+        # SubgraphSamplingStrategy DAG) dispatch to the typed trainer —
+        # the reference's single spec likewise serves HeteroData models.
+        if (len(graph.metadata.node_types) > 1
+                or task_config.dataset.sampling.message_passing_paths):
+            return self._init_hetero(task_config, args, graph, state)
         fanouts = _fanouts_from_config(task_config, args)
 
         # Supervision edges: explicit supervision edge type or SSL positives.
@@ -136,7 +142,9 @@ class NodeAnchorLinkPredictionTaskSpec(BaseTrainer, BaseInferencer):
         )
         self.trainer = NALPTrainer(model, device_graph, cfg,
                                    optimizer_args=args)
-        batch_size = int(args.get("main_sample_batch_size", 512))
+        # Clamp to the train split (iterator drops partial batches).
+        batch_size = max(1, min(int(args.get("main_sample_batch_size", 512)),
+                                len(self.splits[0])))
         self._batch_size = batch_size
         params = state
         if params is None and task_config.trainer.pretrained_model_uri:
@@ -145,6 +153,82 @@ class NodeAnchorLinkPredictionTaskSpec(BaseTrainer, BaseInferencer):
                         task_config.trainer.pretrained_model_uri)
         self.state = self.trainer.init_state(
             jax.random.PRNGKey(cfg.seed), batch_size, params=params)
+        return self.state.params
+
+    def _init_hetero(self, task_config: TaskConfig, args: Dict[str, Any],
+                     graph: HeteroGraph, state: Optional[Any]):
+        from gigl_tpu.models.hetero_encoders import hetero_encoder_from_config
+        from gigl_tpu.models.link_prediction import HeteroLinkPredictionGNN
+        from gigl_tpu.training.hetero_dataset import (
+            HeteroDeviceGraph,
+            paths_from_config,
+        )
+        from gigl_tpu.training.hetero_trainer import (
+            HeteroNALPTrainer,
+            HeteroNALPTrainerConfig,
+        )
+
+        sup_types = task_config.task_metadata.supervision_edge_types
+        et = sup_types[0] if sup_types else graph.metadata.edge_types[0]
+        sup_anchor = str(args.get("supervision_anchor", "dst"))
+        anchor_nt = (str(et.dst_node_type) if sup_anchor == "dst"
+                     else str(et.src_node_type))
+        cand_nt = (str(et.src_node_type) if sup_anchor == "dst"
+                   else str(et.dst_node_type))
+        coo = graph.edges[et]
+        ssl_ratio = float(args.get("ssl_positive_ratio", 0.0))
+        sup_edges = coo
+        if ssl_ratio > 0:
+            cols = select_ssl_positive_edges(
+                coo, ssl_ratio, seed=task_config.dataset.split.seed)
+            sup_edges = coo[:, cols]
+
+        sp = task_config.dataset.split
+        # Anchor split over the anchor-side endpoints of supervision edges.
+        anchor_row = sup_edges[1] if sup_anchor == "dst" else sup_edges[0]
+        splitter = HashedNodeAnchorLinkSplitter(
+            sampling_direction="in", num_val=sp.val_ratio,
+            num_test=max(1.0 - sp.train_ratio - sp.val_ratio, 0.0))
+        self.splits = splitter(np.stack([anchor_row, anchor_row]))
+
+        paths = paths_from_config(
+            graph, task_config.dataset.sampling, [anchor_nt, cand_nt],
+            default_fanouts=_fanouts_from_config(task_config, args))
+        device_graph = HeteroDeviceGraph.from_hetero(
+            graph, paths, supervision_edge_type=et,
+            supervision_edges=np.asarray(sup_edges),
+            supervision_anchor=sup_anchor)
+        encoder = hetero_encoder_from_config(
+            args,
+            node_types=[str(n) for n in graph.metadata.node_types],
+            edge_types=[str(e) for e in graph.metadata.edge_types])
+        decoder = LinkPredictionDecoder(
+            decoder_type=DecoderType(args.get("decoder", "inner_product")))
+        model = HeteroLinkPredictionGNN(encoder=encoder, decoder=decoder)
+        cfg = HeteroNALPTrainerConfig(
+            anchor_node_type=anchor_nt, candidate_node_type=cand_nt,
+            num_positives=int(args.get(
+                "num_positives", task_config.dataset.num_positive_samples)),
+            num_hard_negs=int(args.get(
+                "num_hard_negs", task_config.dataset.num_hard_negatives)),
+            num_random_negs=int(args.get("random_negative_batch_size", 512)),
+            loss_type=str(args.get("loss", "retrieval")),
+            margin=float(args.get("margin", 0.5)),
+            temperature=float(args.get("temperature", 0.07)),
+            seed=int(args.get("seed", sp.seed)),
+        )
+        self.trainer = HeteroNALPTrainer(model, device_graph, paths, cfg,
+                                         optimizer_args=args)
+        # Clamp to the train split (the iterator drops partial batches —
+        # a batch size above the split would train zero steps).
+        self._batch_size = max(1, min(
+            int(args.get("main_sample_batch_size", 512)),
+            len(self.splits[0])))
+        params = state
+        if params is None and task_config.trainer.pretrained_model_uri:
+            params = restore_params(task_config.trainer.pretrained_model_uri)
+        self.state = self.trainer.init_state(
+            jax.random.PRNGKey(cfg.seed), self._batch_size, params=params)
         return self.state.params
 
     # -- train/eval ------------------------------------------------------------

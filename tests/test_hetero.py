@@ -1,0 +1,316 @@
+"""Heterogeneous stack tests: typed sampling DAGs, HGT/SimpleHGN encoders,
+hetero NALP trainer (ref test model: unit/gnn_library heterogeneous tests +
+DBLP/bipartite mocked-dataset pipeline tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gigl_tpu.config.task_config import SamplingOp
+from gigl_tpu.data.mocking import (
+    BIPARTITE_TOY_GRAPH_LP,
+    HETEROGENEOUS_TOY_GRAPH,
+    get_mocked_graph,
+)
+from gigl_tpu.models.hetero_encoders import HeteroGNNEncoder
+from gigl_tpu.models.link_prediction import (
+    HeteroLinkPredictionGNN,
+    LinkPredictionDecoder,
+)
+from gigl_tpu.sampling.hetero_sampler import (
+    chain_path,
+    resolve_path,
+    sample_typed_blocks,
+)
+from gigl_tpu.training.hetero_dataset import (
+    HeteroDeviceGraph,
+    paths_from_config,
+)
+from gigl_tpu.training.hetero_trainer import (
+    HeteroNALPTrainer,
+    HeteroNALPTrainerConfig,
+)
+from gigl_tpu.types.graph import EdgeType
+
+
+def _bipartite_paths():
+    """user path: buys-items then their rev_buys users; item path reverse."""
+    buys = EdgeType("user", "buys", "item")
+    rev = EdgeType("item", "rev_buys", "user")
+    user_ops = [
+        SamplingOp(op_name="u_items", edge_type=rev, num_nodes_to_sample=5,
+                   sampling_direction="INCOMING"),
+        SamplingOp(op_name="u_items_users", edge_type=buys,
+                   num_nodes_to_sample=3, input_op_names=("u_items",),
+                   sampling_direction="INCOMING"),
+    ]
+    item_ops = [
+        SamplingOp(op_name="i_users", edge_type=buys, num_nodes_to_sample=5,
+                   sampling_direction="INCOMING"),
+        SamplingOp(op_name="i_users_items", edge_type=rev,
+                   num_nodes_to_sample=3, input_op_names=("i_users",),
+                   sampling_direction="INCOMING"),
+    ]
+    return {"user": resolve_path("user", user_ops),
+            "item": resolve_path("item", item_ops)}
+
+
+class TestPathResolution:
+    def test_chain_path(self):
+        et = EdgeType("paper", "cites", "paper")
+        spec = chain_path("paper", et, (15, 10))
+        assert len(spec) == 2
+        assert spec[0].parent == -1 and spec[0].depth == 1
+        assert spec[1].parent == 0 and spec[1].depth == 2
+        assert spec[0].fanout == 15 and spec[1].fanout == 10
+        assert spec[0].csr_key == "paper-cites-paper|dst"
+
+    def test_incoming_type_flow(self):
+        writes = EdgeType("author", "writes", "paper")
+        spec = resolve_path("paper", [SamplingOp(
+            op_name="authors", edge_type=writes, num_nodes_to_sample=4,
+            sampling_direction="INCOMING")])
+        assert spec[0].frontier_node_type == "paper"
+        assert spec[0].neighbor_node_type == "author"
+
+    def test_outgoing_direction(self):
+        writes = EdgeType("author", "writes", "paper")
+        spec = resolve_path("author", [SamplingOp(
+            op_name="papers", edge_type=writes, num_nodes_to_sample=4,
+            sampling_direction="OUTGOING")])
+        assert spec[0].frontier_node_type == "author"
+        assert spec[0].neighbor_node_type == "paper"
+        assert spec[0].csr_key == "author-writes-paper|src"
+
+    def test_rejects_root_type_mismatch(self):
+        writes = EdgeType("author", "writes", "paper")
+        with pytest.raises(ValueError, match="frontier type"):
+            resolve_path("author", [SamplingOp(
+                op_name="bad", edge_type=writes, num_nodes_to_sample=4,
+                sampling_direction="INCOMING")])
+
+    def test_rejects_parent_type_mismatch(self):
+        writes = EdgeType("author", "writes", "paper")
+        cites = EdgeType("paper", "cites", "paper")
+        with pytest.raises(ValueError, match="does not match parent"):
+            resolve_path("paper", [
+                SamplingOp(op_name="a", edge_type=writes,
+                           num_nodes_to_sample=4,
+                           sampling_direction="INCOMING"),
+                # frontier after "a" is author-typed; cites needs paper.
+                SamplingOp(op_name="b", edge_type=cites,
+                           num_nodes_to_sample=4, input_op_names=("a",),
+                           sampling_direction="INCOMING"),
+            ])
+
+    def test_rejects_cycle_and_unknown_parent(self):
+        cites = EdgeType("paper", "cites", "paper")
+        with pytest.raises(ValueError, match="unknown input op"):
+            resolve_path("paper", [SamplingOp(
+                op_name="a", edge_type=cites, num_nodes_to_sample=4,
+                input_op_names=("ghost",))])
+
+    def test_rejects_nonpositive_fanout(self):
+        cites = EdgeType("paper", "cites", "paper")
+        with pytest.raises(ValueError, match="must be > 0"):
+            resolve_path("paper", [SamplingOp(
+                op_name="a", edge_type=cites, num_nodes_to_sample=0)])
+
+
+class TestTypedSampling:
+    def setup_method(self):
+        self.g = get_mocked_graph(HETEROGENEOUS_TOY_GRAPH)
+        writes = EdgeType("author", "writes", "paper")
+        cites = EdgeType("paper", "cites", "paper")
+        # Tree: paper -> authors (via writes in-edges) AND paper -> cited
+        # papers; authors further expand to their papers.
+        self.ops = [
+            SamplingOp(op_name="authors", edge_type=writes,
+                       num_nodes_to_sample=4,
+                       sampling_direction="INCOMING"),
+            SamplingOp(op_name="cited", edge_type=cites,
+                       num_nodes_to_sample=3,
+                       sampling_direction="INCOMING"),
+            SamplingOp(op_name="author_papers",
+                       edge_type=EdgeType("paper", "rev_writes", "author"),
+                       num_nodes_to_sample=2, input_op_names=("authors",),
+                       sampling_direction="INCOMING"),
+        ]
+        self.spec = resolve_path("paper", self.ops)
+        self.dg = HeteroDeviceGraph.from_hetero(
+            self.g, {"paper": self.spec})
+
+    def test_shapes_and_types(self):
+        roots = jnp.arange(8, dtype=jnp.int32)
+        blocks = self.dg.sample(roots, "paper", self.spec, seed=0)
+        assert blocks.node_ids[0].shape == (8,)
+        assert blocks.node_ids[1].shape == (8, 4)   # authors
+        assert blocks.node_ids[2].shape == (8, 3)   # cited papers
+        assert blocks.node_ids[3].shape == (8, 4, 2)  # author papers
+        # ids in range of their node type
+        assert int(blocks.node_ids[1].max()) < self.g.num_nodes["author"]
+        assert int(blocks.node_ids[3].max()) < self.g.num_nodes["paper"]
+
+    def test_deterministic(self):
+        roots = jnp.arange(8, dtype=jnp.int32)
+        b1 = self.dg.sample(roots, "paper", self.spec, seed=7)
+        b2 = self.dg.sample(roots, "paper", self.spec, seed=7)
+        for a, b in zip(b1.node_ids, b2.node_ids):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_neighbors_are_true_neighbors(self):
+        roots = jnp.arange(8, dtype=jnp.int32)
+        blocks = self.dg.sample(roots, "paper", self.spec, seed=0)
+        writes = self.g.csr(EdgeType("author", "writes", "paper"),
+                            anchor="dst")
+        nbr = np.asarray(blocks.node_ids[1])
+        mask = np.asarray(blocks.masks[1])
+        for r in range(8):
+            truth = set(writes.neighbors(r).tolist())
+            for k in range(4):
+                if mask[r, k]:
+                    assert nbr[r, k] in truth
+
+    def test_hydrate_typed_dims(self):
+        roots = jnp.arange(8, dtype=jnp.int32)
+        blocks = self.dg.sample(roots, "paper", self.spec, seed=0)
+        feats, masks = self.dg.hydrate(blocks)
+        assert feats[0].shape == (8, 8)        # paper dim 8
+        assert feats[1].shape == (8, 4, 8)     # author dim 8
+        assert feats[3].shape == (8, 4, 2, 8)
+
+    def test_paths_from_config_fanout_expansion(self):
+        class S:
+            fanouts = (3, 2)
+            message_passing_paths = {}
+
+        paths = paths_from_config(self.g, S(), ["paper"])
+        spec = paths["paper"]
+        # depth-1 ops: writes + rev_writes(dst=author? no: dst==paper ->
+        # writes, cites) — both paper-incident in-edge types.
+        d1 = [s for s in spec if s.depth == 1]
+        assert {s.edge_type for s in d1} == {
+            "author-writes-paper", "paper-cites-paper"}
+        assert all(s.fanout == 3 for s in d1)
+        d2 = [s for s in spec if s.depth == 2]
+        assert all(s.fanout == 2 for s in d2)
+
+
+class TestHeteroEncoders:
+    @pytest.mark.parametrize("conv", ["hgt", "simple_hgn"])
+    def test_forward_shapes(self, conv):
+        g = get_mocked_graph(HETEROGENEOUS_TOY_GRAPH)
+        et = EdgeType("author", "writes", "paper")
+        spec = resolve_path("paper", [
+            SamplingOp(op_name="authors", edge_type=et,
+                       num_nodes_to_sample=4,
+                       sampling_direction="INCOMING"),
+            SamplingOp(op_name="ap",
+                       edge_type=EdgeType("paper", "rev_writes", "author"),
+                       num_nodes_to_sample=3, input_op_names=("authors",),
+                       sampling_direction="INCOMING"),
+        ])
+        dg = HeteroDeviceGraph.from_hetero(g, {"paper": spec})
+        blocks = dg.sample(jnp.arange(6, dtype=jnp.int32), "paper", spec)
+        feats, _ = dg.hydrate(blocks)
+        enc = HeteroGNNEncoder(
+            hid_dim=16, out_dim=8, num_layers=2, conv=conv,
+            node_types=("author", "paper"),
+            edge_types=("author-writes-paper", "paper-rev_writes-author",
+                        "paper-cites-paper"),
+            heads=2)
+        params = enc.init(jax.random.PRNGKey(0), blocks, feats)
+        out = enc.apply(params, blocks, feats)
+        assert out.shape == (6, 8)
+        assert np.isfinite(np.asarray(out)).all()
+
+    @pytest.mark.parametrize("conv", ["hgt", "simple_hgn"])
+    def test_masked_slots_do_not_affect_output(self, conv):
+        """Changing features of masked (padded) neighbor slots must not
+        change the root embeddings."""
+        g = get_mocked_graph(HETEROGENEOUS_TOY_GRAPH)
+        et = EdgeType("author", "writes", "paper")
+        spec = resolve_path("paper", [SamplingOp(
+            op_name="authors", edge_type=et, num_nodes_to_sample=6,
+            sampling_direction="INCOMING")])
+        dg = HeteroDeviceGraph.from_hetero(g, {"paper": spec})
+        blocks = dg.sample(jnp.arange(10, dtype=jnp.int32), "paper", spec)
+        feats, _ = dg.hydrate(blocks)
+        enc = HeteroGNNEncoder(
+            hid_dim=16, out_dim=8, num_layers=1, conv=conv,
+            node_types=("author", "paper"),
+            edge_types=("author-writes-paper",), heads=2)
+        params = enc.init(jax.random.PRNGKey(0), blocks, feats)
+        out1 = enc.apply(params, blocks, feats)
+        # Corrupt padded slots only.
+        mask = np.asarray(blocks.masks[1])
+        corrupted = np.array(feats[1])
+        corrupted[~mask] = 1e6
+        out2 = enc.apply(params, blocks, [feats[0], jnp.asarray(corrupted)])
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   rtol=1e-5, atol=1e-5)
+
+
+class TestHeteroTrainer:
+    def _make_trainer(self, conv="hgt"):
+        g = get_mocked_graph(BIPARTITE_TOY_GRAPH_LP)
+        paths = _bipartite_paths()
+        buys = EdgeType("user", "buys", "item")
+        dg = HeteroDeviceGraph.from_hetero(
+            g, paths, supervision_edge_type=buys,
+            supervision_edges=g.edges[buys], supervision_anchor="src")
+        enc = HeteroGNNEncoder(
+            hid_dim=32, out_dim=16, num_layers=2, conv=conv,
+            node_types=("user", "item"),
+            edge_types=("user-buys-item", "item-rev_buys-user"), heads=2)
+        model = HeteroLinkPredictionGNN(
+            encoder=enc, decoder=LinkPredictionDecoder())
+        cfg = HeteroNALPTrainerConfig(
+            anchor_node_type="user", candidate_node_type="item",
+            num_random_negs=32, loss_type="retrieval", temperature=0.1)
+        return HeteroNALPTrainer(model, dg, paths, cfg,
+                                 optimizer_args={"learning_rate": "0.01"}), g
+
+    def test_learns_bipartite_structure(self):
+        trainer, g = self._make_trainer()
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=32)
+        anchors = np.arange(g.num_nodes["user"])
+        rng = jax.random.PRNGKey(1)
+        losses = []
+        for step in range(30):
+            rng, srng = jax.random.split(rng)
+            state, loss = trainer.train_step(state, anchors[:32], srng)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.8, losses[:3] + losses[-3:]
+        metrics = trainer.evaluate(state.params, [anchors[:32]])
+        assert metrics["mrr"] > 0.3, metrics
+
+    def test_simple_hgn_trains(self):
+        trainer, g = self._make_trainer(conv="simple_hgn")
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=16)
+        rng = jax.random.PRNGKey(1)
+        l0 = lN = None
+        for step in range(15):
+            rng, srng = jax.random.split(rng)
+            state, loss = trainer.train_step(
+                state, np.arange(16), srng)
+            l0 = float(loss) if l0 is None else l0
+            lN = float(loss)
+        assert lN < l0
+
+    def test_encode_batch_per_type(self):
+        trainer, g = self._make_trainer()
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=8)
+        u = trainer.encode_batch(state.params, np.arange(8), "user")
+        it = trainer.encode_batch(state.params, np.arange(8), "item")
+        assert u.shape == (8, 16) and it.shape == (8, 16)
+
+    def test_fit_loop_with_eval(self):
+        trainer, g = self._make_trainer()
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=16)
+        users = np.arange(g.num_nodes["user"])
+        state, metrics = trainer.fit(
+            state, users[:48], users[48:], batch_size=16, num_epochs=3,
+            val_every_n_batches=5, num_val_batches=2)
+        assert "mrr" in metrics and 0.0 <= metrics["mrr"] <= 1.0

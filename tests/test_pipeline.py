@@ -121,6 +121,36 @@ class TestNodeClassificationPipeline:
         assert info["eval_metrics"]["accuracy"] > 0.5, info
 
 
+class TestHeteroPipeline:
+    def test_bipartite_lp_full_pipeline(self, tmp_path):
+        """All seven components on the bipartite (user, buys, item) graph —
+        hetero dispatch in the NALP spec (HGT encoder, typed sampling)."""
+        from gigl_tpu.data.mocking import BIPARTITE_TOY_GRAPH_LP
+
+        g = get_mocked_graph(BIPARTITE_TOY_GRAPH_LP)
+        cfg = mocked_task_config(BIPARTITE_TOY_GRAPH_LP, num_epochs=20,
+                                 val_every_num_batches=3, conv="hgt",
+                                 num_heads=2, random_negative_batch_size=32)
+        template = str(tmp_path / "t.yaml")
+        cfg.save(template)
+        runner = Runner(PipelineConfig(
+            job_name="bip_lp", template_task_config_uri=template,
+            working_dir=str(tmp_path),
+            data_preprocessor_config=MockedPreprocessorConfig(g)))
+        frozen = runner.run()
+        info = yaml.safe_load(UriFactory.create(
+            frozen.shared.trained_model_metadata_uri).read_text())
+        assert info["eval_metrics"]["mrr"] > 0.2, info
+        inf = yaml.safe_load(UriFactory.create(
+            frozen.shared.inference_metadata_uri).read_text())
+        # Anchors are items (supervision anchored on dst by default).
+        assert inf["node_type"] == "item"
+        assert inf["num_rows"] == g.num_nodes["item"]
+        post = yaml.safe_load(UriFactory.create(
+            frozen.shared.postprocessed_metadata_uri).read_text())
+        assert post["num_rows"] == g.num_nodes["item"]
+
+
 class TestMockedDatasets:
     def test_all_handles_build(self):
         from gigl_tpu.data import mocking
