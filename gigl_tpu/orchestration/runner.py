@@ -153,6 +153,26 @@ class Runner:
                 frozen.dataset.sampling.message_passing_paths.items()},
             "num_nodes": dict(meta.num_nodes),
         }
+        # Optional v1-style materialization of rooted neighborhoods
+        # (feature flag, ref SGS RootedNodeNeighborhood TFRecord output).
+        if str(frozen.feature_flags.get(
+                "should_materialize_subgraphs", "")).lower() in ("1", "true"):
+            from gigl_tpu.sampling.materialize import (
+                materialize_rooted_neighborhoods,
+            )
+            from gigl_tpu.training.dataset import DeviceGraph
+
+            graph = load_graph_from_metadata(meta, frozen.graph_metadata)
+            dg = DeviceGraph.from_hetero(graph)
+            out_dir = UriFactory.create(
+                frozen.shared.flattened_graph_metadata_uri
+            ).uri.rsplit("/", 1)[0] + "/rooted_neighborhoods"
+            fanouts = tuple(frozen.dataset.sampling.fanouts) or (10, 5)
+            shards = materialize_rooted_neighborhoods(
+                dg, out_dir, fanouts=fanouts,
+                seed=frozen.dataset.split.seed)
+            manifest["backend"] = "materialized_tabularized"
+            manifest["rooted_neighborhood_shards"] = [str(s) for s in shards]
         UriFactory.create(frozen.shared.flattened_graph_metadata_uri
                           ).write_text(yaml.safe_dump(manifest))
 
@@ -223,6 +243,12 @@ class Runner:
             yaml.safe_dump({"model_uri": f"{model_dir}/model",
                             "eval_metrics": {k: float(v)
                                              for k, v in metrics.items()}}))
+        # KFP metrics file (ref training_process.py:154-202 writes eval
+        # metrics to the KFP metrics JSON consumed by the pipeline UI).
+        UriFactory.create(f"{model_dir}/kfp_metrics.json").write_text(
+            json.dumps({"metrics": [
+                {"name": k.replace("@", "_at_"), "numberValue": float(v),
+                 "format": "RAW"} for k, v in metrics.items()]}))
 
     def run_inferencer(self, frozen: TaskConfig) -> None:
         from gigl_tpu.data.export import EmbeddingExporter

@@ -51,6 +51,7 @@ class OpSpec:
     parent: int
     depth: int  # 1 for root-attached ops
     direction: str  # INCOMING | OUTGOING
+    method: str = "uniform"  # uniform | weighted | top_k (proto oneof)
 
     @property
     def anchor(self) -> str:
@@ -127,7 +128,8 @@ def resolve_path(
                 name=op.op_name, edge_type=str(op.edge_type),
                 frontier_node_type=f_nt, neighbor_node_type=n_nt,
                 fanout=int(op.num_nodes_to_sample), parent=parent,
-                depth=depth, direction=op.sampling_direction))
+                depth=depth, direction=op.sampling_direction,
+                method=getattr(op, "sampling_method", "uniform")))
             remaining.remove(op)
             progress = True
     if remaining:
@@ -217,10 +219,12 @@ def sample_typed_blocks(
         parent_mask = masks[op.parent + 1]
         csr = csrs[op.csr_key]
         # Per-op hop salt: ops at the same depth sampling different edge
-        # types must draw independent bits.
+        # types must draw independent bits. Per-op method (proto oneof)
+        # overrides the call-level default.
+        op_method = op.method if op.method != "uniform" else method
         nbr, m, es = sample_neighbors(
             csr, frontier, op.fanout, seed=seed,
-            hop=op.depth * 1_000_003 + i, method=method)
+            hop=op.depth * 1_000_003 + i, method=op_method)
         m = m & parent_mask[..., None]
         nbr = jnp.where(m, nbr, 0)
         node_ids.append(nbr)

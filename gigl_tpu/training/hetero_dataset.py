@@ -99,11 +99,26 @@ class HeteroDeviceGraph:
         supervision_anchor: str = "dst",
     ) -> "HeteroDeviceGraph":
         needed = {op.csr_key for ops in paths.values() for op in ops}
+        # CSRs whose ops sample weighted/top_k carry per-slot edge weights
+        # (from the edge-feature column named by the op; ref: weighted
+        # sampling in the GraphDB variant, NebulaHeteroKHopSampler).
+        weighted_keys = {
+            op.csr_key for ops in paths.values() for op in ops
+            if getattr(op, "method", "uniform") in ("weighted", "top_k")}
         csrs: Dict[str, DeviceCSR] = {}
         for key in sorted(needed):
             et_str, anchor = key.rsplit("|", 1)
             et = next(e for e in graph.metadata.edge_types if str(e) == et_str)
-            csrs[key] = DeviceCSR.from_csr(graph.csr(et, anchor=anchor))
+            csr = graph.csr(et, anchor=anchor)
+            weights = None
+            if key in weighted_keys:
+                ef = graph.edge_features.features.get(et_str)
+                if ef is None:
+                    raise ValueError(
+                        f"edge type {et_str!r} sampled weighted/top_k but "
+                        "has no edge features to use as weights")
+                weights = np.asarray(ef)[csr.edge_ids, 0]
+            csrs[key] = DeviceCSR.from_csr(csr, edge_weights=weights)
         feats = {}
         for nt in graph.metadata.node_types:
             n = graph.num_nodes[nt]

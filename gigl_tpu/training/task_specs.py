@@ -271,6 +271,28 @@ class NodeAnchorLinkPredictionTaskSpec(BaseTrainer, BaseInferencer):
         return self.trainer.encode_batch(self.state.params, batch)
 
 
+class GraphSageTemplateTaskSpec(NodeAnchorLinkPredictionTaskSpec):
+    """GraphSAGE template spec: the reference's beginner-facing trainer
+    (ref modeling_task_specs/graphsage_template_modeling_spec.py:49) — a
+    NALP spec pinned to a GraphSAGE encoder with margin loss and early
+    stopping, all hyperparameters overridable through trainer_args."""
+
+    DEFAULTS = {
+        "conv": "graphsage",
+        "loss": "margin",
+        "num_layers": "2",
+        "hid_dim": "256",
+        "out_dim": "128",
+        "early_stop_patience": "5",
+    }
+
+    def init_model(self, task_config: TaskConfig, state: Optional[Any] = None,
+                   graph: Optional[HeteroGraph] = None):
+        merged = {**self.DEFAULTS, **self.kwargs}
+        self.kwargs = merged
+        return super().init_model(task_config, state=state, graph=graph)
+
+
 class NodeClassificationTaskSpec(BaseTrainer, BaseInferencer):
     """Supervised node classification task spec.
 

@@ -1,0 +1,165 @@
+"""Aux subsystems: ops metrics, profiler wrapper, graph validation,
+KFP/VAI adapters, component CLI (ref: SURVEY.md §5 auxiliary subsystems)."""
+
+import numpy as np
+import pytest
+import yaml
+
+from gigl_tpu.graph.csr import HeteroGraph
+from gigl_tpu.graph.validation import validate_graph
+from gigl_tpu.orchestration.kfp import (
+    KfpOrchestrator,
+    VertexAILauncher,
+    WorkerPoolSpec,
+)
+from gigl_tpu.utils.metrics import (
+    InMemoryMetricsPublisher,
+    NopMetricsPublisher,
+    get_metrics_publisher,
+    initialize_metrics,
+    profileit,
+    set_metrics_publisher,
+)
+from gigl_tpu.utils.profiler import ProfilerConfig, TrainProfiler
+
+
+class TestMetrics:
+    def test_default_is_nop(self):
+        initialize_metrics(None)
+        assert isinstance(get_metrics_publisher(), NopMetricsPublisher)
+
+    def test_initialize_by_class_path(self):
+        pub = initialize_metrics(
+            "gigl_tpu.utils.metrics.InMemoryMetricsPublisher")
+        assert isinstance(pub, InMemoryMetricsPublisher)
+        initialize_metrics(None)
+
+    def test_profileit_records_timer(self):
+        pub = InMemoryMetricsPublisher()
+        set_metrics_publisher(pub)
+
+        @profileit("my_timer")
+        def work(x):
+            return x + 1
+
+        assert work(1) == 2
+        assert len(pub.timers["my_timer"]) == 1
+        set_metrics_publisher(NopMetricsPublisher())
+
+    def test_in_memory_counts_gauges(self):
+        pub = InMemoryMetricsPublisher()
+        pub.add_count("n", 2)
+        pub.add_count("n", 3)
+        pub.add_gauge("g", 1.5)
+        assert pub.counts["n"] == 5 and pub.gauges["g"] == 1.5
+
+
+class TestProfiler:
+    def test_disabled_noop(self):
+        with TrainProfiler(ProfilerConfig()) as prof:
+            pass
+        assert prof._local_dir is None
+
+    def test_enabled_writes_trace_and_uploads(self, tmp_path):
+        cfg = ProfilerConfig(should_enable_profiler=True,
+                             profiler_log_dir=str(tmp_path / "traces"))
+        import jax.numpy as jnp
+
+        with TrainProfiler(cfg) as prof:
+            with prof.step_marker("step0"):
+                (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+        # upload ran on exit; trace dir should have files
+        assert (tmp_path / "traces").exists()
+
+
+class TestGraphValidation:
+    def _graph(self, src, dst, n=10):
+        return HeteroGraph.homogeneous(
+            src=np.asarray(src), dst=np.asarray(dst), num_nodes=n)
+
+    def test_valid_graph_passes(self):
+        g = self._graph([0, 1, 2], [1, 2, 3])
+        rep = validate_graph(g)
+        assert rep.ok
+        rep.raise_if_invalid()
+
+    def test_dangling_edge_detected(self):
+        g = HeteroGraph.homogeneous(
+            src=np.array([0, 99]), dst=np.array([1, 2]), num_nodes=10)
+        rep = validate_graph(g)
+        assert not rep.ok
+        assert any("dangling" in e for e in rep.errors)
+        with pytest.raises(ValueError, match="validation failed"):
+            rep.raise_if_invalid()
+
+    def test_isolated_nodes_warned(self):
+        g = self._graph([0, 1], [1, 0], n=5)
+        rep = validate_graph(g)
+        assert rep.ok
+        assert rep.stats["isolated::default"] == 3
+
+    def test_feature_row_mismatch(self):
+        g = self._graph([0], [1], n=4)
+        g.node_features["default"] = np.zeros((3, 2), np.float32)
+        rep = validate_graph(g)
+        assert not rep.ok
+
+
+class TestKfpAdapter:
+    def test_compile_builds_linear_dag(self):
+        orch = KfpOrchestrator()
+        spec = orch.compile(job_name="j1",
+                            template_task_config_uri="/tmp/t.yaml")
+        names = [c["name"] for c in spec["components"]]
+        assert names[0] == "config_populator"
+        assert names[-1] == "post_processor"
+        # linear chain deps
+        for prev, c in zip(spec["components"], spec["components"][1:]):
+            assert c["depends_on"] == [prev["name"]]
+        trainer = next(c for c in spec["components"] if c["name"] == "trainer")
+        assert trainer["accelerator_type"] == "TPU_V5E"
+
+    def test_start_stop_gating(self):
+        spec = KfpOrchestrator().compile(
+            job_name="j2", template_task_config_uri="/t.yaml",
+            start_at="trainer", stop_after="inferencer")
+        assert [c["name"] for c in spec["components"]] == [
+            "trainer", "inferencer"]
+
+    def test_compile_to_file(self, tmp_path):
+        path = str(tmp_path / "pipeline.yaml")
+        KfpOrchestrator().compile_to_file(
+            path, job_name="j3", template_task_config_uri="/t.yaml")
+        spec = yaml.safe_load(open(path))
+        assert spec["pipeline_name"] == "gigl-tpu-j3"
+
+    def test_vai_payload(self):
+        launcher = VertexAILauncher(project="p")
+        payload = launcher.build_job_payload(
+            "job", WorkerPoolSpec(command=["python", "train.py"]),
+            workers=WorkerPoolSpec(replica_count=3), timeout_s=3600)
+        pools = payload["job_spec"]["worker_pool_specs"]
+        assert len(pools) == 2
+        assert pools[0]["replica_count"] == 1  # leader pool size 1
+        assert pools[1]["replica_count"] == 3
+        assert payload["job_spec"]["scheduling"]["timeout"] == "3600s"
+
+
+class TestComponentCli:
+    def test_cli_runs_single_component(self, tmp_path):
+        from gigl_tpu.data.mocking import (
+            TOY_GRAPH_NODE_ANCHOR_LP,
+            mocked_task_config,
+        )
+        from gigl_tpu.orchestration.cli import main
+
+        cfg = mocked_task_config(TOY_GRAPH_NODE_ANCHOR_LP)
+        template = str(tmp_path / "t.yaml")
+        cfg.save(template)
+        rc = main(["--component", "config_populator",
+                   "--job_name", "cli_test",
+                   "--task_config_uri", template,
+                   "--working_dir", str(tmp_path)])
+        assert rc == 0
+        assert (tmp_path / "cli_test" / "config_populator"
+                / "frozen_task_config.yaml").exists()
