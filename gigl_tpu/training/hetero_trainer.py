@@ -93,8 +93,11 @@ class HeteroNALPTrainer:
                                  False)
 
     def _scores(self, graph, params, batch: NALPBatch, train, rng=None):
+        """Per-group encoder passes: independent sample-gather-encode
+        chains overlap on TPU (see trainer.py _scores measurement)."""
         a_nt, c_nt = self.cfg.anchor_node_type, self.cfg.candidate_node_type
-        q = self._encode_impl(graph, params, batch.anchors, a_nt, 0, train, rng)
+        q = self._encode_impl(graph, params, batch.anchors, a_nt, 0, train,
+                              rng)
         pos = self._encode_impl(graph, params, batch.pos, c_nt, 1, train, rng)
         rand = self._encode_impl(graph, params, batch.random_neg, c_nt, 2,
                                  train, rng)
