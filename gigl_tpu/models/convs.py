@@ -52,6 +52,18 @@ class SAGEConv(nn.Module):
     def _combine(self, x_dst, agg):
         return self.lin_self(x_dst) + self.lin_nbr(agg)
 
+    # Aggregation kind consumed by block_cached (see ops/hopcache.py).
+    @property
+    def cached_agg_kind(self):
+        if self.aggr not in ("mean", "sum"):
+            raise ValueError(f"SAGE aggr {self.aggr!r} is not cacheable")
+        return self.aggr
+
+    def block_cached(self, x_dst, agg, degrees_dst=None):
+        """Cached-hop path: ``agg`` [N, Din] is the precomputed
+        sampled-neighbor aggregate (ops/hopcache.py)."""
+        return self._combine(x_dst, agg.astype(x_dst.dtype))
+
     def block(self, x_dst, nbr, mask, edge_attr=None, degrees=None):
         if self.aggr == "mean":
             agg = masked_mean(nbr, mask)
@@ -104,6 +116,20 @@ class GCNConv(nn.Module):
         agg = masked_sum(nbr, mask) * norm
         return self.lin(agg + x_dst * norm)
 
+    @property
+    def cached_agg_kind(self):
+        return "gcn"
+
+    def block_cached(self, x_dst, agg, degrees_dst=None):
+        """Cached-hop path: ``agg`` = sum_j x_j * rsqrt(deg_j + 1)
+        (hopcache agg="gcn"); requires true dst degrees for the symmetric
+        normalization (matches the degrees-provided branch of block())."""
+        if degrees_dst is None:
+            raise ValueError("GCN cached path requires dst degrees")
+        d = degrees_dst.astype(x_dst.dtype) + 1.0
+        agg = agg.astype(x_dst.dtype) * jax.lax.rsqrt(d)[:, None]
+        return self.lin(agg + x_dst / d[:, None])
+
     def coo(self, x, src, dst, num_nodes, edge_attr=None):
         ones = jnp.ones((src.shape[0],), x.dtype)
         deg = segment_sum(ones, dst, num_nodes) + 1.0  # +1 for self-loop
@@ -138,6 +164,13 @@ class GINConv(nn.Module):
             self.eps = self.param("eps", nn.initializers.zeros, ())
         else:
             self.eps = 0.0
+
+    @property
+    def cached_agg_kind(self):
+        return "sum"
+
+    def block_cached(self, x_dst, agg, degrees_dst=None):
+        return self.mlp((1.0 + self.eps) * x_dst + agg.astype(x_dst.dtype))
 
     def block(self, x_dst, nbr, mask, edge_attr=None, degrees=None):
         agg = masked_sum(nbr, mask)

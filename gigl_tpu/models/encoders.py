@@ -69,6 +69,27 @@ def _make_conv(conv: str, out_dim: int, dtype, kwargs: Dict[str, Any], name: str
 
 _CONVS_WITH_EDGE_ATTR = {"gine", "edge_attr_gat", "transformer"}
 
+# Convs whose first-layer neighbor aggregation is weight-independent and can
+# therefore consume a precomputed hop cache (ops/hopcache.py). Attention
+# convs aggregate with weight-dependent coefficients — not cacheable.
+CACHEABLE_CONVS = {"graphsage", "gcn", "gin"}
+
+
+def cached_agg_kind(conv: str, conv_kwargs=None) -> str:
+    """The hopcache aggregation kind layer 1 of ``conv`` consumes."""
+    if conv == "graphsage":
+        aggr = (conv_kwargs or {}).get("aggr", "mean")
+        if aggr not in ("mean", "sum"):
+            raise ValueError(f"SAGE aggr {aggr!r} is not cacheable")
+        return aggr
+    if conv == "gcn":
+        return "gcn"
+    if conv == "gin":
+        return "sum"
+    raise ValueError(
+        f"conv {conv!r} is not hop-cacheable (weight-dependent aggregation); "
+        f"cacheable: {sorted(CACHEABLE_CONVS)}")
+
 
 class GNNEncoder(nn.Module):
     """Stacked message-passing encoder (see module docstring)."""
@@ -158,16 +179,33 @@ class GNNEncoder(nn.Module):
         edge_feats: Optional[Sequence[Optional[jnp.ndarray]]] = None,
         train: bool = False,
         hop_degrees: Optional[Sequence[jnp.ndarray]] = None,
+        cached_agg: Optional[Sequence[jnp.ndarray]] = None,
     ) -> jnp.ndarray:
         """hop_feats[d]: [B, K1..Kd, Din]; masks[d]: [B, K1..Kd] bool.
         hop_degrees[d] (optional): true global degree per node, same shape
         as masks[d] — used by degree-normalized convs (GCN).
 
-        Requires len(hop_feats) == num_layers + 1. Returns root embeddings
-        [B, out_dim].
+        cached_agg (optional): precomputed deepest-hop aggregates
+        (ops/hopcache.py) gathered per tree node — cached_agg[d] is
+        [B, K1..Kd, Din]. When given, the tree is ONE hop shallower
+        (len(hop_feats) == num_layers) and layer 1 consumes the cache via
+        conv.block_cached instead of aggregating sampled neighbor rows;
+        requires a cacheable conv (CACHEABLE_CONVS) and no edge features
+        on layer 1.
+
+        Without cached_agg requires len(hop_feats) == num_layers + 1.
+        Returns root embeddings [B, out_dim].
         """
         L = self.num_layers
-        if len(hop_feats) != L + 1:
+        if cached_agg is not None:
+            if self.conv not in CACHEABLE_CONVS:
+                raise ValueError(
+                    f"conv {self.conv!r} cannot use a hop cache")
+            if len(hop_feats) != L:
+                raise ValueError(
+                    f"cached path needs {L} hop levels for {L} layers, "
+                    f"got {len(hop_feats)}")
+        elif len(hop_feats) != L + 1:
             raise ValueError(
                 f"need {L + 1} hop levels for {L} layers, got {len(hop_feats)}")
         h = [self._pre(f.astype(self.dtype)) for f in hop_feats]
@@ -176,9 +214,34 @@ class GNNEncoder(nn.Module):
                 None if e is None else self.edge_in_proj(e.astype(self.dtype))
                 for e in edge_feats
             ]
+        if cached_agg is not None and (
+            self.feature_embedding is not None or self.feature_interaction_layers
+        ):
+            # The cache aggregates RAW features; a nonlinear per-node input
+            # transform would make agg(transform(x)) != transform(agg(x)).
+            raise ValueError(
+                "hop cache is incompatible with feature_embedding / DCN")
         jk_xs: List[jnp.ndarray] = []
         for i, conv in enumerate(self.convs):
             is_last = i == L - 1
+            if i == 0 and cached_agg is not None:
+                new_h = []
+                for d in range(L):
+                    dst = h[d]
+                    B_shape = dst.shape[:-1]
+                    dim = dst.shape[-1]
+                    agg_flat = cached_agg[d].reshape(-1, dim)
+                    deg_flat = None
+                    if hop_degrees is not None:
+                        deg_flat = hop_degrees[d].reshape(-1)
+                    out = conv.block_cached(
+                        dst.reshape(-1, dim), agg_flat, deg_flat)
+                    out = self._epilogue(out, i, is_last, train)
+                    new_h.append(out.reshape(B_shape + (out.shape[-1],)))
+                h = new_h
+                if self.jk_mode:
+                    jk_xs.append(h[0])
+                continue
             new_h = []
             for d in range(L - i):
                 dst = h[d]

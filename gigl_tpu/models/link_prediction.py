@@ -97,9 +97,9 @@ class LinkPredictionGNN(nn.Module):
     decoder: LinkPredictionDecoder
 
     def __call__(self, hop_feats, masks, edge_feats=None, train: bool = False,
-                 hop_degrees=None):
+                 hop_degrees=None, cached_agg=None):
         return self.encoder(hop_feats, masks, edge_feats, train=train,
-                            hop_degrees=hop_degrees)
+                            hop_degrees=hop_degrees, cached_agg=cached_agg)
 
     def encode_coo(self, x, src, dst, num_nodes, edge_attr=None,
                    train: bool = False):

@@ -87,21 +87,24 @@ class DeviceGraph:
     node_labels: Optional[jnp.ndarray] = None
     edge_features: Optional[jnp.ndarray] = None  # [E, De] in CSR slot order
     degrees: Optional[jnp.ndarray] = None        # [N] float32 in-degrees
+    nbr_cache: Optional[jnp.ndarray] = None      # [N, D] hopcache table
 
     def tree_flatten(self):
         children = (self.message_csr, self.node_features,
                     self.supervision_csr, self.hard_neg_csr,
-                    self.node_labels, self.edge_features, self.degrees)
+                    self.node_labels, self.edge_features, self.degrees,
+                    self.nbr_cache)
         return children, self.num_nodes
 
     @classmethod
     def tree_unflatten(cls, num_nodes, children):
         (message_csr, node_features, supervision_csr, hard_neg_csr,
-         node_labels, edge_features, degrees) = children
+         node_labels, edge_features, degrees, nbr_cache) = children
         return cls(message_csr=message_csr, node_features=node_features,
                    num_nodes=num_nodes, supervision_csr=supervision_csr,
                    hard_neg_csr=hard_neg_csr, node_labels=node_labels,
-                   edge_features=edge_features, degrees=degrees)
+                   edge_features=edge_features, degrees=degrees,
+                   nbr_cache=nbr_cache)
 
     @classmethod
     def from_hetero(
@@ -216,6 +219,35 @@ class DeviceGraph:
         if self.degrees is not None:
             degs = [self.degrees[ids] for ids in blocks.node_ids]
         return feats, blocks.masks, degs
+
+    def with_neighbor_cache(
+        self,
+        *,
+        fanout: int,
+        seed: int = 0,
+        hop_key: int = 1,
+        agg: str = "mean",
+    ) -> "DeviceGraph":
+        """Return a copy with the deepest-hop aggregate table precomputed
+        (ops/hopcache.py — the v1 "tabularized" sampling semantics: one
+        frozen sample per node per refresh). ``hop_key`` must equal the hop
+        index the live sampler uses for the cached hop (len(fanouts))."""
+        import dataclasses
+
+        from gigl_tpu.ops.hopcache import build_neighbor_cache
+
+        cache = build_neighbor_cache(
+            self.message_csr, self.node_features,
+            fanout=fanout, seed=seed, hop_key=hop_key, agg=agg,
+            degrees=self.degrees)
+        return dataclasses.replace(self, nbr_cache=cache)
+
+    def hydrate_cached(self, blocks: SampledBlocks):
+        """Gather the hopcache rows for every tree node ([..., D] per
+        level); requires with_neighbor_cache() first."""
+        if self.nbr_cache is None:
+            raise ValueError("no neighbor cache; call with_neighbor_cache()")
+        return [self.nbr_cache[ids] for ids in blocks.node_ids]
 
     def hydrate_edges(self, blocks: SampledBlocks):
         """Per-hop edge features aligned to block slots (or None)."""

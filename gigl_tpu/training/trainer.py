@@ -92,6 +92,13 @@ class NALPTrainerConfig:
     use_cms_correction: bool = False
     eval_ks: Tuple[int, ...] = (1, 5, 10, 50, 100)
     seed: int = 0
+    # Tabularized deepest-hop cache (ops/hopcache.py): precompute per-node
+    # sampled-neighbor aggregates and gather them instead of resampling +
+    # regathering k_last neighbor rows per occurrence (~5x fewer gather
+    # rows per step for fanouts (15,10); the step is gather-bound on TPU).
+    # Matches the reference v1 semantics of frozen precomputed samples;
+    # refresh_cache(epoch) is the analog of re-running the Subgraph Sampler.
+    cached_hop: bool = False
 
 
 class NALPTrainer:
@@ -112,9 +119,31 @@ class NALPTrainer:
         # stay XLA parameters); closing over it would embed every array as
         # an HLO constant — slow to lower and baked into the executable.
         self._train_step = jax.jit(self._train_step_impl)
+        self._train_steps = jax.jit(self._train_steps_impl,
+                                    donate_argnums=(1,))
         self._eval_step = jax.jit(self._eval_step_impl)
         self._encode_step = jax.jit(self._encode_impl, static_argnums=(3, 4))
         self._init_params = jax.jit(self._init_params_impl)
+        if self.cfg.cached_hop:
+            # Validates the conv is cacheable up front (raises otherwise)
+            # and builds the initial cache table.
+            self.refresh_cache(0)
+
+    # -- hop cache -------------------------------------------------------------
+    def _cache_agg_kind(self) -> str:
+        from gigl_tpu.models.encoders import cached_agg_kind
+
+        enc = self.model.encoder
+        return cached_agg_kind(enc.conv, enc.conv_kwargs)
+
+    def refresh_cache(self, epoch: int = 0) -> None:
+        """(Re)build the deepest-hop aggregate table — the analog of
+        re-running the reference's Subgraph Sampler with a new seed."""
+        self.graph = self.graph.with_neighbor_cache(
+            fanout=int(self.cfg.fanouts[-1]),
+            seed=self.cfg.seed + 1_299_709 * epoch,
+            hop_key=len(self.cfg.fanouts),
+            agg=self._cache_agg_kind())
 
     # -- state -----------------------------------------------------------------
     def _init_params_impl(self, graph: DeviceGraph, rng: jax.Array,
@@ -144,11 +173,22 @@ class NALPTrainer:
         """Encode arbitrary-shaped node id array -> embeddings of same
         leading shape + [D]."""
         shape = node_ids.shape
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        if self.cfg.cached_hop and graph.nbr_cache is not None:
+            # Tree is one hop shallower; layer 1 reads the cached table.
+            blocks = graph.sample_hop_blocks(
+                node_ids, self.cfg.fanouts[:-1],
+                seed=self.cfg.seed + seed_offset)
+            feats, masks, degs = graph.hydrate(blocks)
+            cached = graph.hydrate_cached(blocks)
+            emb = self.model.apply(
+                params, feats, masks, None, train=train,
+                hop_degrees=degs, cached_agg=cached, rngs=rngs)
+            return emb.reshape(shape + (emb.shape[-1],))
         blocks = graph.sample_hop_blocks(
             node_ids, self.cfg.fanouts, seed=self.cfg.seed + seed_offset)
         feats, masks, degs = graph.hydrate(blocks)
         edge_feats = graph.hydrate_edges(blocks)
-        rngs = {"dropout": rng} if (train and rng is not None) else None
         emb = self.model.apply(
             params, feats, masks, edge_feats, train=train,
             hop_degrees=degs, rngs=rngs)
@@ -251,6 +291,27 @@ class NALPTrainer:
                                step=state.step + 1, cms=cms)
         return new_state, loss
 
+    def _train_steps_impl(self, graph: DeviceGraph, state: TrainState,
+                          anchors_kb: jnp.ndarray, rngs: jax.Array):
+        """K train steps as ONE device program (lax.scan). Amortizes
+        per-step dispatch (the host→device launch round-trip dominates
+        sub-ms steps on remote/tunneled devices) and lets the state buffers
+        be donated across the whole chunk."""
+        def body(st, xs):
+            a, r = xs
+            st2, loss = self._train_step_impl(graph, st, a, r)
+            return st2, loss
+
+        return jax.lax.scan(body, state, (anchors_kb, rngs))
+
+    def train_steps(self, state: TrainState, anchors_kb,
+                    rng: jax.Array) -> Tuple[TrainState, jnp.ndarray]:
+        """Run anchors_kb.shape[0] consecutive train steps on device;
+        returns (state, per-step losses [K])."""
+        anchors_kb = jnp.asarray(anchors_kb, jnp.int32)
+        rngs = jax.random.split(rng, anchors_kb.shape[0])
+        return self._train_steps(self.graph, state, anchors_kb, rngs)
+
     def _eval_step_impl(self, graph: DeviceGraph, params,
                         anchors: jnp.ndarray, step: jnp.ndarray):
         """Ref parity (modeling_task_spec:534-546): rank each positive
@@ -330,23 +391,35 @@ class NALPTrainer:
         t0 = time.time()
         stop = False
         for epoch in range(num_epochs):
-            for anchors in it.epoch(epoch):
-                rng, step_rng = jax.random.split(rng)
-                state, loss = self.train_step(state, anchors, step_rng)
-                global_step += 1
-                if global_step % log_every == 0:
+            if self.cfg.cached_hop and epoch > 0:
+                # Resample the frozen deepest-hop neighborhoods — the
+                # analog of re-running the reference's Subgraph Sampler.
+                self.refresh_cache(epoch)
+            batches = np.stack(list(it.epoch(epoch)))
+            # Steps run in scan chunks of the validation cadence: one device
+            # program per chunk (dispatch amortized), eval at chunk ends.
+            for start in range(0, len(batches), val_every_n_batches):
+                chunk = batches[start: start + val_every_n_batches]
+                rng, chunk_rng = jax.random.split(rng)
+                state, losses = self.train_steps(state, chunk, chunk_rng)
+                global_step += len(chunk)
+                if log_every:
                     logger.info(
                         "epoch %d step %d loss %.4f (%.1f steps/s)",
-                        epoch, global_step, float(loss),
-                        log_every / max(time.time() - t0, 1e-9))
+                        epoch, global_step, float(losses[-1]),
+                        len(chunk) / max(time.time() - t0, 1e-9))
                     t0 = time.time()
-                if global_step % val_every_n_batches == 0:
+                if len(chunk) == val_every_n_batches:
                     metrics = self.evaluate(
                         state.params,
                         list(_take(val_it.epoch(global_step), num_val_batches)),
                         step=global_step)
                     logger.info("eval @%d: %s", global_step, metrics)
-                    if stopper.update(metrics["mrr"], state.params):
+                    # Snapshot (on-device copy): state buffers are donated
+                    # into the next scan chunk, so a bare reference would
+                    # point at freed buffers.
+                    snap = jax.tree_util.tree_map(jnp.copy, state.params)
+                    if stopper.update(metrics["mrr"], snap):
                         logger.info("early stop at step %d (best mrr %.4f)",
                                     global_step, stopper.best_value)
                         stop = True
