@@ -88,3 +88,37 @@ def build_neighbor_cache(
 
     out = jax.lax.map(one_chunk, ids)                         # [n_pad/chunk, chunk, D]
     return out.reshape(n_pad, -1)[:n]
+
+
+@partial(jax.jit, static_argnames=("fanout", "chunk"))
+def build_sample_table(
+    csr: DeviceCSR,
+    *,
+    fanout: int,
+    seed=0,      # traced: refresh must not recompile
+    hop_key=1,   # traced
+    chunk: int = 16384,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Frozen per-node neighbor-sample table: (ids [N, fanout] int32,
+    mask [N, fanout] bool).
+
+    Row v holds the SAME draw sample_neighbors would produce for node v at
+    (seed, hop_key) — so in tabularized mode the in-step hop sampling
+    becomes ONE dense row gather instead of per-slot CSR element gathers
+    (measured 6.6 ns per random s32 element on v5e; the dominant remaining
+    step cost once features are hop-cached). Rows of isolated nodes are
+    fully masked.
+    """
+    n = csr.num_anchor_nodes
+    n_pad = -(-n // chunk) * chunk
+    ids = jnp.arange(n_pad, dtype=jnp.int32).reshape(-1, chunk)
+    ids = jnp.minimum(ids, n - 1)
+
+    def one_chunk(node_ids):
+        nbr, mask, _ = sample_neighbors(
+            csr, node_ids, fanout, seed=seed, hop=hop_key)
+        return nbr, mask
+
+    nbr, mask = jax.lax.map(one_chunk, ids)
+    return (nbr.reshape(n_pad, fanout)[:n],
+            mask.reshape(n_pad, fanout)[:n])

@@ -88,23 +88,27 @@ class DeviceGraph:
     edge_features: Optional[jnp.ndarray] = None  # [E, De] in CSR slot order
     degrees: Optional[jnp.ndarray] = None        # [N] float32 in-degrees
     nbr_cache: Optional[jnp.ndarray] = None      # [N, D] hopcache table
+    # Frozen per-node hop samples, one (ids [N,k], mask [N,k]) per fanout k
+    # used by in-tree hops (tabularized mode; ops/hopcache.py).
+    sample_tables: Optional[Dict[int, Tuple[jnp.ndarray, jnp.ndarray]]] = None
 
     def tree_flatten(self):
         children = (self.message_csr, self.node_features,
                     self.supervision_csr, self.hard_neg_csr,
                     self.node_labels, self.edge_features, self.degrees,
-                    self.nbr_cache)
+                    self.nbr_cache, self.sample_tables)
         return children, self.num_nodes
 
     @classmethod
     def tree_unflatten(cls, num_nodes, children):
         (message_csr, node_features, supervision_csr, hard_neg_csr,
-         node_labels, edge_features, degrees, nbr_cache) = children
+         node_labels, edge_features, degrees, nbr_cache,
+         sample_tables) = children
         return cls(message_csr=message_csr, node_features=node_features,
                    num_nodes=num_nodes, supervision_csr=supervision_csr,
                    hard_neg_csr=hard_neg_csr, node_labels=node_labels,
                    edge_features=edge_features, degrees=degrees,
-                   nbr_cache=nbr_cache)
+                   nbr_cache=nbr_cache, sample_tables=sample_tables)
 
     @classmethod
     def from_hetero(
@@ -227,20 +231,69 @@ class DeviceGraph:
         seed: int = 0,
         hop_key: int = 1,
         agg: str = "mean",
+        table_fanouts: Optional[Sequence[int]] = None,
     ) -> "DeviceGraph":
-        """Return a copy with the deepest-hop aggregate table precomputed
-        (ops/hopcache.py — the v1 "tabularized" sampling semantics: one
-        frozen sample per node per refresh). ``hop_key`` must equal the hop
-        index the live sampler uses for the cached hop (len(fanouts))."""
+        """Return a copy with the v1 "tabularized" sampling tables
+        precomputed (ops/hopcache.py — one frozen sample per node per
+        refresh): the deepest-hop AGGREGATE table (layer-1 input) and, when
+        ``table_fanouts`` is given (the in-tree hop fanouts), one frozen
+        hop-sample id/mask table per distinct fanout, turning in-step hop
+        sampling into one dense row gather per hop. ``hop_key`` must equal
+        the hop index the live sampler uses for the cached hop
+        (len(fanouts))."""
         import dataclasses
 
-        from gigl_tpu.ops.hopcache import build_neighbor_cache
+        from gigl_tpu.ops.hopcache import (
+            build_neighbor_cache,
+            build_sample_table,
+        )
 
         cache = build_neighbor_cache(
             self.message_csr, self.node_features,
             fanout=fanout, seed=seed, hop_key=hop_key, agg=agg,
             degrees=self.degrees)
-        return dataclasses.replace(self, nbr_cache=cache)
+        tables = None
+        if table_fanouts:
+            tables = {
+                int(k): build_sample_table(
+                    self.message_csr, fanout=int(k), seed=seed, hop_key=1)
+                for k in sorted(set(int(k) for k in table_fanouts))
+            }
+        return dataclasses.replace(self, nbr_cache=cache,
+                                   sample_tables=tables)
+
+    def sample_hop_blocks_tabularized(
+        self,
+        node_ids: jnp.ndarray,
+        fanouts: Sequence[int],
+    ) -> SampledBlocks:
+        """Build a fanout tree from the frozen sample tables (one dense row
+        gather per hop). Frozen semantics: a node reuses its one
+        per-fanout sample at every depth — the v1 precomputed-subgraph
+        regime (ops/hopcache.py docstring)."""
+        if self.sample_tables is None:
+            raise ValueError("no sample tables; with_neighbor_cache(..., "
+                             "table_fanouts=...) first")
+        roots = node_ids.reshape(-1).astype(jnp.int32)
+        node_ids_l = [roots]
+        masks = [jnp.ones(roots.shape, dtype=bool)]
+        edge_slots: List[Optional[jnp.ndarray]] = [None]
+        frontier, parent_mask = roots, masks[0]
+        for k in fanouts:
+            if int(k) not in self.sample_tables:
+                raise ValueError(
+                    f"no sample table for fanout {k}; have "
+                    f"{sorted(self.sample_tables)}")
+            ids_t, mask_t = self.sample_tables[int(k)]
+            nbr = ids_t[frontier]
+            m = mask_t[frontier] & parent_mask[..., None]
+            nbr = jnp.where(m, nbr, 0)
+            node_ids_l.append(nbr)
+            masks.append(m)
+            edge_slots.append(None)
+            frontier, parent_mask = nbr, m
+        return SampledBlocks(node_ids=node_ids_l, masks=masks,
+                             edge_slots=edge_slots)
 
     def hydrate_cached(self, blocks: SampledBlocks):
         """Gather the hopcache rows for every tree node ([..., D] per

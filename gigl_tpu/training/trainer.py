@@ -143,7 +143,8 @@ class NALPTrainer:
             fanout=int(self.cfg.fanouts[-1]),
             seed=self.cfg.seed + 1_299_709 * epoch,
             hop_key=len(self.cfg.fanouts),
-            agg=self._cache_agg_kind())
+            agg=self._cache_agg_kind(),
+            table_fanouts=self.cfg.fanouts[:-1])
 
     # -- state -----------------------------------------------------------------
     def _init_params_impl(self, graph: DeviceGraph, rng: jax.Array,
@@ -176,9 +177,17 @@ class NALPTrainer:
         rngs = {"dropout": rng} if (train and rng is not None) else None
         if self.cfg.cached_hop and graph.nbr_cache is not None:
             # Tree is one hop shallower; layer 1 reads the cached table.
-            blocks = graph.sample_hop_blocks(
-                node_ids, self.cfg.fanouts[:-1],
-                seed=self.cfg.seed + seed_offset)
+            # In-tree hops come from the frozen sample tables when present
+            # (one dense row gather per hop vs per-slot CSR element
+            # gathers — the dominant remaining cost once features are
+            # hop-cached).
+            if graph.sample_tables is not None:
+                blocks = graph.sample_hop_blocks_tabularized(
+                    node_ids, self.cfg.fanouts[:-1])
+            else:
+                blocks = graph.sample_hop_blocks(
+                    node_ids, self.cfg.fanouts[:-1],
+                    seed=self.cfg.seed + seed_offset)
             feats, masks, degs = graph.hydrate(blocks)
             cached = graph.hydrate_cached(blocks)
             emb = self.model.apply(

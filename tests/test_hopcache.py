@@ -19,7 +19,7 @@ from gigl_tpu.models.link_prediction import (
     LinkPredictionGNN,
 )
 from gigl_tpu.ops.fanout import masked_mean, masked_sum
-from gigl_tpu.ops.hopcache import build_neighbor_cache
+from gigl_tpu.ops.hopcache import build_neighbor_cache, build_sample_table
 from gigl_tpu.sampling.neighbor_sampler import sample_neighbors
 from gigl_tpu.training.dataset import DeviceGraph
 from gigl_tpu.training.trainer import NALPTrainer, NALPTrainerConfig
@@ -81,6 +81,36 @@ class TestBuildNeighborCache:
         a = dg.with_neighbor_cache(fanout=3, seed=0, hop_key=2).nbr_cache
         b = dg.with_neighbor_cache(fanout=3, seed=9, hop_key=2).nbr_cache
         assert not np.allclose(np.asarray(a), np.asarray(b))
+
+    def test_sample_table_matches_live_draw(self):
+        """Table row v == the live sampler's draw for v at (seed, hop=1),
+        so tabularized hop sampling reproduces the live hop-1 sample."""
+        dg = _toy_graph()
+        ids_t, mask_t = build_sample_table(
+            dg.message_csr, fanout=6, seed=5, hop_key=1, chunk=128)
+        all_ids = jnp.arange(dg.num_nodes, dtype=jnp.int32)
+        nbr, mask, _ = sample_neighbors(dg.message_csr, all_ids, 6,
+                                        seed=5, hop=1)
+        np.testing.assert_array_equal(np.asarray(ids_t), np.asarray(nbr))
+        np.testing.assert_array_equal(np.asarray(mask_t), np.asarray(mask))
+
+    def test_tabularized_blocks_match_live_blocks_first_hop(self):
+        dg = _toy_graph().with_neighbor_cache(
+            fanout=4, seed=0, hop_key=2, table_fanouts=(5,))
+        roots = jnp.arange(32, dtype=jnp.int32)
+        tab = dg.sample_hop_blocks_tabularized(roots, (5,))
+        live = dg.sample_hop_blocks(roots, (5,), seed=0)
+        np.testing.assert_array_equal(np.asarray(tab.node_ids[1]),
+                                      np.asarray(live.node_ids[1]))
+        np.testing.assert_array_equal(np.asarray(tab.masks[1]),
+                                      np.asarray(live.masks[1]))
+
+    def test_tabularized_blocks_missing_fanout_rejected(self):
+        dg = _toy_graph().with_neighbor_cache(
+            fanout=4, seed=0, hop_key=2, table_fanouts=(5,))
+        with pytest.raises(ValueError, match="no sample table for fanout"):
+            dg.sample_hop_blocks_tabularized(
+                jnp.arange(4, dtype=jnp.int32), (7,))
 
     def test_bad_agg_rejected(self):
         dg = _toy_graph()
