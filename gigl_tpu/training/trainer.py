@@ -101,6 +101,65 @@ class NALPTrainerConfig:
     cached_hop: bool = False
 
 
+def nalp_loss_from_embeddings(model, params, cfg, batch: NALPBatch,
+                              q, pos, hard, rand, cms=None):
+    """NALP loss from already-encoded group embeddings (shared by the
+    device-resident NALPTrainer and the host-streamed trainer).
+
+    Appendix A.2 contract for the retrieval loss: queries repeated once per
+    positive; candidates = positives ++ random negatives; labels diagonal;
+    optional CMS sampled-softmax logQ correction and accidental-hit
+    masking. Returns (mean loss, updated cms)."""
+    B, P, D = pos.shape
+    decode = lambda a, b: model.apply(params, a, b, method="decode")
+    if cfg.loss_type == "retrieval":
+        q_rep = jnp.repeat(q, P, axis=0)                       # [B*P, D]
+        pos_flat = pos.reshape(B * P, D)
+        cand = jnp.concatenate([pos_flat, rand], axis=0)       # [C, D]
+        scores = model.apply(params, q_rep, cand,
+                             method="decode_all_pairs")        # [B*P, C]
+        qids = jnp.repeat(batch.anchors, P, axis=0)
+        cids = jnp.concatenate(
+            [batch.pos.reshape(-1), batch.random_neg], axis=0)
+        qmask = batch.pos_mask.reshape(-1)
+        prob = None
+        if cms is not None:
+            cms = cms_add(cms, cids)
+            prob = cms_sampling_probability(cms, cids)
+        loss_sum, count = retrieval_loss(
+            scores,
+            temperature=cfg.temperature,
+            candidate_sampling_probability=prob,
+            query_ids=qids,
+            candidate_ids=cids,
+            remove_accidental_hits=cfg.remove_accidental_hits,
+            query_mask=qmask,
+        )
+    else:
+        pos_scores = decode(q[:, None, :], pos)                # [B, P]
+        rand_scores = model.apply(params, q, rand,
+                                  method="decode_all_pairs")   # [B, R]
+        neg_scores = rand_scores
+        neg_mask = jnp.ones(rand_scores.shape, bool)
+        if hard is not None:
+            hard_scores = decode(q[:, None, :], hard)          # [B, H]
+            neg_scores = jnp.concatenate([hard_scores, rand_scores], -1)
+            neg_mask = jnp.concatenate(
+                [batch.hard_neg_mask, neg_mask], -1)
+        if cfg.loss_type == "margin":
+            loss_sum, count = margin_loss(
+                pos_scores, neg_scores, margin=cfg.margin,
+                pos_mask=batch.pos_mask, neg_mask=neg_mask)
+        elif cfg.loss_type == "softmax":
+            loss_sum, count = softmax_loss(
+                pos_scores, neg_scores, temperature=cfg.temperature,
+                pos_mask=batch.pos_mask, neg_mask=neg_mask)
+        else:
+            raise ValueError(f"Unknown loss {cfg.loss_type!r}")
+    loss = loss_sum / jnp.maximum(count.astype(jnp.float32), 1.0)
+    return loss, cms
+
+
 class NALPTrainer:
     """Node-anchor link prediction trainer over a DeviceGraph."""
 
@@ -229,56 +288,8 @@ class NALPTrainer:
     def _loss(self, graph, params, batch: NALPBatch, cms, rng):
         q, pos, hard, rand = self._scores(graph, params, batch,
                                           train=True, rng=rng)
-        B, P, D = pos.shape
-        decode = lambda a, b: self.model.apply(params, a, b, method="decode")
-        if self.cfg.loss_type == "retrieval":
-            # Appendix A.2: queries repeated once per positive; candidates =
-            # positives ++ random negatives; labels diagonal.
-            q_rep = jnp.repeat(q, P, axis=0)                       # [B*P, D]
-            pos_flat = pos.reshape(B * P, D)
-            cand = jnp.concatenate([pos_flat, rand], axis=0)       # [C, D]
-            scores = self.model.apply(params, q_rep, cand,
-                                      method="decode_all_pairs")   # [B*P, C]
-            qids = jnp.repeat(batch.anchors, P, axis=0)
-            cids = jnp.concatenate(
-                [batch.pos.reshape(-1), batch.random_neg], axis=0)
-            qmask = batch.pos_mask.reshape(-1)
-            prob = None
-            if cms is not None:
-                cms = cms_add(cms, cids)
-                prob = cms_sampling_probability(cms, cids)
-            loss_sum, count = retrieval_loss(
-                scores,
-                temperature=self.cfg.temperature,
-                candidate_sampling_probability=prob,
-                query_ids=qids,
-                candidate_ids=cids,
-                remove_accidental_hits=self.cfg.remove_accidental_hits,
-                query_mask=qmask,
-            )
-        else:
-            pos_scores = decode(q[:, None, :], pos)                # [B, P]
-            rand_scores = self.model.apply(params, q, rand,
-                                           method="decode_all_pairs")  # [B, R]
-            neg_scores = rand_scores
-            neg_mask = jnp.ones(rand_scores.shape, bool)
-            if hard is not None:
-                hard_scores = decode(q[:, None, :], hard)          # [B, H]
-                neg_scores = jnp.concatenate([hard_scores, rand_scores], -1)
-                neg_mask = jnp.concatenate(
-                    [batch.hard_neg_mask, neg_mask], -1)
-            if self.cfg.loss_type == "margin":
-                loss_sum, count = margin_loss(
-                    pos_scores, neg_scores, margin=self.cfg.margin,
-                    pos_mask=batch.pos_mask, neg_mask=neg_mask)
-            elif self.cfg.loss_type == "softmax":
-                loss_sum, count = softmax_loss(
-                    pos_scores, neg_scores, temperature=self.cfg.temperature,
-                    pos_mask=batch.pos_mask, neg_mask=neg_mask)
-            else:
-                raise ValueError(f"Unknown loss {self.cfg.loss_type!r}")
-        loss = loss_sum / jnp.maximum(count.astype(jnp.float32), 1.0)
-        return loss, cms
+        return nalp_loss_from_embeddings(
+            self.model, params, self.cfg, batch, q, pos, hard, rand, cms)
 
     # -- steps -----------------------------------------------------------------
     def _train_step_impl(self, graph: DeviceGraph, state: TrainState,

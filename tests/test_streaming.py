@@ -1,0 +1,168 @@
+"""Out-of-core streamed training tests (training/streaming.py).
+
+Core claim under test: StreamingNALPTrainer (host-resident features, per
+batch host gather -> jit step) computes the SAME losses as the
+device-resident NALPTrainer in tabularized mode for the same seeds.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gigl_tpu.graph.csr import HeteroGraph
+from gigl_tpu.models.encoders import GNNEncoder
+from gigl_tpu.models.link_prediction import (
+    LinkPredictionDecoder,
+    LinkPredictionGNN,
+)
+from gigl_tpu.sampling.neighbor_sampler import (
+    counter_rng_uniform,
+    sample_neighbors,
+)
+from gigl_tpu.training.dataset import DeviceGraph
+from gigl_tpu.training.streaming import (
+    HostGraphStore,
+    StreamingNALPTrainer,
+    np_counter_rng_uniform,
+    np_sample_fanout,
+)
+from gigl_tpu.training.trainer import NALPTrainer, NALPTrainerConfig
+
+
+def _graph_arrays(n=600, e=6000, d=12, seed=0):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    feats = rng.normal(size=(n, d)).astype(np.float32)
+    return src, dst, feats, n
+
+
+class TestNumpyRngMirrors:
+    def test_counter_rng_bitwise_parity(self):
+        ids = np.arange(257, dtype=np.int32)
+        dev = np.asarray(counter_rng_uniform(
+            jnp.asarray(ids), seed=42, hop=7, num_slots=5))
+        host = np_counter_rng_uniform(ids, seed=42, hop=7, num_slots=5)
+        np.testing.assert_array_equal(dev, host)
+
+    def test_np_sample_fanout_bitwise_parity(self):
+        src, dst, feats, n = _graph_arrays()
+        g = HeteroGraph.homogeneous(src=src, dst=dst, num_nodes=n,
+                                    node_features=feats)
+        dg = DeviceGraph.from_hetero(g)
+        roots = np.arange(n, dtype=np.int32)
+        dev_nbr, dev_mask, _ = sample_neighbors(
+            dg.message_csr, jnp.asarray(roots), 6, seed=11, hop=3)
+        indptr = np.asarray(dg.message_csr.indptr, np.int64)
+        indices = np.asarray(dg.message_csr.indices, np.int32)
+        nbr, mask = np_sample_fanout(indptr, indices, roots, 6,
+                                     seed=11, hop=3)
+        np.testing.assert_array_equal(np.asarray(dev_nbr), nbr)
+        np.testing.assert_array_equal(np.asarray(dev_mask), mask)
+
+
+def _build_pair(loss_type="retrieval", fanouts=(5, 4), d=12):
+    """Device-resident (tabularized) and streamed trainers sharing params."""
+    src, dst, feats, n = _graph_arrays(d=d)
+    edges = np.stack([src, dst])
+    g = HeteroGraph.homogeneous(src=src, dst=dst, num_nodes=n,
+                                node_features=feats)
+    dg = DeviceGraph.from_hetero(g, supervision_edges=edges)
+    enc = GNNEncoder(hid_dim=16, out_dim=8, num_layers=len(fanouts),
+                     conv="graphsage")
+    model = LinkPredictionGNN(encoder=enc, decoder=LinkPredictionDecoder())
+    cfg = NALPTrainerConfig(fanouts=fanouts, num_random_negs=64,
+                            loss_type=loss_type, cached_hop=True)
+    dev = NALPTrainer(model, dg, cfg, optimizer_args={"learning_rate": "1e-2"})
+    store = HostGraphStore.build(
+        message_edges=edges, supervision_edges=edges, features=feats,
+        num_nodes=n, fanouts=fanouts, seed=cfg.seed)
+    stream = StreamingNALPTrainer(model, store, cfg,
+                                  optimizer_args={"learning_rate": "1e-2"})
+    return dev, stream, n
+
+
+class TestStreamedParity:
+    @pytest.mark.parametrize("loss_type", ["retrieval", "margin"])
+    def test_losses_match_device_resident(self, loss_type):
+        dev, stream, n = _build_pair(loss_type)
+        B, K = 16, 6
+        st_s = stream.init_state(jax.random.PRNGKey(0), batch_size=B)
+        st_d = dev.init_state(jax.random.PRNGKey(0), batch_size=B,
+                              params=jax.tree_util.tree_map(
+                                  jnp.copy, st_s.params))
+        anchors = (np.arange(B * K).reshape(K, B) % n).astype(np.int32)
+        rng = jax.random.PRNGKey(7)
+        _, dev_losses = dev.train_steps(st_d, anchors, rng)
+        _, stream_losses = stream.run_steps(st_s, anchors, rng)
+        np.testing.assert_allclose(np.asarray(dev_losses), stream_losses,
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_sample_tables_match_device(self):
+        dev, stream, n = _build_pair()
+        dev_ids, dev_mask = dev.graph.sample_tables[5]
+        host_ids, host_mask = stream.store.sample_tables[5]
+        np.testing.assert_array_equal(np.asarray(dev_ids), host_ids)
+        np.testing.assert_array_equal(np.asarray(dev_mask), host_mask)
+
+    def test_hopcache_agg_matches_device(self):
+        dev, stream, n = _build_pair()
+        np.testing.assert_allclose(np.asarray(dev.graph.nbr_cache),
+                                   stream.store.agg._np,
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_eval_and_mmap_features(self, tmp_path):
+        src, dst, feats, n = _graph_arrays()
+        path = tmp_path / "feats.bin"
+        feats.tofile(path)
+        mm = np.memmap(path, dtype=np.float32, mode="r",
+                       shape=feats.shape)
+        edges = np.stack([src, dst])
+        store = HostGraphStore.build(
+            message_edges=edges, supervision_edges=edges, features=mm,
+            num_nodes=n, fanouts=(5, 4), seed=0)
+        enc = GNNEncoder(hid_dim=16, out_dim=8, num_layers=2,
+                         conv="graphsage")
+        model = LinkPredictionGNN(encoder=enc,
+                                  decoder=LinkPredictionDecoder())
+        cfg = NALPTrainerConfig(fanouts=(5, 4), num_random_negs=64,
+                                cached_hop=True)
+        tr = StreamingNALPTrainer(model, store, cfg)
+        st = tr.init_state(jax.random.PRNGKey(0), batch_size=16)
+        anchors = (np.arange(16 * 8).reshape(8, 16) % n).astype(np.int32)
+        st, losses = tr.run_steps(st, anchors, jax.random.PRNGKey(1))
+        assert np.isfinite(losses).all()
+        metrics = tr.evaluate(st.params, anchors[:2])
+        assert 0.0 <= metrics["mrr"] <= 1.0
+
+    def test_bf16_streaming_close_to_fp32(self):
+        dev, stream, n = _build_pair()
+        stream_bf = StreamingNALPTrainer(
+            stream.model, stream.store, stream.cfg,
+            optimizer_args={"learning_rate": "1e-2"},
+            stream_dtype="bfloat16")
+        B, K = 16, 4
+        st = stream.init_state(jax.random.PRNGKey(0), batch_size=B)
+        st_bf = stream_bf.init_state(jax.random.PRNGKey(0), batch_size=B)
+        st_bf = st_bf._replace(params=jax.tree_util.tree_map(
+            jnp.copy, st.params))
+        anchors = (np.arange(B * K).reshape(K, B) % n).astype(np.int32)
+        _, l32 = stream.run_steps(st, anchors, jax.random.PRNGKey(1))
+        _, lbf = stream_bf.run_steps(st_bf, anchors, jax.random.PRNGKey(1))
+        np.testing.assert_allclose(l32, lbf, rtol=0.05, atol=0.05)
+
+    def test_hard_negatives_rejected(self):
+        src, dst, feats, n = _graph_arrays()
+        edges = np.stack([src, dst])
+        store = HostGraphStore.build(
+            message_edges=edges, supervision_edges=edges, features=feats,
+            num_nodes=n, fanouts=(5, 4), seed=0)
+        enc = GNNEncoder(hid_dim=16, out_dim=8, num_layers=2,
+                         conv="graphsage")
+        model = LinkPredictionGNN(enc, LinkPredictionDecoder())
+        cfg = NALPTrainerConfig(fanouts=(5, 4), num_hard_negs=2,
+                                cached_hop=True)
+        with pytest.raises(NotImplementedError):
+            StreamingNALPTrainer(model, store, cfg)
