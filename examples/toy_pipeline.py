@@ -8,8 +8,11 @@ the TPU-native analog of the reference's quick start
 Usage:  python examples/toy_pipeline.py [workdir]
 """
 
+import os
 import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import yaml
 
