@@ -119,7 +119,13 @@ class DeviceGraph:
         hard_neg_edges: Optional[np.ndarray] = None,
         edge_type: Optional[EdgeType] = None,
         sampling_direction: str = "in",
+        quantize_features: bool = False,
     ) -> "DeviceGraph":
+        """``quantize_features``: store node features as an int8
+        per-row-scaled QuantizedTable (ops/pallas_kernels.py) — 4x less
+        HBM; gathers dequantize on the fly. Throughput is unchanged
+        (gathers are row-count bound, docs/performance.md); this is a
+        CAPACITY lever for the MAG240M regime."""
         et = edge_type or graph.metadata.edge_types[0]
         nt = et.dst_node_type if sampling_direction == "in" else et.src_node_type
         anchor = "dst" if sampling_direction == "in" else "src"
@@ -153,9 +159,15 @@ class DeviceGraph:
             hn_csr = DeviceCSR.from_csr(hn)
         labels = graph.node_labels.get(nt)
         deg = np.diff(csr.indptr).astype(np.float32)
+        if quantize_features:
+            from gigl_tpu.ops.pallas_kernels import QuantizedTable
+
+            feats_dev = QuantizedTable.quantize(np.asarray(feats))
+        else:
+            feats_dev = jnp.asarray(np.asarray(feats), dtype=jnp.float32)
         return cls(
             message_csr=DeviceCSR.from_csr(csr),
-            node_features=jnp.asarray(np.asarray(feats), dtype=jnp.float32),
+            node_features=feats_dev,
             num_nodes=n,
             supervision_csr=sup_csr,
             hard_neg_csr=hn_csr,
@@ -232,6 +244,7 @@ class DeviceGraph:
         hop_key: int = 1,
         agg: str = "mean",
         table_fanouts: Optional[Sequence[int]] = None,
+        quantize: bool = False,
     ) -> "DeviceGraph":
         """Return a copy with the v1 "tabularized" sampling tables
         precomputed (ops/hopcache.py — one frozen sample per node per
@@ -252,6 +265,10 @@ class DeviceGraph:
             self.message_csr, self.node_features,
             fanout=fanout, seed=seed, hop_key=hop_key, agg=agg,
             degrees=self.degrees)
+        if quantize:
+            from gigl_tpu.ops.pallas_kernels import QuantizedTable
+
+            cache = QuantizedTable.quantize(np.asarray(cache))
         tables = None
         if table_fanouts:
             tables = {

@@ -69,6 +69,8 @@ class HeteroNALPTrainer:
         self.cfg = config
         self.tx = make_optimizer(optimizer_args or {})
         self._train_step = jax.jit(self._train_step_impl)
+        self._train_steps = jax.jit(self._train_steps_impl,
+                                    donate_argnums=(1,))
         self._eval_step = jax.jit(self._eval_step_impl)
         self._encode_step = jax.jit(self._encode_impl,
                                     static_argnums=(3, 4, 5))
@@ -174,6 +176,23 @@ class HeteroNALPTrainer:
         params = optax.apply_updates(state.params, updates)
         return TrainState(params=params, opt_state=opt_state,
                           step=state.step + 1, cms=state.cms), loss
+
+    def _train_steps_impl(self, graph: HeteroDeviceGraph, state: TrainState,
+                          anchors_kb: jnp.ndarray, rngs: jax.Array):
+        """K steps as one device program (see NALPTrainer._train_steps_impl
+        — amortizes per-step dispatch; state donated across the chunk)."""
+        def body(st, xs):
+            a, r = xs
+            st2, loss = self._train_step_impl(graph, st, a, r)
+            return st2, loss
+
+        return jax.lax.scan(body, state, (anchors_kb, rngs))
+
+    def train_steps(self, state: TrainState, anchors_kb,
+                    rng: jax.Array) -> Tuple[TrainState, jnp.ndarray]:
+        anchors_kb = jnp.asarray(anchors_kb, jnp.int32)
+        rngs = jax.random.split(rng, anchors_kb.shape[0])
+        return self._train_steps(self.graph, state, anchors_kb, rngs)
 
     def _eval_step_impl(self, graph, params, anchors, step):
         batch = self._sample_batch(graph, anchors, num_hard_negs=0,

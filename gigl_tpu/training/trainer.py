@@ -99,6 +99,10 @@ class NALPTrainerConfig:
     # Matches the reference v1 semantics of frozen precomputed samples;
     # refresh_cache(epoch) is the analog of re-running the Subgraph Sampler.
     cached_hop: bool = False
+    # Store the hop cache int8-quantized (4x less HBM; ops/pallas_kernels
+    # QuantizedTable). Features are quantized at DeviceGraph construction
+    # (from_hetero(quantize_features=True)).
+    quantize_cache: bool = False
 
 
 def nalp_loss_from_embeddings(model, params, cfg, batch: NALPBatch,
@@ -203,7 +207,8 @@ class NALPTrainer:
             seed=self.cfg.seed + 1_299_709 * epoch,
             hop_key=len(self.cfg.fanouts),
             agg=self._cache_agg_kind(),
-            table_fanouts=self.cfg.fanouts[:-1])
+            table_fanouts=self.cfg.fanouts[:-1],
+            quantize=self.cfg.quantize_cache)
 
     # -- state -----------------------------------------------------------------
     def _init_params_impl(self, graph: DeviceGraph, rng: jax.Array,

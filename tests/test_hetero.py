@@ -253,6 +253,21 @@ class TestHeteroEncoders:
 
 
 class TestHeteroTrainer:
+    def test_train_steps_matches_single_steps(self):
+        tr, g = self._make_trainer()
+        st0 = tr.init_state(jax.random.PRNGKey(0), batch_size=8)
+        n = g.num_nodes["user"]
+        anchors = (np.arange(8 * 4).reshape(4, 8) % n).astype(np.int32)
+        rng = jax.random.PRNGKey(3)
+        _, scan_losses = tr.train_steps(st0, anchors, rng)
+        st = tr.init_state(jax.random.PRNGKey(0), batch_size=8)
+        rngs = jax.random.split(rng, 4)
+        seq = []
+        for a, r in zip(anchors, rngs):
+            st, loss = tr.train_step(st, a, r)
+            seq.append(float(loss))
+        np.testing.assert_allclose(np.asarray(scan_losses), seq, rtol=1e-5)
+
     def _make_trainer(self, conv="hgt"):
         g = get_mocked_graph(BIPARTITE_TOY_GRAPH_LP)
         paths = _bipartite_paths()

@@ -183,6 +183,45 @@ class TestCachedEncode:
             cached_agg_kind("graphsage", {"aggr": "max"})
 
 
+class TestQuantizedTables:
+    def test_quantized_features_train_close_to_fp32(self):
+        """int8 features/cache (4x HBM capacity) track the fp32 path."""
+        from gigl_tpu.graph.csr import HeteroGraph
+        from gigl_tpu.ops.pallas_kernels import QuantizedTable
+
+        rng = np.random.default_rng(0)
+        n, e = 500, 4000
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+        feats = rng.normal(size=(n, 8)).astype(np.float32)
+        g = HeteroGraph.homogeneous(src=src, dst=dst, num_nodes=n,
+                                    node_features=feats)
+        sup = np.stack([src, dst])
+        dg32 = DeviceGraph.from_hetero(g, supervision_edges=sup)
+        dg8 = DeviceGraph.from_hetero(g, supervision_edges=sup,
+                                      quantize_features=True)
+        assert isinstance(dg8.node_features, QuantizedTable)
+        cfg = NALPTrainerConfig(fanouts=(5, 4), num_random_negs=32,
+                                cached_hop=True, quantize_cache=True)
+        enc = GNNEncoder(hid_dim=16, out_dim=8, num_layers=2,
+                         conv="graphsage")
+        model = LinkPredictionGNN(encoder=enc,
+                                  decoder=LinkPredictionDecoder())
+        tr32 = NALPTrainer(model, dg32, NALPTrainerConfig(
+            fanouts=(5, 4), num_random_negs=32, cached_hop=True))
+        tr8 = NALPTrainer(model, dg8, cfg)
+        assert isinstance(tr8.graph.nbr_cache, QuantizedTable)
+        st = tr32.init_state(jax.random.PRNGKey(0), batch_size=16)
+        st8 = tr8.init_state(jax.random.PRNGKey(0), batch_size=16,
+                             params=jax.tree_util.tree_map(
+                                 jnp.copy, st.params))
+        anchors = (np.arange(16 * 5).reshape(5, 16) % n).astype(np.int32)
+        _, l32 = tr32.train_steps(st, anchors, jax.random.PRNGKey(1))
+        _, l8 = tr8.train_steps(st8, anchors, jax.random.PRNGKey(1))
+        np.testing.assert_allclose(np.asarray(l32), np.asarray(l8),
+                                   rtol=0.05, atol=0.2)
+
+
 class TestTrainStepsScan:
     def test_matches_single_steps(self):
         """scan-chunked steps == the same sequence of single train_step
