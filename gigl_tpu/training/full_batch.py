@@ -31,7 +31,14 @@ logger = get_logger(__name__)
 
 
 class FullBatchData(NamedTuple):
-    """Whole-graph device tensors (a pytree jit argument)."""
+    """Whole-graph device tensors (a pytree jit argument).
+
+    When ``ell`` is set (the default from full_batch_data_from_graph), the
+    trainer aggregates through degree-bucketed dense blocks (ops/ell.py —
+    measured 2x end-to-end over the scatter-add COO lowering on v5e, with
+    a scatter-free custom-VJP backward); src/dst stay for the COO fallback
+    and parity tests.
+    """
 
     x: jnp.ndarray          # [N, D] node features
     src: jnp.ndarray        # [E] int32
@@ -41,6 +48,7 @@ class FullBatchData(NamedTuple):
     val_mask: jnp.ndarray
     test_mask: jnp.ndarray
     edge_attr: Optional[jnp.ndarray] = None
+    ell: Optional[Any] = None  # ops.ell.EllGraph
 
     @property
     def num_nodes(self) -> int:
@@ -53,6 +61,7 @@ def full_batch_data_from_graph(
     train_ratio: float = 0.8,
     val_ratio: float = 0.1,
     seed: int = 0,
+    build_ell: bool = True,
 ) -> FullBatchData:
     """Build device tensors + deterministic hash split masks from a
     homogeneous HeteroGraph with labels."""
@@ -72,6 +81,12 @@ def full_batch_data_from_graph(
         masks[name] = m
     feats = (graph.node_features[nt] if nt in graph.node_features
              else np.zeros((n, 1), np.float32))
+    ell = None
+    if build_ell:
+        from gigl_tpu.ops.ell import EllGraph
+
+        ell = EllGraph.from_csr(graph.csr(graph.metadata.edge_types[0],
+                                          anchor="dst"))
     return FullBatchData(
         x=jnp.asarray(np.asarray(feats), jnp.float32),
         src=jnp.asarray(coo[0], jnp.int32),
@@ -80,6 +95,7 @@ def full_batch_data_from_graph(
         train_mask=jnp.asarray(masks["train"]),
         val_mask=jnp.asarray(masks["val"]),
         test_mask=jnp.asarray(masks["test"]),
+        ell=ell,
     )
 
 
@@ -107,11 +123,20 @@ class FullBatchTrainer:
 
     def _forward(self, data: FullBatchData, params, train, rng=None):
         rngs = {"dropout": rng} if (train and rng is not None) else None
+        if data.ell is not None:
+            # ell.edge_slots hold ORIGINAL COO row ids, so the same
+            # COO-order edge_attr feeds both paths.
+            return self.encoder.apply(
+                params, data.x, data.ell, data.edge_attr, train=train,
+                method="encode_ell", rngs=rngs)
         return self.encoder.apply(
             params, data.x, data.src, data.dst, data.num_nodes,
             data.edge_attr, train=train, method="encode_coo", rngs=rngs)
 
     def _init_impl(self, data: FullBatchData, rng):
+        if data.ell is not None:
+            return self.encoder.init(rng, data.x, data.ell, data.edge_attr,
+                                     method="encode_ell")
         return self.encoder.init(rng, data.x, data.src, data.dst,
                                  data.num_nodes, data.edge_attr,
                                  method="encode_coo")
