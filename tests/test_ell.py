@@ -192,3 +192,36 @@ class TestFullBatchWithEll:
             s1, l1 = t1._train_step(t1.data, s1, rng)
             s2, l2 = t2._train_step(t2.data, s2, rng)
             np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+
+
+class TestFullGraphInference:
+    def test_full_graph_inference_exports_all_nodes(self, tmp_path):
+        from gigl_tpu.data.export import EmbeddingExporter
+        from gigl_tpu.data.mocking import get_mocked_graph
+        from gigl_tpu.inference.inferencer import run_full_graph_inference
+
+        g = get_mocked_graph("cora_node_classification")
+        nt = g.metadata.node_types[0]
+        n = g.num_nodes[nt]
+        enc = GNNEncoder(hid_dim=16, out_dim=8, num_layers=2,
+                         conv="graphsage")
+        x = jnp.asarray(np.asarray(g.node_features[nt]), jnp.float32)
+        et = g.metadata.edge_types[0]
+        from gigl_tpu.ops.ell import EllGraph as _EG
+        ell = _EG.from_csr(g.csr(et, anchor="dst"))
+        params = enc.init(jax.random.PRNGKey(0), x, ell,
+                          method="encode_ell")
+        exporter = EmbeddingExporter(str(tmp_path / "emb"))
+        rows = run_full_graph_inference(enc, params, g, exporter)
+        assert rows == n
+        from gigl_tpu.data.export import read_embedding_shards
+        shards = list(read_embedding_shards(str(tmp_path / "emb")))
+        ids = np.concatenate([s[0] for s in shards])
+        embs = np.concatenate([s[1] for s in shards])
+        assert len(ids) == n
+        assert embs.shape == (n, 8)
+        # Embedding of node v equals the ELL encode row v.
+        z = enc.apply(params, x, ell, method="encode_ell")
+        order = np.argsort(ids)
+        np.testing.assert_allclose(embs[order], np.asarray(z),
+                                   rtol=1e-5, atol=1e-6)
