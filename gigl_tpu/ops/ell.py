@@ -171,7 +171,7 @@ class EllGraph:
         if ws != tuple(sorted(ws)):
             raise ValueError(f"widths must be ascending: {ws}")
         perm, rank, boundaries, padded_nbr, masks, slot_idx = (
-            _bucketize_rows(indptr, rank_placeholder := indices, ws))
+            _bucketize_rows(indptr, indices, ws))
         # padded_nbr currently holds ORIGINAL neighbor ids; remap to
         # permuted space.
         nbrs = [rank[v] * m for v, m in zip(padded_nbr, masks)]
@@ -266,6 +266,13 @@ def _ell_gather_bwd(res, dts):
         g = flat[t_nbr[tb]]                              # [m, W2, D]
         g = g * t_mask[tb][..., None].astype(g.dtype)
         parts.append(g.sum(axis=1))
+    if not parts:  # edgeless graph: no entries reference x_p
+        return (jnp.zeros((t_rank.shape[0], d), dts[0].dtype),
+                tuple(_float0_like(v) for v in nbr),
+                tuple(_float0_like(v) for v in mask),
+                tuple(_float0_like(v) for v in t_nbr),
+                tuple(_float0_like(v) for v in t_mask),
+                _float0_like(t_rank))
     dx_t = jnp.concatenate(parts, axis=0)                # t-perm order
     dx_p = dx_t[t_rank]                                  # back to x_p order
     return (dx_p,

@@ -68,6 +68,8 @@ def build_neighbor_cache(
     """
     if agg not in CACHEABLE_AGGS:
         raise ValueError(f"agg={agg!r} not in {CACHEABLE_AGGS}")
+    if agg == "gcn" and degrees is None:
+        raise ValueError('agg="gcn" requires true node degrees')
     n = csr.num_anchor_nodes
     n_pad = -(-n // chunk) * chunk
     ids = jnp.arange(n_pad, dtype=jnp.int32).reshape(-1, chunk)
