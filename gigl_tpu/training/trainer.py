@@ -401,9 +401,12 @@ class NALPTrainer:
         num_val_batches: int = 8,
         early_stop_patience: int = 5,
         log_every: int = 50,
+        scalar_logger=None,
     ) -> Tuple[TrainState, Dict[str, float]]:
         """Ref parity: the NALP train loop (modeling_task_spec:334+) — batch
-        loop with periodic validation + early stopping on val MRR."""
+        loop with periodic validation + early stopping on val MRR.
+        ``scalar_logger``: optional utils.scalar_log.ScalarLogger — streams
+        loss/eval scalars (the should_log_to_tensorboard analog)."""
         it = AnchorBatchIterator(train_anchors, batch_size, seed=self.cfg.seed)
         # Val batches must exist even when the val split is smaller than the
         # train batch size (pad-free: shrink the eval batch instead).
@@ -434,12 +437,16 @@ class NALPTrainer:
                         epoch, global_step, float(losses[-1]),
                         len(chunk) / max(time.time() - t0, 1e-9))
                     t0 = time.time()
+                if scalar_logger is not None:
+                    scalar_logger.log(global_step, loss=float(losses[-1]))
                 if len(chunk) == val_every_n_batches:
                     metrics = self.evaluate(
                         state.params,
                         list(_take(val_it.epoch(global_step), num_val_batches)),
                         step=global_step)
                     logger.info("eval @%d: %s", global_step, metrics)
+                    if scalar_logger is not None:
+                        scalar_logger.log(global_step, **metrics)
                     # Snapshot (on-device copy): state buffers are donated
                     # into the next scan chunk, so a bare reference would
                     # point at freed buffers.

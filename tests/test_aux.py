@@ -163,3 +163,42 @@ class TestComponentCli:
         assert rc == 0
         assert (tmp_path / "cli_test" / "config_populator"
                 / "frozen_task_config.yaml").exists()
+
+
+class TestScalarLogger:
+    def test_logs_train_and_eval_scalars(self, tmp_path):
+        import json
+
+        import jax
+        import numpy as np
+
+        from gigl_tpu.utils.scalar_log import ScalarLogger
+        from gigl_tpu.data.mocking import get_mocked_graph
+        from gigl_tpu.graph.splitters import select_ssl_positive_edges
+        from gigl_tpu.models.encoders import GNNEncoder
+        from gigl_tpu.models.link_prediction import (
+            LinkPredictionDecoder, LinkPredictionGNN)
+        from gigl_tpu.training.dataset import DeviceGraph
+        from gigl_tpu.training.trainer import NALPTrainer, NALPTrainerConfig
+
+        g = get_mocked_graph("toy_graph_node_anchor_lp")
+        et = g.metadata.edge_types[0]
+        edges = g.edges[et]
+        sup = edges[:, select_ssl_positive_edges(edges, positive_ratio=0.5)]
+        dg = DeviceGraph.from_hetero(g, supervision_edges=sup)
+        enc = GNNEncoder(hid_dim=8, out_dim=8, num_layers=2,
+                         conv="graphsage")
+        model = LinkPredictionGNN(encoder=enc,
+                                  decoder=LinkPredictionDecoder())
+        tr = NALPTrainer(model, dg, NALPTrainerConfig(
+            fanouts=(3, 2), num_random_negs=16, cached_hop=True))
+        st = tr.init_state(jax.random.PRNGKey(0), batch_size=8)
+        path = tmp_path / "scalars.jsonl"
+        with ScalarLogger(str(path), flush_every=2) as sl:
+            tr.fit(st, np.arange(64), np.arange(64, 96), batch_size=8,
+                   num_epochs=1, val_every_n_batches=4, num_val_batches=1,
+                   log_every=0, scalar_logger=sl)
+        lines = [json.loads(l) for l in path.read_text().splitlines()]
+        assert any("loss" in l for l in lines)
+        assert any("mrr" in l for l in lines)
+        assert all("step" in l and "wall_s" in l for l in lines)
