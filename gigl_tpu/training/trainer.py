@@ -185,6 +185,7 @@ class NALPTrainer:
         self._train_steps = jax.jit(self._train_steps_impl,
                                     donate_argnums=(1,))
         self._eval_step = jax.jit(self._eval_step_impl)
+        self._eval_steps = jax.jit(self._eval_steps_impl)
         self._encode_step = jax.jit(self._encode_impl, static_argnums=(3, 4))
         self._init_params = jax.jit(self._init_params_impl)
         if self.cfg.cached_hop:
@@ -367,26 +368,34 @@ class NALPTrainer:
                             pos_mask=mask_flat, neg_mask=neg_mask)
         return rr_sum, hits, rr_cnt
 
+    def _eval_steps_impl(self, graph: DeviceGraph, params,
+                         anchors_kb: jnp.ndarray, steps: jnp.ndarray):
+        """All eval batches as ONE device program (scan) — evaluate() would
+        otherwise pay a host round-trip per batch."""
+        def body(_, xs):
+            a, s = xs
+            rr, hits, cnt = self._eval_step_impl(graph, params, a, s)
+            hits_arr = jnp.stack([hits[int(k)] for k in self.cfg.eval_ks])
+            return None, (rr, hits_arr, cnt)
+
+        _, (rrs, hits, cnts) = jax.lax.scan(
+            body, None, (anchors_kb, steps))
+        return rrs.sum(), hits.sum(axis=0), cnts.sum()
+
     # -- public API ------------------------------------------------------------
     def train_step(self, state: TrainState, anchors, rng) -> Tuple[TrainState, float]:
         return self._train_step(self.graph, state,
                                 jnp.asarray(anchors, jnp.int32), rng)
 
     def evaluate(self, params, anchor_batches, step: int = 0) -> Dict[str, float]:
-        rr_total, cnt_total = 0.0, 0.0
-        hits_total: Dict[int, float] = {k: 0.0 for k in self.cfg.eval_ks}
-        for i, anchors in enumerate(anchor_batches):
-            rr, hits, cnt = self._eval_step(
-                self.graph, params, jnp.asarray(anchors, jnp.int32),
-                jnp.asarray(step + i, jnp.int32))
-            rr_total += float(rr)
-            cnt_total += float(cnt)
-            for k in self.cfg.eval_ks:
-                hits_total[k] += float(hits[int(k)])
-        cnt_total = max(cnt_total, 1.0)
-        out = {"mrr": rr_total / cnt_total}
-        for k in self.cfg.eval_ks:
-            out[f"hits@{k}"] = hits_total[k] / cnt_total
+        batches = jnp.asarray(np.stack(list(anchor_batches)), jnp.int32)
+        steps = jnp.arange(step, step + batches.shape[0], dtype=jnp.int32)
+        rr, hits, cnt = self._eval_steps(self.graph, params, batches, steps)
+        hits = np.asarray(hits)
+        cnt_total = max(float(cnt), 1.0)
+        out = {"mrr": float(rr) / cnt_total}
+        for i, k in enumerate(self.cfg.eval_ks):
+            out[f"hits@{k}"] = float(hits[i]) / cnt_total
         return out
 
     def fit(
