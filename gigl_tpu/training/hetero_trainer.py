@@ -72,6 +72,7 @@ class HeteroNALPTrainer:
         self._train_steps = jax.jit(self._train_steps_impl,
                                     donate_argnums=(1,))
         self._eval_step = jax.jit(self._eval_step_impl)
+        self._eval_steps = jax.jit(self._eval_steps_impl)
         self._encode_step = jax.jit(self._encode_impl,
                                     static_argnums=(3, 4, 5))
         self._init_params = jax.jit(self._init_params_impl)
@@ -249,21 +250,26 @@ class HeteroNALPTrainer:
         return self._train_step(self.graph, state,
                                 jnp.asarray(anchors, jnp.int32), rng)
 
+    def _eval_steps_impl(self, graph, params, anchors_kb, steps):
+        """All eval batches in one scan program (one dispatch per eval)."""
+        def body(_, xs):
+            a, s = xs
+            rr, hits, cnt = self._eval_step_impl(graph, params, a, s)
+            return None, (rr, jnp.stack(
+                [hits[int(k)] for k in self.cfg.eval_ks]), cnt)
+
+        _, (rrs, hits, cnts) = jax.lax.scan(body, None, (anchors_kb, steps))
+        return rrs.sum(), hits.sum(axis=0), cnts.sum()
+
     def evaluate(self, params, anchor_batches, step: int = 0) -> Dict[str, float]:
-        rr_total, cnt_total = 0.0, 0.0
-        hits_total = {k: 0.0 for k in self.cfg.eval_ks}
-        for i, anchors in enumerate(anchor_batches):
-            rr, hits, cnt = self._eval_step(
-                self.graph, params, jnp.asarray(anchors, jnp.int32),
-                jnp.asarray(step + i, jnp.int32))
-            rr_total += float(rr)
-            cnt_total += float(cnt)
-            for k in self.cfg.eval_ks:
-                hits_total[k] += float(hits[int(k)])
-        cnt_total = max(cnt_total, 1.0)
-        out = {"mrr": rr_total / cnt_total}
-        for k in self.cfg.eval_ks:
-            out[f"hits@{k}"] = hits_total[k] / cnt_total
+        batches = jnp.asarray(np.stack(list(anchor_batches)), jnp.int32)
+        steps = jnp.arange(step, step + batches.shape[0], dtype=jnp.int32)
+        rr, hits, cnt = self._eval_steps(self.graph, params, batches, steps)
+        hits = np.asarray(hits)
+        cnt_total = max(float(cnt), 1.0)
+        out = {"mrr": float(rr) / cnt_total}
+        for i, k in enumerate(self.cfg.eval_ks):
+            out[f"hits@{k}"] = float(hits[i]) / cnt_total
         return out
 
     def fit(self, state: TrainState, train_anchors: np.ndarray,
