@@ -147,7 +147,12 @@ class SplitConfig:
     # test ratio is the remainder
     seed: int = 42
     # "node_anchor": hash anchor nodes (v2 semantics, data_splitters.py:90);
-    # "transductive_edge": hash edges into (split, usage) (v1 Appendix A.1).
+    # "transductive_edge": hash edges into (split, usage) (v1 Appendix A.1);
+    # "udl_edge": hash user-defined supervision edges into per-split
+    #   SUPERVISION sets (v1 UserDefinedLabelsEdgeToLinkSplitHashingAssigner);
+    # "transductive_node"/"inductive_node": node-ratio-bucket splits for
+    #   node classification (v1 NodeToDatasetSplitHashingAssigner; inductive
+    #   prunes each split's message graph to same-split endpoints).
     strategy: str = "node_anchor"
     is_disjoint_mode: bool = False  # train message/supervision disjoint (A.1)
 

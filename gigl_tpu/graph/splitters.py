@@ -278,6 +278,132 @@ class TransductiveEdgeSplitter:
         return EdgeSplitAssignment(split=split, usage=usage)
 
 
+def _ratio_buckets(train_ratio: float, val_ratio: float) -> Tuple[int, int]:
+    """Ratio-weighted bucket boundaries over the granular hash space
+    (ref HashingAssigner bucketWeights, AbstractAssigners.scala:30-50)."""
+    if not (0 < train_ratio < 1 and 0 <= val_ratio < 1):
+        raise ValueError("bad ratios")
+    if train_ratio + val_ratio > 1.0:
+        raise ValueError("train + val ratios exceed 1")
+    train_hi = int(train_ratio * _HASH_GRANULARITY)
+    val_hi = train_hi + int(val_ratio * _HASH_GRANULARITY)
+    return train_hi, val_hi
+
+
+def _buckets_to_split(b: np.ndarray, train_hi: int, val_hi: int) -> np.ndarray:
+    return np.where(
+        b < train_hi,
+        np.int8(DatasetSplit.TRAIN),
+        np.where(b < val_hi, np.int8(DatasetSplit.VAL),
+                 np.int8(DatasetSplit.TEST)),
+    )
+
+
+class NodeSplitAssigner:
+    """Assign every node id a DatasetSplit by deterministic hash bucketing.
+
+    Ref parity: NodeToDatasetSplitHashingAssigner
+    (scala/split_generator/.../assigners/NodeToDatasetSplitHashingAssigner.scala)
+    — node uniqueId hashed into ratio-weighted {TRAIN, VAL, TEST} buckets over
+    the 10000-granule space. Used by both node-classification split
+    strategies:
+
+    - **Transductive** (TransductiveSupervisedNodeClassificationSplitStrategy):
+      only the labeled *root nodes* are split; every split's samples see the
+      entire message-passing graph.
+    - **Inductive** (InductiveSupervisedNodeClassificationSplitStrategy):
+      train/val/test graphs are disjoint — a sample of split S keeps only
+      nodes assigned to S and edges whose BOTH endpoints are assigned to S
+      (`pruneOutsideNodesAndEdges`). Use :func:`inductive_message_mask`.
+    """
+
+    def __init__(self, train_ratio: float = 0.8, val_ratio: float = 0.1,
+                 seed: int = 42):
+        self.train_hi, self.val_hi = _ratio_buckets(train_ratio, val_ratio)
+        self.seed = seed
+
+    def __call__(self, node_ids: np.ndarray) -> np.ndarray:
+        """[N] node ids -> [N] int8 DatasetSplit assignments."""
+        ids = np.asarray(node_ids)
+        mixed = (
+            ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + np.uint64((self.seed * 1_000_003) & 0xFFFFFFFFFFFFFFFF)
+        ).view(np.int64)
+        b = fast_hash(mixed).view(np.uint64) % np.uint64(_HASH_GRANULARITY)
+        return _buckets_to_split(b.astype(np.int64), self.train_hi, self.val_hi)
+
+    def split_ids(self, num_nodes: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Convenience: (train, val, test) node-id arrays for [0, num_nodes)."""
+        a = self(np.arange(num_nodes, dtype=np.int64))
+        return (np.nonzero(a == DatasetSplit.TRAIN)[0],
+                np.nonzero(a == DatasetSplit.VAL)[0],
+                np.nonzero(a == DatasetSplit.TEST)[0])
+
+
+def inductive_message_mask(
+    assignment: np.ndarray,
+    src: np.ndarray,
+    dst: np.ndarray,
+    out_split: DatasetSplit,
+) -> np.ndarray:
+    """Which edges are visible for message passing in an INDUCTIVE
+    node-classification split: both endpoints must be assigned to
+    ``out_split`` (ref InductiveSupervisedNodeClassificationSplitStrategy.
+    pruneOutsideNodesAndEdges — edges kept iff all endpoint nodes assign to
+    the sample's split)."""
+    assignment = np.asarray(assignment)
+    return ((assignment[np.asarray(src)] == np.int8(out_split))
+            & (assignment[np.asarray(dst)] == np.int8(out_split)))
+
+
+class UserDefinedLabelsEdgeSplitter:
+    """Hash-split user-provided supervision edges (positives and hard
+    negatives) into TRAIN/VAL/TEST.
+
+    Ref parity: UserDefinedLabelsEdgeToLinkSplitHashingAssigner — every
+    bucket carries LinkUsage SUPERVISION only (user-defined labels are never
+    message edges), and the UDL NALP split strategy
+    (UserDefinedLabelsNodeAnchorBasedLinkPredictionSplitStrategy: "we retain
+    all pb.neighborhood.edges as message passing edges") keeps the full
+    structural neighborhood as the message graph in every split — so this
+    splitter returns only a per-edge DatasetSplit and callers keep their
+    message CSR unsplit.
+
+    ``symmetric``: ref `should_split_edges_symmetrically` — (a->b) and
+    (b->a) hash to the same bucket via canonical endpoint ordering.
+    """
+
+    def __init__(self, train_ratio: float = 0.8, val_ratio: float = 0.1,
+                 seed: int = 42, symmetric: bool = False):
+        self.train_hi, self.val_hi = _ratio_buckets(train_ratio, val_ratio)
+        self.seed = seed
+        self.symmetric = symmetric
+
+    def __call__(self, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+        """[E] src/dst -> [E] int8 DatasetSplit (usage is always
+        SUPERVISION; see class docstring)."""
+        src = np.asarray(src).astype(np.uint64)
+        dst = np.asarray(dst).astype(np.uint64)
+        if self.symmetric:
+            src, dst = np.minimum(src, dst), np.maximum(src, dst)
+        mixed = (
+            src * np.uint64(0x9E3779B97F4A7C15)
+            + dst
+            + np.uint64((self.seed * 1_000_003 + 7) & 0xFFFFFFFFFFFFFFFF)
+        ).view(np.int64)
+        b = fast_hash(mixed).view(np.uint64) % np.uint64(_HASH_GRANULARITY)
+        return _buckets_to_split(b.astype(np.int64), self.train_hi, self.val_hi)
+
+    def split_edge_indices(
+        self, src: np.ndarray, dst: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(train, val, test) column-index arrays into the input edge list."""
+        a = self(src, dst)
+        return (np.nonzero(a == DatasetSplit.TRAIN)[0],
+                np.nonzero(a == DatasetSplit.VAL)[0],
+                np.nonzero(a == DatasetSplit.TEST)[0])
+
+
 def select_ssl_positive_edges(
     edge_index: np.ndarray,
     positive_ratio: float,

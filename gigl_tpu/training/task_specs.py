@@ -25,7 +25,11 @@ import numpy as np
 from gigl_tpu.config.task_config import TaskConfig
 from gigl_tpu.graph.csr import HeteroGraph
 from gigl_tpu.graph.splitters import (
+    DatasetSplit,
     HashedNodeAnchorLinkSplitter,
+    NodeSplitAssigner,
+    UserDefinedLabelsEdgeSplitter,
+    inductive_message_mask,
     select_ssl_positive_edges,
 )
 from gigl_tpu.models.encoders import GNNEncoder, encoder_from_config
@@ -111,17 +115,68 @@ class NodeAnchorLinkPredictionTaskSpec(BaseTrainer, BaseInferencer):
         else:
             sup_edges = coo
 
-        # Anchor split (node-anchor hash semantics).
         sp = task_config.dataset.split
-        splitter = HashedNodeAnchorLinkSplitter(
-            sampling_direction="in",
-            num_val=sp.val_ratio,
-            num_test=max(1.0 - sp.train_ratio - sp.val_ratio, 0.0),
-        )
-        self.splits = splitter(np.asarray(sup_edges))
+        strategy = str(args.get("split_strategy", sp.strategy))
+        self._split_graphs = None
+        if strategy == "udl_edge":
+            # User-defined-labels semantics (ref UserDefinedLabels
+            # NodeAnchorBasedLinkPredictionSplitStrategy +
+            # UserDefinedLabelsEdgeToLinkSplitHashingAssigner): the
+            # user-provided supervision edges (and hard negatives) are
+            # hash-split into TRAIN/VAL/TEST SUPERVISION; the full structural
+            # graph stays the message graph in every split.
+            udl = UserDefinedLabelsEdgeSplitter(
+                train_ratio=sp.train_ratio, val_ratio=sp.val_ratio,
+                seed=sp.seed,
+                symmetric=str(args.get(
+                    "should_split_edges_symmetrically", "false")
+                ).lower() in ("1", "true"))
+            sup_edges = np.asarray(sup_edges)
+            parts = udl.split_edge_indices(sup_edges[0], sup_edges[1])
+            hn_coo = None
+            hn_name = args.get("hard_neg_edge_type")
+            if hn_name:
+                from gigl_tpu.types.graph import _as_edge_type
 
-        device_graph = DeviceGraph.from_hetero(
-            graph, supervision_edges=np.asarray(sup_edges), edge_type=et)
+                hn_coo = np.asarray(graph.edges[_as_edge_type(hn_name)])
+                hn_parts = udl.split_edge_indices(hn_coo[0], hn_coo[1])
+            import dataclasses as _dc
+
+            graphs = []
+            for i in range(3):
+                gi = DeviceGraph.from_hetero(
+                    graph,
+                    supervision_edges=sup_edges[:, parts[i]],
+                    hard_neg_edges=(hn_coo[:, hn_parts[i]]
+                                    if hn_coo is not None else None),
+                    edge_type=et)
+                if graphs:
+                    # All splits share the SAME message graph and features
+                    # on device (UDL keeps the full structural neighborhood
+                    # in every split) — only supervision/hard-neg CSRs
+                    # differ, so share the big buffers instead of
+                    # re-uploading them 3x.
+                    gi = _dc.replace(
+                        gi, message_csr=graphs[0].message_csr,
+                        node_features=graphs[0].node_features,
+                        degrees=graphs[0].degrees,
+                        edge_features=graphs[0].edge_features)
+                graphs.append(gi)
+            self._split_graphs = tuple(graphs)
+            device_graph = graphs[0]
+            # Anchors per split = anchor-side endpoints of that split's
+            # supervision edges (sampling direction "in" anchors on dst).
+            self.splits = tuple(np.unique(sup_edges[1, idx]) for idx in parts)
+        else:
+            # Anchor split (node-anchor hash semantics).
+            splitter = HashedNodeAnchorLinkSplitter(
+                sampling_direction="in",
+                num_val=sp.val_ratio,
+                num_test=max(1.0 - sp.train_ratio - sp.val_ratio, 0.0),
+            )
+            self.splits = splitter(np.asarray(sup_edges))
+            device_graph = DeviceGraph.from_hetero(
+                graph, supervision_edges=np.asarray(sup_edges), edge_type=et)
         encoder = encoder_from_config(args)
         decoder = LinkPredictionDecoder(
             decoder_type=DecoderType(args.get("decoder", "inner_product")))
@@ -142,6 +197,10 @@ class NodeAnchorLinkPredictionTaskSpec(BaseTrainer, BaseInferencer):
         )
         self.trainer = NALPTrainer(model, device_graph, cfg,
                                    optimizer_args=args)
+        if self._split_graphs is not None:
+            # fit()'s val cadence must draw positives from VAL-assigned
+            # supervision edges, not the train graph's.
+            self.trainer.eval_graph = self._split_graphs[DatasetSplit.VAL]
         # Clamp to the train split (iterator drops partial batches).
         batch_size = max(1, min(int(args.get("main_sample_batch_size", 512)),
                                 len(self.splits[0])))
@@ -250,8 +309,14 @@ class NodeAnchorLinkPredictionTaskSpec(BaseTrainer, BaseInferencer):
     def eval(self, split: str = "test", num_batches: int = 16,
              **kwargs) -> Dict[str, float]:
         assert self.trainer is not None and self.state is not None
-        anchors = {"train": self.splits[0], "val": self.splits[1],
-                   "test": self.splits[2]}[split]
+        idx = {"train": 0, "val": 1, "test": 2}[split]
+        anchors = self.splits[idx]
+        if getattr(self, "_split_graphs", None) is not None:
+            # UDL edge split: positives for this split come from the
+            # split's own supervision edges.
+            self.trainer.eval_graph = self._split_graphs[idx]
+        if len(anchors) == 0:
+            return {"mrr": 0.0}
         it = AnchorBatchIterator(anchors, min(self._batch_size, len(anchors)),
                                  seed=99)
         batches = []
@@ -313,7 +378,66 @@ class NodeClassificationTaskSpec(BaseTrainer, BaseInferencer):
         self.task_config = task_config
         args = {**task_config.trainer.trainer_args, **self.kwargs}
         fanouts = _fanouts_from_config(task_config, args)
-        device_graph = DeviceGraph.from_hetero(graph)
+        sp = task_config.dataset.split
+        strategy = str(args.get("split_strategy", sp.strategy))
+        self._split_graphs = None
+        if strategy == "inductive_node":
+            # Inductive SNC (ref InductiveSupervisedNodeClassification
+            # SplitStrategy): train/val/test graphs are DISJOINT — a split's
+            # message edges keep only edges whose both endpoints are
+            # assigned to that split.
+            if len(graph.metadata.node_types) > 1:
+                raise ValueError(
+                    "inductive_node split supports homogeneous graphs")
+            nt = graph.metadata.node_types[0]
+            n = graph.num_nodes[nt]
+            assigner = NodeSplitAssigner(
+                train_ratio=sp.train_ratio, val_ratio=sp.val_ratio,
+                seed=sp.seed)
+            assignment = assigner(np.arange(n, dtype=np.int64))
+            coo = np.asarray(graph.edges[graph.metadata.edge_types[0]])
+            from gigl_tpu.graph.csr import HeteroGraph as _HG
+
+            graphs = []
+            for s in (DatasetSplit.TRAIN, DatasetSplit.VAL,
+                      DatasetSplit.TEST):
+                m = inductive_message_mask(assignment, coo[0], coo[1], s)
+                gi = _HG.homogeneous(
+                    coo[0][m], coo[1][m], num_nodes=n,
+                    node_features=(graph.node_features[nt]
+                                   if nt in graph.node_features else None),
+                    node_labels=graph.node_labels.get(nt))
+                graphs.append(DeviceGraph.from_hetero(gi))
+            self._split_graphs = tuple(graphs)
+            device_graph = graphs[0]
+            self.splits = tuple(
+                np.nonzero(assignment == np.int8(s))[0]
+                for s in (DatasetSplit.TRAIN, DatasetSplit.VAL,
+                          DatasetSplit.TEST))
+        else:
+            # Transductive SNC (ref TransductiveSupervisedNodeClassification
+            # SplitStrategy): only root-node labels split; every split's
+            # samples see the entire message graph. "transductive_node"
+            # uses the v1 ratio-bucket NodeSplitAssigner; the default keeps
+            # the v2 node-anchor hash-order split.
+            device_graph = DeviceGraph.from_hetero(graph)
+            if strategy == "transductive_node":
+                assigner = NodeSplitAssigner(
+                    train_ratio=sp.train_ratio, val_ratio=sp.val_ratio,
+                    seed=sp.seed)
+                assignment = assigner(
+                    np.arange(device_graph.num_nodes, dtype=np.int64))
+                self.splits = tuple(
+                    np.nonzero(assignment == np.int8(s))[0]
+                    for s in (DatasetSplit.TRAIN, DatasetSplit.VAL,
+                              DatasetSplit.TEST))
+            else:
+                labeled = np.arange(device_graph.num_nodes)
+                edges = np.stack([labeled, labeled])
+                splitter = HashedNodeAnchorLinkSplitter(
+                    sampling_direction="in", num_val=sp.val_ratio,
+                    num_test=max(1.0 - sp.train_ratio - sp.val_ratio, 0.0))
+                self.splits = splitter(edges)
         if device_graph.node_labels is None:
             raise ValueError("graph has no node labels for classification")
         num_classes = int(args.get(
@@ -324,14 +448,8 @@ class NodeClassificationTaskSpec(BaseTrainer, BaseInferencer):
             NodeClassificationTrainerConfig(
                 fanouts=fanouts, seed=int(args.get("seed", 0))),
             optimizer_args=args)
-        # Node split by hash over all labeled nodes.
-        sp = task_config.dataset.split
-        labeled = np.arange(device_graph.num_nodes)
-        edges = np.stack([labeled, labeled])
-        splitter = HashedNodeAnchorLinkSplitter(
-            sampling_direction="in", num_val=sp.val_ratio,
-            num_test=max(1.0 - sp.train_ratio - sp.val_ratio, 0.0))
-        self.splits = splitter(edges)
+        if self._split_graphs is not None:
+            self.trainer.eval_graph = self._split_graphs[DatasetSplit.VAL]
         self._batch_size = int(args.get("main_sample_batch_size", 256))
         params = state
         if params is None and task_config.trainer.pretrained_model_uri:
@@ -353,8 +471,13 @@ class NodeClassificationTaskSpec(BaseTrainer, BaseInferencer):
         return metrics
 
     def eval(self, split: str = "test", **kwargs) -> Dict[str, float]:
-        nodes = {"train": self.splits[0], "val": self.splits[1],
-                 "test": self.splits[2]}[split]
+        idx = {"train": 0, "val": 1, "test": 2}[split]
+        nodes = self.splits[idx]
+        if getattr(self, "_split_graphs", None) is not None:
+            # Inductive: each split classifies over its own pruned graph.
+            self.trainer.eval_graph = self._split_graphs[idx]
+        if len(nodes) == 0:
+            return {"accuracy": 0.0}
         acc = self.trainer.evaluate(self.state.params, nodes,
                                     self._batch_size)
         return {"accuracy": acc}

@@ -178,6 +178,11 @@ class NALPTrainer:
         self.graph = graph
         self.cfg = config
         self.tx = make_optimizer(optimizer_args or {})
+        # Optional override graph for evaluation: split strategies whose
+        # val/test supervision edges differ from the train graph's (UDL edge
+        # split — ref UserDefinedLabelsEdgeToLinkSplitHashingAssigner) set
+        # this so evaluate() draws positives from the right split's edges.
+        self.eval_graph: Optional[DeviceGraph] = None
         # The graph is a pytree ARGUMENT of every jitted step (its buffers
         # stay XLA parameters); closing over it would embed every array as
         # an HLO constant — slow to lower and baked into the executable.
@@ -388,9 +393,10 @@ class NALPTrainer:
                                 jnp.asarray(anchors, jnp.int32), rng)
 
     def evaluate(self, params, anchor_batches, step: int = 0) -> Dict[str, float]:
+        g = self.eval_graph if self.eval_graph is not None else self.graph
         batches = jnp.asarray(np.stack(list(anchor_batches)), jnp.int32)
         steps = jnp.arange(step, step + batches.shape[0], dtype=jnp.int32)
-        rr, hits, cnt = self._eval_steps(self.graph, params, batches, steps)
+        rr, hits, cnt = self._eval_steps(g, params, batches, steps)
         hits = np.asarray(hits)
         cnt_total = max(float(cnt), 1.0)
         out = {"mrr": float(rr) / cnt_total}
@@ -508,6 +514,11 @@ class NodeClassificationTrainer:
         self.graph = graph
         self.cfg = config
         self.tx = make_optimizer(optimizer_args or {})
+        # Optional override graph for evaluation (INDUCTIVE node
+        # classification: val/test message graphs are pruned to same-split
+        # endpoints — ref InductiveSupervisedNodeClassificationSplitStrategy
+        # pruneOutsideNodesAndEdges; callers swap this per eval split).
+        self.eval_graph: Optional[DeviceGraph] = None
         # Graph passed as pytree argument (not closure) — see NALPTrainer.
         self._train_step = jax.jit(self._train_step_impl)
         self._eval_step = jax.jit(self._eval_step_impl)
@@ -587,11 +598,12 @@ class NodeClassificationTrainer:
         return state, {"accuracy": stopper.best_value or 0.0}
 
     def evaluate(self, params, nodes, batch_size: int) -> float:
+        g = self.eval_graph if self.eval_graph is not None else self.graph
         correct, total = 0.0, 0.0
         it = AnchorBatchIterator(np.asarray(nodes), batch_size,
                                  drop_remainder=False)
         for b in it.epoch(0):
-            c, n = self._eval_step(self.graph, params,
+            c, n = self._eval_step(g, params,
                                    jnp.asarray(b, jnp.int32))
             correct += float(c)
             total += float(n)

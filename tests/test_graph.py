@@ -229,3 +229,93 @@ class TestSelectSslPositiveEdges:
     def test_bad_ratio_raises(self):
         with pytest.raises(ValueError):
             select_ssl_positive_edges(np.zeros((2, 5)), 0.0)
+
+
+class TestNodeSplitAssigner:
+    def test_ratios_determinism_and_coverage(self):
+        from gigl_tpu.graph.splitters import NodeSplitAssigner
+
+        a = NodeSplitAssigner(train_ratio=0.7, val_ratio=0.2, seed=5)
+        asg1 = a(np.arange(50_000, dtype=np.int64))
+        asg2 = a(np.arange(50_000, dtype=np.int64))
+        np.testing.assert_array_equal(asg1, asg2)
+        fr_train = np.mean(asg1 == DatasetSplit.TRAIN)
+        fr_val = np.mean(asg1 == DatasetSplit.VAL)
+        fr_test = np.mean(asg1 == DatasetSplit.TEST)
+        assert abs(fr_train - 0.7) < 0.02
+        assert abs(fr_val - 0.2) < 0.02
+        assert abs(fr_test - 0.1) < 0.02
+
+    def test_split_ids_partition(self):
+        from gigl_tpu.graph.splitters import NodeSplitAssigner
+
+        tr, va, te = NodeSplitAssigner().split_ids(1000)
+        all_ids = np.sort(np.concatenate([tr, va, te]))
+        np.testing.assert_array_equal(all_ids, np.arange(1000))
+
+    def test_seed_changes_assignment(self):
+        from gigl_tpu.graph.splitters import NodeSplitAssigner
+
+        a = NodeSplitAssigner(seed=1)(np.arange(1000, dtype=np.int64))
+        b = NodeSplitAssigner(seed=2)(np.arange(1000, dtype=np.int64))
+        assert not np.array_equal(a, b)
+
+    def test_inductive_message_mask(self):
+        from gigl_tpu.graph.splitters import (
+            NodeSplitAssigner,
+            inductive_message_mask,
+        )
+
+        asg = NodeSplitAssigner()(np.arange(2000, dtype=np.int64))
+        rng = np.random.default_rng(0)
+        src = rng.integers(0, 2000, 5000)
+        dst = rng.integers(0, 2000, 5000)
+        for s in (DatasetSplit.TRAIN, DatasetSplit.VAL, DatasetSplit.TEST):
+            m = inductive_message_mask(asg, src, dst, s)
+            # Both endpoints of every visible edge live in the split
+            # (ref InductiveSupervisedNodeClassificationSplitStrategy
+            # pruneOutsideNodesAndEdges).
+            assert np.all(asg[src[m]] == np.int8(s))
+            assert np.all(asg[dst[m]] == np.int8(s))
+        # The three masks partition the same-split edge set and never
+        # overlap.
+        masks = [inductive_message_mask(asg, src, dst, s)
+                 for s in (DatasetSplit.TRAIN, DatasetSplit.VAL,
+                           DatasetSplit.TEST)]
+        assert not np.any(masks[0] & masks[1])
+        assert not np.any(masks[0] & masks[2])
+
+
+class TestUserDefinedLabelsEdgeSplitter:
+    def test_partition_ratios_and_determinism(self):
+        from gigl_tpu.graph.splitters import UserDefinedLabelsEdgeSplitter
+
+        rng = np.random.default_rng(1)
+        src = rng.integers(0, 10_000, 50_000)
+        dst = rng.integers(0, 10_000, 50_000)
+        sp = UserDefinedLabelsEdgeSplitter(train_ratio=0.8, val_ratio=0.1)
+        a = sp(src, dst)
+        b = sp(src, dst)
+        np.testing.assert_array_equal(a, b)
+        assert abs(np.mean(a == DatasetSplit.TRAIN) - 0.8) < 0.02
+        assert abs(np.mean(a == DatasetSplit.VAL) - 0.1) < 0.02
+        tr, va, te = sp.split_edge_indices(src, dst)
+        assert len(tr) + len(va) + len(te) == len(src)
+
+    def test_symmetric_buckets_reversed_edges_together(self):
+        from gigl_tpu.graph.splitters import UserDefinedLabelsEdgeSplitter
+
+        rng = np.random.default_rng(2)
+        src = rng.integers(0, 1000, 2000)
+        dst = rng.integers(0, 1000, 2000)
+        sp = UserDefinedLabelsEdgeSplitter(symmetric=True)
+        np.testing.assert_array_equal(sp(src, dst), sp(dst, src))
+
+    def test_asymmetric_differs_on_reversal(self):
+        from gigl_tpu.graph.splitters import UserDefinedLabelsEdgeSplitter
+
+        rng = np.random.default_rng(3)
+        src = rng.integers(0, 1000, 5000)
+        dst = rng.integers(1000, 2000, 5000)
+        sp = UserDefinedLabelsEdgeSplitter(symmetric=False)
+        assert not np.array_equal(sp(src, dst), sp(dst, src))

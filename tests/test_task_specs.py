@@ -119,3 +119,101 @@ class TestNodeClassificationTaskSpec:
         assert metrics["accuracy"] > 0.5, metrics
         logits = spec.infer_batch(np.arange(4))
         assert logits.shape == (4, 4)
+
+
+class TestUDLEdgeSplitStrategy:
+    """UDL semantics: user supervision edges hash-split into per-split
+    SUPERVISION sets; full structural graph stays the message graph
+    (ref UserDefinedLabelsNodeAnchorBasedLinkPredictionSplitStrategy)."""
+
+    def test_end_to_end(self):
+        g, _, _, _ = _clustered_graph()
+        cfg = _nalp_config(num_epochs="3", val_every_num_batches="4",
+                           num_val_batches="2", split_strategy="udl_edge")
+        spec = NodeAnchorLinkPredictionTaskSpec()
+        spec.init_model(cfg, graph=g)
+        # Per-split graphs share the message CSR but hold disjoint
+        # supervision edges.
+        assert spec._split_graphs is not None
+        tr, va, te = spec._split_graphs
+        assert tr.message_csr is va.message_csr is te.message_csr
+        n_sup = (tr.supervision_csr.indices.shape[0]
+                 + va.supervision_csr.indices.shape[0]
+                 + te.supervision_csr.indices.shape[0])
+        assert n_sup == g.default_edges.shape[1]
+        metrics = spec.train()
+        assert metrics["mrr"] > 0.2, metrics
+        test_metrics = spec.eval("test", num_batches=2)
+        assert "mrr" in test_metrics
+        # eval() swapped the trainer's eval graph to the TEST split.
+        assert spec.trainer.eval_graph is te
+
+    def test_splits_follow_edge_assignment(self):
+        from gigl_tpu.graph.splitters import UserDefinedLabelsEdgeSplitter
+
+        g, src, dst, _ = _clustered_graph()
+        cfg = _nalp_config(split_strategy="udl_edge")
+        spec = NodeAnchorLinkPredictionTaskSpec()
+        spec.init_model(cfg, graph=g)
+        coo = g.default_edges
+        sp = cfg.dataset.split
+        udl = UserDefinedLabelsEdgeSplitter(
+            train_ratio=sp.train_ratio, val_ratio=sp.val_ratio, seed=sp.seed)
+        tr_idx, va_idx, te_idx = udl.split_edge_indices(coo[0], coo[1])
+        np.testing.assert_array_equal(
+            spec.splits[1], np.unique(coo[1, va_idx]))
+
+
+class TestInductiveNodeClassification:
+    def test_end_to_end_with_disjoint_graphs(self):
+        g, _, _, _ = _clustered_graph(
+            num_clusters=4, nodes_per_cluster=48, intra_edges=600)
+        gm = GraphMetadata.homogeneous()
+        cfg = TaskConfig(
+            graph_metadata=gm,
+            task_metadata=TaskMetadata(
+                task_type=TaskMetadataType.NODE_BASED_TASK,
+                supervision_node_types=gm.node_types),
+            trainer=TrainerConfig(trainer_args={
+                "hid_dim": "16", "num_layers": "2", "fanouts": "5,3",
+                "main_sample_batch_size": "32", "learning_rate": "0.01",
+                "num_epochs": "6", "split_strategy": "inductive_node",
+            }),
+        )
+        spec = NodeClassificationTaskSpec()
+        spec.init_model(cfg, graph=g)
+        # Disjoint graphs: each split's edge count < full graph, and they
+        # partition the same-split edges.
+        full_edges = g.default_edges.shape[1]
+        per_split = [int(dg.message_csr.indices.shape[0])
+                     for dg in spec._split_graphs]
+        assert sum(per_split) <= full_edges
+        assert all(0 < e < full_edges for e in per_split)
+        metrics = spec.train()
+        assert metrics["accuracy"] > 0.5, metrics
+        acc = spec.eval("test")
+        assert acc["accuracy"] > 0.5, acc
+
+    def test_transductive_node_strategy(self):
+        g, _, _, _ = _clustered_graph(
+            num_clusters=4, nodes_per_cluster=32, intra_edges=300)
+        gm = GraphMetadata.homogeneous()
+        cfg = TaskConfig(
+            graph_metadata=gm,
+            task_metadata=TaskMetadata(
+                task_type=TaskMetadataType.NODE_BASED_TASK,
+                supervision_node_types=gm.node_types),
+            trainer=TrainerConfig(trainer_args={
+                "hid_dim": "16", "num_layers": "2", "fanouts": "5,3",
+                "main_sample_batch_size": "32", "learning_rate": "0.01",
+                "num_epochs": "4", "split_strategy": "transductive_node",
+            }),
+        )
+        spec = NodeClassificationTaskSpec()
+        spec.init_model(cfg, graph=g)
+        # Single shared graph (transductive), ratio-bucketed node splits.
+        assert spec._split_graphs is None
+        n = sum(len(s) for s in spec.splits)
+        assert n == g.num_nodes[gm.node_types[0]]
+        metrics = spec.train()
+        assert metrics["accuracy"] > 0.5, metrics
