@@ -108,6 +108,12 @@ class SubgraphSamplingStrategy:
     fanouts: Tuple[int, ...] = ()
     # Full path: root node type -> list of SamplingOps forming a DAG.
     message_passing_paths: Dict[str, List[SamplingOp]] = field(default_factory=dict)
+    # Downsample the training root-node set to at most this many anchors
+    # (0 = keep all). Ref parity: gbml_config.proto:111
+    # num_max_training_samples_to_output + SGS downsampleNumberOfNodes
+    # (SGSPureSparkV1Task.scala:1042); here the subsample is deterministic
+    # (hash-ordered prefix) rather than Spark's nondeterministic LIMIT.
+    num_max_training_samples: int = 0
 
     def __post_init__(self):
         self.fanouts = tuple(int(f) for f in self.fanouts)
@@ -119,6 +125,7 @@ class SubgraphSamplingStrategy:
                 k: [op.to_dict() for op in ops]
                 for k, ops in self.message_passing_paths.items()
             },
+            "num_max_training_samples": self.num_max_training_samples,
         }
 
     @classmethod
@@ -129,6 +136,8 @@ class SubgraphSamplingStrategy:
                 k: [SamplingOp.from_dict(op) for op in ops]
                 for k, ops in d.get("message_passing_paths", {}).items()
             },
+            num_max_training_samples=int(
+                d.get("num_max_training_samples", 0)),
         )
 
 

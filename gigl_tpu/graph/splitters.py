@@ -404,6 +404,31 @@ class UserDefinedLabelsEdgeSplitter:
                 np.nonzero(a == DatasetSplit.TEST)[0])
 
 
+def downsample_root_nodes(
+    node_ids: np.ndarray,
+    num_samples: int,
+    seed: int = 0,
+) -> np.ndarray:
+    """Deterministically subsample a root-node set to ``num_samples``.
+
+    Ref parity: SGS `downsampleNumberOfNodes`
+    (SGSPureSparkV1Task.scala:1042-1081) caps the number of root nodes whose
+    samples are materialized. The reference uses a nondeterministic Spark
+    LIMIT (its own comment suggests sort-and-take-first for determinism);
+    here we take the prefix of the hash-ordered ids — uniform AND
+    reproducible across runs.
+    """
+    ids = np.asarray(node_ids)
+    if num_samples <= 0 or num_samples >= len(ids):
+        return ids
+    mixed = (
+        ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        + np.uint64((seed * 1_000_003 + 13) & 0xFFFFFFFFFFFFFFFF)
+    ).view(np.int64)
+    order = np.argsort(fast_hash(mixed), kind="stable")
+    return np.sort(ids[order[:num_samples]])
+
+
 def select_ssl_positive_edges(
     edge_index: np.ndarray,
     positive_ratio: float,

@@ -29,6 +29,7 @@ from gigl_tpu.graph.splitters import (
     HashedNodeAnchorLinkSplitter,
     NodeSplitAssigner,
     UserDefinedLabelsEdgeSplitter,
+    downsample_root_nodes,
     inductive_message_mask,
     select_ssl_positive_edges,
 )
@@ -195,6 +196,16 @@ class NodeAnchorLinkPredictionTaskSpec(BaseTrainer, BaseInferencer):
                                    ).lower() in ("1", "true"),
             seed=int(args.get("seed", sp.seed)),
         )
+        # Optional root-node downsampling of the train anchors (ref
+        # num_max_training_samples_to_output, gbml_config.proto:111).
+        max_train = int(args.get(
+            "num_max_training_samples",
+            task_config.dataset.sampling.num_max_training_samples))
+        if max_train:
+            self.splits = (
+                downsample_root_nodes(self.splits[0], max_train, seed=sp.seed),
+            ) + tuple(self.splits[1:])
+
         self.trainer = NALPTrainer(model, device_graph, cfg,
                                    optimizer_args=args)
         if self._split_graphs is not None:

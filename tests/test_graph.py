@@ -319,3 +319,26 @@ class TestUserDefinedLabelsEdgeSplitter:
         dst = rng.integers(1000, 2000, 5000)
         sp = UserDefinedLabelsEdgeSplitter(symmetric=False)
         assert not np.array_equal(sp(src, dst), sp(dst, src))
+
+
+class TestDownsampleRootNodes:
+    def test_deterministic_uniform_prefix(self):
+        from gigl_tpu.graph.splitters import downsample_root_nodes
+
+        ids = np.arange(10_000, dtype=np.int64)
+        a = downsample_root_nodes(ids, 1000, seed=7)
+        b = downsample_root_nodes(ids, 1000, seed=7)
+        np.testing.assert_array_equal(a, b)
+        assert len(a) == 1000 and len(np.unique(a)) == 1000
+        # Nested property: a larger cap contains the smaller cap's set.
+        big = downsample_root_nodes(ids, 2000, seed=7)
+        assert np.isin(a, big).all()
+        # Roughly uniform over the id space.
+        assert abs(np.mean(a < 5000) - 0.5) < 0.05
+
+    def test_noop_cases(self):
+        from gigl_tpu.graph.splitters import downsample_root_nodes
+
+        ids = np.arange(100)
+        np.testing.assert_array_equal(downsample_root_nodes(ids, 0), ids)
+        np.testing.assert_array_equal(downsample_root_nodes(ids, 200), ids)

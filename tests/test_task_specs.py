@@ -217,3 +217,14 @@ class TestInductiveNodeClassification:
         assert n == g.num_nodes[gm.node_types[0]]
         metrics = spec.train()
         assert metrics["accuracy"] > 0.5, metrics
+
+
+class TestRootNodeDownsampling:
+    def test_caps_train_anchor_count(self):
+        g, _, _, _ = _clustered_graph()
+        cfg = _nalp_config(num_max_training_samples="40")
+        spec = NodeAnchorLinkPredictionTaskSpec()
+        spec.init_model(cfg, graph=g)
+        assert len(spec.splits[0]) == 40
+        # val/test untouched.
+        assert len(spec.splits[1]) > 0
