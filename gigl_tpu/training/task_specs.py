@@ -335,7 +335,13 @@ class NodeAnchorLinkPredictionTaskSpec(BaseTrainer, BaseInferencer):
             if i >= num_batches:
                 break
             batches.append(b)
-        return self.trainer.evaluate(self.state.params, batches)
+        try:
+            return self.trainer.evaluate(self.state.params, batches)
+        finally:
+            if getattr(self, "_split_graphs", None) is not None:
+                # Restore the fit()-time default (val graph) so later
+                # train() calls validate against VAL edges again.
+                self.trainer.eval_graph = self._split_graphs[1]
 
     def save(self, uri, step: int = 0) -> None:
         save_params(uri, self.state.params, step=step)
@@ -489,8 +495,12 @@ class NodeClassificationTaskSpec(BaseTrainer, BaseInferencer):
             self.trainer.eval_graph = self._split_graphs[idx]
         if len(nodes) == 0:
             return {"accuracy": 0.0}
-        acc = self.trainer.evaluate(self.state.params, nodes,
-                                    self._batch_size)
+        try:
+            acc = self.trainer.evaluate(self.state.params, nodes,
+                                        self._batch_size)
+        finally:
+            if getattr(self, "_split_graphs", None) is not None:
+                self.trainer.eval_graph = self._split_graphs[1]
         return {"accuracy": acc}
 
     def save(self, uri, step: int = 0) -> None:

@@ -145,8 +145,8 @@ class TestUDLEdgeSplitStrategy:
         assert metrics["mrr"] > 0.2, metrics
         test_metrics = spec.eval("test", num_batches=2)
         assert "mrr" in test_metrics
-        # eval() swapped the trainer's eval graph to the TEST split.
-        assert spec.trainer.eval_graph is te
+        # eval() restores the fit()-time default (VAL graph) afterwards.
+        assert spec.trainer.eval_graph is va
 
     def test_splits_follow_edge_assignment(self):
         from gigl_tpu.graph.splitters import UserDefinedLabelsEdgeSplitter
