@@ -9,7 +9,10 @@ localhost process groups instead of a real cluster).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override (not setdefault): the CI/dev environment may export
+# JAX_PLATFORMS pointing at a remote single TPU chip; sharding tests need
+# the 8-device virtual CPU mesh and must never ride the remote tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
