@@ -103,6 +103,12 @@ class NALPTrainerConfig:
     # QuantizedTable). Features are quantized at DeviceGraph construction
     # (from_hetero(quantize_features=True)).
     quantize_cache: bool = False
+    # Pack concat(features, hop cache) into one fused table so layer-1
+    # hydration is ONE row gather per tree level instead of two (measured
+    # ~13% cheaper on v5e: gather cost is near width-insensitive). Costs
+    # one extra [N, D] copy of the features in HBM; incompatible with
+    # quantize_cache.
+    fused_cache: bool = False
 
 
 def nalp_loss_from_embeddings(model, params, cfg, batch: NALPBatch,
@@ -214,7 +220,8 @@ class NALPTrainer:
             hop_key=len(self.cfg.fanouts),
             agg=self._cache_agg_kind(),
             table_fanouts=self.cfg.fanouts[:-1],
-            quantize=self.cfg.quantize_cache)
+            quantize=self.cfg.quantize_cache,
+            fuse_features=self.cfg.fused_cache)
 
     # -- state -----------------------------------------------------------------
     def _init_params_impl(self, graph: DeviceGraph, rng: jax.Array,
@@ -258,8 +265,11 @@ class NALPTrainer:
                 blocks = graph.sample_hop_blocks(
                     node_ids, self.cfg.fanouts[:-1],
                     seed=self.cfg.seed + seed_offset)
-            feats, masks, degs = graph.hydrate(blocks)
-            cached = graph.hydrate_cached(blocks)
+            if graph.fused_table is not None:
+                feats, masks, degs, cached = graph.hydrate_fused(blocks)
+            else:
+                feats, masks, degs = graph.hydrate(blocks)
+                cached = graph.hydrate_cached(blocks)
             emb = self.model.apply(
                 params, feats, masks, None, train=train,
                 hop_degrees=degs, cached_agg=cached, rngs=rngs)

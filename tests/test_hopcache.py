@@ -240,3 +240,47 @@ class TestTrainStepsScan:
             seq_losses.append(float(loss))
         np.testing.assert_allclose(np.asarray(scan_losses), seq_losses,
                                    rtol=1e-5)
+
+
+class TestFusedCache:
+    """fused_cache=True: one row gather hydrates both layer-1 inputs; the
+    step math must be bit-identical to the separate-gather path."""
+
+    def _trainer(self, fused):
+        dg = _toy_graph()
+        enc = GNNEncoder(hid_dim=16, out_dim=8, num_layers=2,
+                         conv="graphsage")
+        model = LinkPredictionGNN(encoder=enc,
+                                  decoder=LinkPredictionDecoder())
+        cfg = NALPTrainerConfig(fanouts=(4, 3), num_random_negs=32,
+                                loss_type="retrieval", num_positives=1,
+                                cached_hop=True, fused_cache=fused)
+        return NALPTrainer(model, dg, cfg,
+                           optimizer_args={"learning_rate": "1e-2"})
+
+    def test_losses_match_separate_path(self):
+        t_sep = self._trainer(False)
+        t_fus = self._trainer(True)
+        st_sep = t_sep.init_state(jax.random.PRNGKey(0), batch_size=16)
+        st_fus = t_fus.init_state(jax.random.PRNGKey(0), batch_size=16)
+        anchors = (np.arange(16 * 5).reshape(5, 16) % 400).astype(np.int32)
+        rng = jax.random.PRNGKey(1)
+        _, l_sep = t_sep.train_steps(st_sep, anchors, rng)
+        _, l_fus = t_fus.train_steps(st_fus, anchors, rng)
+        np.testing.assert_allclose(np.asarray(l_sep), np.asarray(l_fus),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_fused_rejects_quantized(self):
+        dg = _toy_graph()
+        with pytest.raises(ValueError, match="unquantized"):
+            dg.with_neighbor_cache(fanout=3, agg="mean", quantize=True,
+                                   fuse_features=True)
+
+    def test_packed_sample_table_marks_isolated(self):
+        dg = _toy_graph().with_neighbor_cache(
+            fanout=3, agg="mean", table_fanouts=(4,))
+        packed = np.asarray(dg.sample_tables[4])
+        assert (packed[7] == -1).all() and (packed[13] == -1).all()
+        # non-isolated rows have at least one valid slot
+        deg = np.asarray(dg.degrees)
+        assert ((packed >= 0).any(axis=1) == (deg > 0)).all()

@@ -102,10 +102,11 @@ class TestStreamedParity:
 
     def test_sample_tables_match_device(self):
         dev, stream, n = _build_pair()
-        dev_ids, dev_mask = dev.graph.sample_tables[5]
+        packed = np.asarray(dev.graph.sample_tables[5])  # -1 = invalid slot
         host_ids, host_mask = stream.store.sample_tables[5]
-        np.testing.assert_array_equal(np.asarray(dev_ids), host_ids)
-        np.testing.assert_array_equal(np.asarray(dev_mask), host_mask)
+        np.testing.assert_array_equal(packed >= 0, host_mask)
+        np.testing.assert_array_equal(
+            np.where(packed >= 0, packed, 0), np.where(host_mask, host_ids, 0))
 
     def test_hopcache_agg_matches_device(self):
         dev, stream, n = _build_pair()
