@@ -177,3 +177,62 @@ class SimpleHGNConv(nn.Module):
         att = jnp.where(mask[..., None], att, 0.0)
         agg = jnp.einsum("mkh,mkhd->mhd", att, val).reshape(M, self.out_dim)
         return agg + self.w_res(x_dst)
+
+
+class RGCNConv(nn.Module):
+    """Relational GCN conv (dense typed-block form).
+
+    h_v = W_self x_v + sum_r mean_{u in N_r(v)} W_r x_u  — the per-relation
+    SpMM of Schlichtkrull et al.'s RGCN, with optional basis decomposition
+    (W_r = sum_b a_rb B_b) to keep parameters O(bases) when the relation set
+    is large. BASELINE.md milestone "Heterogeneous RGCN link prediction on
+    OGB-MAG (typed edges, per-relation SpMM)"; the reference itself covers
+    typed-edge modeling through HGT/SimpleHGN
+    (pyg/heterogeneous.py:18,122) — RGCN is the classical baseline those
+    generalize, included here for the OGB-MAG parity config.
+    """
+
+    out_dim: int
+    node_types: Tuple[str, ...]
+    edge_types: Tuple[str, ...]
+    num_bases: int = 0  # 0 = full per-relation weights
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        glorot = nn.initializers.glorot_uniform()
+        self.w_self = nn.Dense(self.out_dim, dtype=self.dtype, name="w_self")
+        if self.num_bases > 0:
+            # Basis weights are lazily shaped at first call (input dim not
+            # known at setup in flax linen) via nn.DenseGeneral on stacked
+            # bases: use per-relation coefficient vectors over shared bases.
+            self.basis_coeff = self.param(
+                "basis_coeff", glorot,
+                (len(self.edge_types), self.num_bases), jnp.float32)
+            self.bases = [
+                nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
+                         name=f"basis_{b}")
+                for b in range(self.num_bases)
+            ]
+        else:
+            self.w_rel = {
+                et: nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
+                             name=f"w_{_safe(et)}")
+                for et in self.edge_types
+            }
+
+    def _rel_transform(self, et: str, x: jnp.ndarray) -> jnp.ndarray:
+        if self.num_bases > 0:
+            ri = self.edge_types.index(et)
+            coeff = self.basis_coeff[ri].astype(self.dtype)
+            stacked = jnp.stack([b(x) for b in self.bases], axis=0)
+            return jnp.tensordot(coeff, stacked, axes=((0,), (0,)))
+        return self.w_rel[et](x)
+
+    def __call__(self, x_dst, dst_node_type: str, children, train=False):
+        out = self.w_self(x_dst)
+        for x_nbr, mask, et, _src_nt in children:
+            m = mask.astype(self.dtype)[..., None]          # [M, K, 1]
+            denom = jnp.maximum(m.sum(axis=1), 1.0)         # [M, 1]
+            mean_x = (x_nbr * m).sum(axis=1) / denom        # [M, D_in]
+            out = out + self._rel_transform(et, mean_x)
+        return out

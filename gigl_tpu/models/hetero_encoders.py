@@ -19,11 +19,16 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gigl_tpu.models.hetero_convs import HGTConv, SimpleHGNConv, _safe
+from gigl_tpu.models.hetero_convs import (
+    HGTConv,
+    RGCNConv,
+    SimpleHGNConv,
+    _safe,
+)
 from gigl_tpu.models.layers import l2_normalize
 from gigl_tpu.sampling.hetero_sampler import OpSpec, TypedBlocks
 
-HETERO_CONV_TYPES = ("hgt", "simple_hgn")
+HETERO_CONV_TYPES = ("hgt", "simple_hgn", "rgcn")
 
 
 class HeteroGNNEncoder(nn.Module):
@@ -42,6 +47,7 @@ class HeteroGNNEncoder(nn.Module):
     num_layers: int = 2
     conv: str = "hgt"
     heads: int = 4
+    num_bases: int = 0  # rgcn basis decomposition (0 = per-relation weights)
     dropout: float = 0.0
     l2_normalize_output: bool = False
     final_linear: bool = True
@@ -61,6 +67,10 @@ class HeteroGNNEncoder(nn.Module):
             "simple_hgn": lambda i: SimpleHGNConv(
                 out_dim=self.hid_dim, node_types=self.node_types,
                 edge_types=self.edge_types, heads=self.heads,
+                dtype=self.dtype, name=f"conv_{i}"),
+            "rgcn": lambda i: RGCNConv(
+                out_dim=self.hid_dim, node_types=self.node_types,
+                edge_types=self.edge_types, num_bases=self.num_bases,
                 dtype=self.dtype, name=f"conv_{i}"),
         }
         if self.conv not in mk:
@@ -151,6 +161,7 @@ def hetero_encoder_from_config(
         num_layers=geti("num_layers", 2),
         conv=str(args.get("conv", "hgt")),
         heads=geti("num_heads", 4),
+        num_bases=geti("num_bases", 0),
         dropout=float(args.get("dropout", 0.0)),
         l2_normalize_output=getb(
             "should_l2_normalize_embedding_layer_output", False),

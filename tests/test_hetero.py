@@ -198,7 +198,7 @@ class TestTypedSampling:
 
 
 class TestHeteroEncoders:
-    @pytest.mark.parametrize("conv", ["hgt", "simple_hgn"])
+    @pytest.mark.parametrize("conv", ["hgt", "simple_hgn", "rgcn"])
     def test_forward_shapes(self, conv):
         g = get_mocked_graph(HETEROGENEOUS_TOY_GRAPH)
         et = EdgeType("author", "writes", "paper")
@@ -225,7 +225,7 @@ class TestHeteroEncoders:
         assert out.shape == (6, 8)
         assert np.isfinite(np.asarray(out)).all()
 
-    @pytest.mark.parametrize("conv", ["hgt", "simple_hgn"])
+    @pytest.mark.parametrize("conv", ["hgt", "simple_hgn", "rgcn"])
     def test_masked_slots_do_not_affect_output(self, conv):
         """Changing features of masked (padded) neighbor slots must not
         change the root embeddings."""
@@ -329,3 +329,63 @@ class TestHeteroTrainer:
             state, users[:48], users[48:], batch_size=16, num_epochs=3,
             val_every_n_batches=5, num_val_batches=2)
         assert "mrr" in metrics and 0.0 <= metrics["mrr"] <= 1.0
+
+
+class TestRGCN:
+    """RGCNConv math: h = W_self x + sum_r mean_r(W_r x_nbr)."""
+
+    def test_exact_math_single_layer(self):
+        from gigl_tpu.models.hetero_convs import RGCNConv
+
+        rng = np.random.default_rng(0)
+        M, K, D = 5, 4, 6
+        x_dst = rng.normal(size=(M, D)).astype(np.float32)
+        x_nbr = rng.normal(size=(M, K, D)).astype(np.float32)
+        mask = rng.random((M, K)) > 0.4
+        mask[0] = False  # fully-masked row: relation contributes 0
+        conv = RGCNConv(out_dim=3, node_types=("a", "b"),
+                        edge_types=("a-r-b",))
+        params = conv.init(jax.random.PRNGKey(0), jnp.asarray(x_dst), "b",
+                           [(jnp.asarray(x_nbr), jnp.asarray(mask), "a-r-b",
+                             "a")])
+        out = conv.apply(params, jnp.asarray(x_dst), "b",
+                         [(jnp.asarray(x_nbr), jnp.asarray(mask), "a-r-b",
+                           "a")])
+        p = params["params"]
+        w_self, b_self = np.asarray(p["w_self"]["kernel"]), np.asarray(
+            p["w_self"]["bias"])
+        w_rel = np.asarray(p["w_a-r-b"]["kernel"])
+        m = mask.astype(np.float32)[..., None]
+        mean_x = (x_nbr * m).sum(1) / np.maximum(m.sum(1), 1.0)
+        expect = x_dst @ w_self + b_self + mean_x @ w_rel
+        np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5,
+                                   atol=1e-5)
+
+    def test_basis_decomposition_param_count(self):
+        from gigl_tpu.models.hetero_convs import RGCNConv
+
+        ets = tuple(f"a-r{i}-b" for i in range(6))
+        x = jnp.ones((2, 8))
+        children = [(jnp.ones((2, 3, 8)), jnp.ones((2, 3), bool), et, "a")
+                    for et in ets]
+        conv = RGCNConv(out_dim=4, node_types=("a", "b"), edge_types=ets,
+                        num_bases=2)
+        params = conv.init(jax.random.PRNGKey(0), x, "b", children)
+        p = params["params"]
+        assert "basis_coeff" in p and "basis_0" in p and "basis_1" in p
+        assert not any(k.startswith("w_a-r") for k in p)
+        out = conv.apply(params, x, "b", children)
+        assert out.shape == (2, 4) and np.isfinite(np.asarray(out)).all()
+
+    def test_rgcn_trains(self):
+        trainer, g = TestHeteroTrainer._make_trainer(
+            TestHeteroTrainer(), conv="rgcn")
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=16)
+        rng = jax.random.PRNGKey(1)
+        l0 = lN = None
+        for step in range(15):
+            rng, srng = jax.random.split(rng)
+            state, loss = trainer.train_step(state, np.arange(16), srng)
+            l0 = float(loss) if l0 is None else l0
+            lN = float(loss)
+        assert lN < l0
