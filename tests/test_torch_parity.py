@@ -1,0 +1,184 @@
+"""Per-layer activation parity against independent torch re-derivations.
+
+BASELINE.md requires "per-layer activations allclose" against the
+reference's model semantics. The reference's convs are PyG layers
+(ref: python/gigl/src/common/models/pyg/homogeneous.py:31-534); PyG is not
+installed here, so each layer's published math is RE-DERIVED in plain torch
+inside the test (same approach as tests/test_losses.py) and evaluated with
+the flax layer's own weights on the same small full graph (COO path — no
+sampling, so the comparison is exact up to float tolerance).
+
+Formulas (standard definitions the PyG layers implement):
+  SAGE (mean):   h_i = W_s x_i + b + W_n mean_{j->i} x_j
+  GCN:           h_i = W (sum_{j->i} x_j / sqrt((d_i+1)(d_j+1)) + x_i/(d_i+1)) + b
+  GIN:           h_i = MLP((1+eps) x_i + sum_{j->i} x_j)
+  GAT v1:        a_ij = softmax_j LeakyReLU(a_s.(W_s x_j) + a_d.(W_d x_i))
+                 h_i = concat_h sum_j a_ij (W_s x_j) + b
+  GATv2:         logits = a . LeakyReLU(W_s x_j + W_d x_i)
+  Transformer:   a_ij = softmax_j (<W_q x_i, W_k x_j> / sqrt(Dh))
+                 h_i = concat_h sum_j a_ij (W_v x_j) + W_skip x_i
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from gigl_tpu.models.convs import (
+    GATConv,
+    GCNConv,
+    GINConv,
+    SAGEConv,
+    TransformerConv,
+)
+from gigl_tpu.models.encoders import GNNEncoder
+
+N, E, DIN, DOUT = 30, 150, 6, 8
+
+
+def _graph(seed=0):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, N, E).astype(np.int64)
+    dst = rng.integers(0, N, E).astype(np.int64)
+    x = rng.normal(size=(N, DIN)).astype(np.float32)
+    return src, dst, x
+
+
+def _coo_apply(conv, x, src, dst):
+    params = conv.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                       jnp.asarray(src, jnp.int32), jnp.asarray(dst, jnp.int32),
+                       N, method="coo")
+    out = conv.apply(params, jnp.asarray(x), jnp.asarray(src, jnp.int32),
+                     jnp.asarray(dst, jnp.int32), N, method="coo")
+    return np.asarray(out), jax.tree_util.tree_map(np.asarray,
+                                                   params["params"])
+
+
+def _t(a):
+    return torch.tensor(np.asarray(a, np.float32))
+
+
+def _scatter_sum(msgs, dst, n):
+    out = torch.zeros((n,) + msgs.shape[1:], dtype=msgs.dtype)
+    idx = torch.tensor(dst).reshape((-1,) + (1,) * (msgs.dim() - 1))
+    return out.scatter_add(0, idx.expand_as(msgs), msgs)
+
+
+class TestConvParity:
+    def test_sage_mean(self):
+        src, dst, x = _graph()
+        out, p = _coo_apply(SAGEConv(out_dim=DOUT), x, src, dst)
+        xt = _t(x)
+        deg = _scatter_sum(torch.ones(E, 1), dst, N).clamp(min=1)
+        mean = _scatter_sum(xt[src], dst, N) / deg
+        expect = (xt @ _t(p["lin_self"]["kernel"]) + _t(p["lin_self"]["bias"])
+                  + mean @ _t(p["lin_nbr"]["kernel"]))
+        np.testing.assert_allclose(out, expect.numpy(), rtol=1e-5, atol=1e-5)
+
+    def test_gcn(self):
+        src, dst, x = _graph()
+        out, p = _coo_apply(GCNConv(out_dim=DOUT), x, src, dst)
+        xt = _t(x)
+        ones = torch.ones(E)
+        d_in = _scatter_sum(ones.unsqueeze(1), dst, N).squeeze(1) + 1.0
+        d_out = _scatter_sum(ones.unsqueeze(1), src, N).squeeze(1) + 1.0
+        w = (d_in[dst] * d_out[src]).rsqrt()
+        agg = _scatter_sum(xt[src] * w[:, None], dst, N)
+        agg = agg + xt / d_in[:, None]
+        expect = agg @ _t(p["lin"]["kernel"]) + _t(p["lin"]["bias"])
+        np.testing.assert_allclose(out, expect.numpy(), rtol=1e-5, atol=1e-5)
+
+    def test_gin(self):
+        src, dst, x = _graph()
+        out, p = _coo_apply(GINConv(out_dim=DOUT), x, src, dst)
+        xt = _t(x)
+        eps = float(p["eps"])
+        agg = _scatter_sum(xt[src], dst, N)
+        h = (1.0 + eps) * xt + agg
+        mk = p["mlp"]["layers_0"], p["mlp"]["layers_2"]
+        h = torch.relu(h @ _t(mk[0]["kernel"]) + _t(mk[0]["bias"]))
+        expect = h @ _t(mk[1]["kernel"]) + _t(mk[1]["bias"])
+        np.testing.assert_allclose(out, expect.numpy(), rtol=1e-5, atol=1e-5)
+
+    def _segment_softmax_torch(self, logits, dst, n):
+        # logits [E, H] -> per-dst softmax
+        neg = torch.finfo(torch.float32).min
+        m = torch.full((n, logits.shape[1]), neg)
+        m = m.scatter_reduce(0, torch.tensor(dst)[:, None].expand_as(logits),
+                             logits, reduce="amax", include_self=True)
+        m = torch.where(torch.isfinite(m), m, torch.zeros_like(m))
+        ex = torch.exp(logits - m[dst])
+        denom = _scatter_sum(ex, dst, n).clamp(min=1e-16)
+        return ex / denom[dst]
+
+    @pytest.mark.parametrize("v2", [False, True])
+    def test_gat(self, v2):
+        src, dst, x = _graph()
+        heads = 2
+        out, p = _coo_apply(GATConv(out_dim=DOUT, heads=heads, v2=v2),
+                            x, src, dst)
+        xt = _t(x)
+        H, Dh = heads, DOUT // heads
+        hs = (xt @ _t(p["lin_src"]["kernel"])).reshape(N, H, Dh)[src]
+        hd = (xt @ _t(p["lin_dst"]["kernel"])).reshape(N, H, Dh)[dst]
+        if v2:
+            z = torch.nn.functional.leaky_relu(hs + hd, 0.2)
+            logits = torch.einsum("ehd,hd->eh", z, _t(p["att"]))
+        else:
+            logits = torch.nn.functional.leaky_relu(
+                torch.einsum("ehd,hd->eh", hs, _t(p["att_src"]))
+                + torch.einsum("ehd,hd->eh", hd, _t(p["att_dst"])), 0.2)
+        alpha = self._segment_softmax_torch(logits, dst, N)
+        msgs = (alpha[..., None] * hs).reshape(E, H * Dh)
+        expect = _scatter_sum(msgs, dst, N) + _t(p["bias"])
+        np.testing.assert_allclose(out, expect.numpy(), rtol=1e-4, atol=1e-4)
+
+    def test_transformer(self):
+        src, dst, x = _graph()
+        heads = 2
+        out, p = _coo_apply(TransformerConv(out_dim=DOUT, heads=heads),
+                            x, src, dst)
+        xt = _t(x)
+        H, Dh = heads, DOUT // heads
+
+        def lin(name):
+            return (xt @ _t(p[name]["kernel"]) + _t(p[name]["bias"]))
+
+        q = lin("lin_q").reshape(N, H, Dh)[dst]
+        k = lin("lin_k").reshape(N, H, Dh)[src]
+        v = lin("lin_v").reshape(N, H, Dh)[src]
+        logits = (q * k).sum(-1) / np.sqrt(Dh)
+        alpha = self._segment_softmax_torch(logits, dst, N)
+        msgs = (alpha[..., None] * v).reshape(E, H * Dh)
+        expect = _scatter_sum(msgs, dst, N) + lin("lin_skip")
+        np.testing.assert_allclose(out, expect.numpy(), rtol=1e-4, atol=1e-4)
+
+
+class TestEncoderStackParity:
+    def test_two_layer_sage_stack(self):
+        """Full 2-layer encoder (relu between layers, none after the last)
+        vs the same math in torch — the BasicHomogeneousGNN.forward stacking
+        semantics (homogeneous.py:110-155)."""
+        src, dst, x = _graph()
+        enc = GNNEncoder(hid_dim=16, out_dim=DOUT, num_layers=2,
+                         conv="graphsage")
+        params = enc.init(jax.random.PRNGKey(1), jnp.asarray(x),
+                          jnp.asarray(src, jnp.int32),
+                          jnp.asarray(dst, jnp.int32), N, method="encode_coo")
+        out = np.asarray(enc.apply(
+            params, jnp.asarray(x), jnp.asarray(src, jnp.int32),
+            jnp.asarray(dst, jnp.int32), N, method="encode_coo"))
+        p = jax.tree_util.tree_map(np.asarray, params["params"])
+
+        def sage(xt, layer):
+            deg = _scatter_sum(torch.ones(E, 1), dst, N).clamp(min=1)
+            mean = _scatter_sum(xt[src], dst, N) / deg
+            return (xt @ _t(layer["lin_self"]["kernel"])
+                    + _t(layer["lin_self"]["bias"])
+                    + mean @ _t(layer["lin_nbr"]["kernel"]))
+
+        h = torch.relu(sage(_t(x), p["conv_0"]))
+        expect = sage(h, p["conv_1"])
+        np.testing.assert_allclose(out, expect.numpy(), rtol=1e-4, atol=1e-4)
