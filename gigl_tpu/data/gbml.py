@@ -705,3 +705,47 @@ def sampled_blocks_to_rooted_neighborhoods(
                 edges=edges),
         ))
     return out
+
+
+# ---------------------------------------------------------------------------
+# sample output validation (the prod-path validator, not just a test helper)
+# ---------------------------------------------------------------------------
+
+def validate_samples(samples, metadata: Optional[GraphMetadata] = None) -> int:
+    """Validate emitted samples the way the reference's SGS does.
+
+    Ref parity: TaskOutputValidator.validateMainSamples /
+    validateRootedNodeNeighborhoodSamples (scala/subgraph_sampler/src/main/
+    scala/libs/task/TaskOutputValidator.scala:29,60): for every edge of a
+    sample — neighborhood edges plus, for NALP samples, pos/neg/hard-neg
+    supervision edges — both typed endpoints (node_id, condensed_node_type
+    per the edge's condensed type and the metadata map) must be present in
+    the sample's neighborhood node set. Raises ValueError on the first
+    violation; returns the number of samples validated.
+    """
+    metadata = metadata or GraphMetadata.homogeneous()
+    cet_map = dict(metadata.condensed_edge_type_map)
+    nt_to_cnt = {str(v): int(k)
+                 for k, v in metadata.condensed_node_type_map.items()}
+    count = 0
+    for s in samples:
+        nodes = {(n.node_id, n.condensed_node_type or 0)
+                 for n in s.neighborhood.nodes}
+        edges = list(s.neighborhood.edges)
+        edges += list(getattr(s, "pos_edges", ()))
+        edges += list(getattr(s, "neg_edges", ()))
+        edges += list(getattr(s, "hard_neg_edges", ()))
+        for e in edges:
+            et = cet_map[e.condensed_edge_type or 0]
+            endpoints = (
+                (e.src_node_id, nt_to_cnt[str(et.src_node_type)]),
+                (e.dst_node_id, nt_to_cnt[str(et.dst_node_type)]),
+            )
+            for ep in endpoints:
+                if ep not in nodes:
+                    raise ValueError(
+                        f"Output validation failed: node {ep} of edge "
+                        f"({e.src_node_id} -> {e.dst_node_id}, type {et}) "
+                        f"not present in the sample's neighborhood nodes")
+        count += 1
+    return count

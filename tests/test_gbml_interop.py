@@ -458,3 +458,71 @@ class TestConfigImport:
     def test_not_a_gbml_config(self):
         with pytest.raises(ValueError, match="GbmlConfig"):
             task_config_from_gbml_dict({"foo": 1})
+
+
+class TestSampleValidation:
+    """TaskOutputValidator parity (TaskOutputValidator.scala:29-113)."""
+
+    def _valid_sample(self):
+        nodes = [gbml.GbmlNode(node_id=i, condensed_node_type=0)
+                 for i in (0, 1, 2)]
+        return gbml.NodeAnchorBasedLinkPredictionSamplePb(
+            root_node=nodes[0],
+            pos_edges=[gbml.GbmlEdge(0, 1, condensed_edge_type=0)],
+            hard_neg_edges=[gbml.GbmlEdge(0, 2, condensed_edge_type=0)],
+            neighborhood=gbml.GbmlGraph(
+                nodes=nodes, edges=[gbml.GbmlEdge(1, 0, 0),
+                                    gbml.GbmlEdge(2, 1, 0)]),
+        )
+
+    def test_valid_passes(self):
+        assert gbml.validate_samples([self._valid_sample()]) == 1
+
+    def test_dangling_supervision_edge_fails(self):
+        s = self._valid_sample()
+        s.pos_edges.append(gbml.GbmlEdge(0, 99, condensed_edge_type=0))
+        with pytest.raises(ValueError, match="99"):
+            gbml.validate_samples([s])
+
+    def test_dangling_neighborhood_edge_fails(self):
+        s = self._valid_sample()
+        s.neighborhood.edges.append(gbml.GbmlEdge(42, 0, 0))
+        with pytest.raises(ValueError, match="42"):
+            gbml.validate_samples([s])
+
+    def test_typed_endpoint_mismatch_fails(self):
+        md = GraphMetadata(node_types=("user", "item"),
+                           edge_types=(EdgeType("user", "buys", "item"),))
+        # neighborhood holds node 1 as an *item*; an edge claiming node 1 as
+        # its user-typed src endpoint must fail (typed-endpoint check).
+        item_cnt = {str(v): k for k, v in
+                    md.condensed_node_type_map.items()}["item"]
+        s = gbml.RootedNodeNeighborhoodPb(
+            root_node=gbml.GbmlNode(node_id=1,
+                                    condensed_node_type=item_cnt),
+            neighborhood=gbml.GbmlGraph(
+                nodes=[gbml.GbmlNode(node_id=1,
+                                     condensed_node_type=item_cnt)],
+                edges=[gbml.GbmlEdge(1, 1, condensed_edge_type=0)]),
+        )
+        with pytest.raises(ValueError, match="not present"):
+            gbml.validate_samples([s], md)
+
+    def test_exported_blocks_validate(self):
+        import jax.numpy as jnp
+
+        from gigl_tpu.graph.csr import HeteroGraph
+        from gigl_tpu.sampling.neighbor_sampler import (
+            DeviceCSR,
+            sample_blocks,
+        )
+
+        rng = np.random.default_rng(1)
+        src = rng.integers(0, 40, 200)
+        dst = rng.integers(0, 40, 200)
+        g = HeteroGraph.homogeneous(src=src, dst=dst, num_nodes=40)
+        csr = DeviceCSR.from_csr(g.csr(g.metadata.edge_types[0], "dst"))
+        blocks = sample_blocks(csr, jnp.arange(8, dtype=jnp.int32), (4, 3))
+        protos = gbml.sampled_blocks_to_rooted_neighborhoods(
+            blocks, condensed_node_type=0, condensed_edge_type=0)
+        assert gbml.validate_samples(protos) == 8
