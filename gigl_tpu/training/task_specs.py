@@ -195,6 +195,15 @@ class NodeAnchorLinkPredictionTaskSpec(BaseTrainer, BaseInferencer):
             use_cms_correction=str(args.get("use_cms_correction", "false")
                                    ).lower() in ("1", "true"),
             seed=int(args.get("seed", sp.seed)),
+            # Performance knobs (docs/performance.md): tabularized deepest-hop
+            # cache (v1 frozen-sample semantics), its fused feature+cache
+            # table, and int8 cache storage.
+            cached_hop=str(args.get("cached_hop", "false")
+                           ).lower() in ("1", "true"),
+            fused_cache=str(args.get("fused_cache", "false")
+                            ).lower() in ("1", "true"),
+            quantize_cache=str(args.get("quantize_cache", "false")
+                               ).lower() in ("1", "true"),
         )
         # Optional root-node downsampling of the train anchors (ref
         # num_max_training_samples_to_output, gbml_config.proto:111).

@@ -228,3 +228,22 @@ class TestRootNodeDownsampling:
         assert len(spec.splits[0]) == 40
         # val/test untouched.
         assert len(spec.splits[1]) > 0
+
+
+class TestPerfKnobArgs:
+    def test_tabularized_knobs_via_trainer_args(self):
+        """cached_hop / fused_cache / use_bf16 are config-surface knobs
+        (docs/performance.md) reachable from the flat trainerArgs map."""
+        g, _, _, _ = _clustered_graph()
+        cfg = _nalp_config(num_epochs="1", cached_hop="true",
+                           fused_cache="true", use_bf16="true")
+        spec = NodeAnchorLinkPredictionTaskSpec()
+        spec.init_model(cfg, graph=g)
+        assert spec.trainer.cfg.cached_hop is True
+        assert spec.trainer.cfg.fused_cache is True
+        assert spec.trainer.graph.nbr_cache is not None
+        assert spec.trainer.graph.fused_table is not None
+        import jax.numpy as jnp
+        assert spec.trainer.model.encoder.dtype == jnp.bfloat16
+        metrics = spec.train()
+        assert np.isfinite(metrics["mrr"])
