@@ -92,7 +92,7 @@ def build_neighbor_cache(
     return out.reshape(n_pad, -1)[:n]
 
 
-@partial(jax.jit, static_argnames=("fanout", "chunk"))
+@partial(jax.jit, static_argnames=("fanout", "chunk", "method"))
 def build_sample_table(
     csr: DeviceCSR,
     *,
@@ -100,6 +100,7 @@ def build_sample_table(
     seed=0,      # traced: refresh must not recompile
     hop_key=1,   # traced
     chunk: int = 16384,
+    method: str = "uniform",  # uniform | weighted | top_k (needs weights)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Frozen per-node neighbor-sample table: (ids [N, fanout] int32,
     mask [N, fanout] bool).
@@ -118,7 +119,7 @@ def build_sample_table(
 
     def one_chunk(node_ids):
         nbr, mask, _ = sample_neighbors(
-            csr, node_ids, fanout, seed=seed, hop=hop_key)
+            csr, node_ids, fanout, seed=seed, hop=hop_key, method=method)
         return nbr, mask
 
     nbr, mask = jax.lax.map(one_chunk, ids)

@@ -55,36 +55,50 @@ class HeteroDeviceGraph:
     supervision_csr: Optional[DeviceCSR] = None
     hard_neg_csr: Optional[DeviceCSR] = None
     node_labels: Optional[Dict[str, jnp.ndarray]] = None
+    # Frozen per-node sample tables for tabularized typed sampling, keyed
+    # "{csr_key}#{fanout}" -> packed ids [N_anchor, fanout] with -1 for
+    # invalid slots (same frozen-sample semantics as DeviceGraph's tables).
+    sample_tables: Optional[Dict[str, jnp.ndarray]] = None
 
     def tree_flatten(self):
         csr_keys = tuple(sorted(self.csrs))
         feat_keys = tuple(sorted(self.node_features))
         label_keys = (tuple(sorted(self.node_labels))
                       if self.node_labels is not None else None)
+        table_keys = (tuple(sorted(self.sample_tables))
+                      if self.sample_tables is not None else None)
         children = (
             tuple(self.csrs[k] for k in csr_keys)
             + tuple(self.node_features[k] for k in feat_keys)
             + (self.supervision_csr, self.hard_neg_csr)
             + (tuple(self.node_labels[k] for k in label_keys)
                if label_keys else ())
+            + (tuple(self.sample_tables[k] for k in table_keys)
+               if table_keys else ())
         )
-        aux = (csr_keys, feat_keys, label_keys,
+        aux = (csr_keys, feat_keys, label_keys, table_keys,
                tuple(sorted(self.num_nodes.items())))
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        csr_keys, feat_keys, label_keys, num_nodes_items = aux
+        csr_keys, feat_keys, label_keys, table_keys, num_nodes_items = aux
         nc, nf = len(csr_keys), len(feat_keys)
         csrs = dict(zip(csr_keys, children[:nc]))
         feats = dict(zip(feat_keys, children[nc: nc + nf]))
         sup, hard = children[nc + nf], children[nc + nf + 1]
+        pos = nc + nf + 2
         labels = None
         if label_keys is not None:
-            labels = dict(zip(label_keys, children[nc + nf + 2:]))
+            labels = dict(zip(label_keys, children[pos: pos + len(label_keys)]))
+            pos += len(label_keys)
+        tables = None
+        if table_keys is not None:
+            tables = dict(zip(table_keys, children[pos:]))
         return cls(csrs=csrs, node_features=feats,
                    num_nodes=dict(num_nodes_items), supervision_csr=sup,
-                   hard_neg_csr=hard, node_labels=labels)
+                   hard_neg_csr=hard, node_labels=labels,
+                   sample_tables=tables)
 
     # -- construction ----------------------------------------------------------
     @classmethod
@@ -165,6 +179,63 @@ class HeteroDeviceGraph:
                               for nt, n in graph.num_nodes.items()},
                    supervision_csr=sup_csr, hard_neg_csr=hn_csr,
                    node_labels=labels)
+
+    # -- tabularized sampling ---------------------------------------------------
+    def with_sample_tables(
+        self,
+        paths: Dict[str, Tuple[OpSpec, ...]],
+        *,
+        seed: int = 0,
+    ) -> "HeteroDeviceGraph":
+        """Return a copy with frozen per-node sample tables for every
+        (csr, fanout, method) any op in ``paths`` uses — the typed analog of
+        DeviceGraph.with_neighbor_cache(table_fanouts=...): in-step hop
+        expansion becomes ONE packed row gather per op (measured 8x over
+        per-slot CSR element gathers on v5e, docs/performance.md). Frozen
+        semantics: a node reuses its one per-(csr, fanout) sample at every
+        tree position — the reference v1 precomputed-sample regime.
+        Rebuilding with a new seed is the Subgraph Sampler re-run analog."""
+        import dataclasses
+
+        from gigl_tpu.ops.hopcache import build_sample_table
+
+        tables: Dict[str, jnp.ndarray] = dict(self.sample_tables or {})
+        for ops in paths.values():
+            for op in ops:
+                key = f"{op.csr_key}#{op.fanout}"
+                if key in tables:
+                    continue
+                ids_t, mask_t = build_sample_table(
+                    self.csrs[op.csr_key], fanout=int(op.fanout), seed=seed,
+                    hop_key=1, method=op.method)
+                tables[key] = jnp.where(mask_t, ids_t, -1)
+        return dataclasses.replace(self, sample_tables=tables)
+
+    def sample_tabularized(self, roots: jnp.ndarray, root_node_type: str,
+                           spec: Tuple[OpSpec, ...]) -> TypedBlocks:
+        """Execute the op tree against the frozen sample tables (one packed
+        row gather per op). Requires with_sample_tables(paths) first."""
+        if self.sample_tables is None:
+            raise ValueError("no sample tables; with_sample_tables() first")
+        roots = roots.reshape(-1).astype(jnp.int32)
+        node_ids = [roots]
+        masks = [jnp.ones(roots.shape, dtype=bool)]
+        edge_slots: List[Optional[jnp.ndarray]] = [None]
+        for op in spec:
+            key = f"{op.csr_key}#{op.fanout}"
+            if key not in self.sample_tables:
+                raise ValueError(f"no sample table {key!r}; have "
+                                 f"{sorted(self.sample_tables)}")
+            frontier = node_ids[op.parent + 1]
+            parent_mask = masks[op.parent + 1]
+            row = self.sample_tables[key][frontier]   # -1 = invalid slot
+            m = (row >= 0) & parent_mask[..., None]
+            node_ids.append(jnp.where(m, row, 0))
+            masks.append(m)
+            edge_slots.append(None)
+        return TypedBlocks(root_node_type=str(root_node_type),
+                           spec=tuple(spec), node_ids=node_ids, masks=masks,
+                           edge_slots=edge_slots)
 
     # -- device-side ops -------------------------------------------------------
     def sample(self, roots: jnp.ndarray, root_node_type: str,

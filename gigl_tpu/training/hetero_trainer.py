@@ -49,6 +49,11 @@ class HeteroNALPTrainerConfig:
     remove_accidental_hits: bool = True
     eval_ks: Tuple[int, ...] = (1, 5, 10, 50, 100)
     seed: int = 0
+    # Tabularized typed sampling: frozen per-(csr, fanout) sample tables,
+    # one packed row gather per op instead of per-slot CSR element gathers
+    # (8x sampling throughput, docs/performance.md; the v1 frozen-sample
+    # regime). refresh_tables(epoch) is the Subgraph Sampler re-run analog.
+    tabularized: bool = False
 
 
 class HeteroNALPTrainer:
@@ -76,14 +81,27 @@ class HeteroNALPTrainer:
         self._encode_step = jax.jit(self._encode_impl,
                                     static_argnums=(3, 4, 5))
         self._init_params = jax.jit(self._init_params_impl)
+        if self.cfg.tabularized:
+            self.refresh_tables(0)
+
+    # -- tabularized sampling ----------------------------------------------------
+    def refresh_tables(self, epoch: int = 0) -> None:
+        """(Re)freeze the per-node samples with a new seed — the typed
+        analog of NALPTrainer.refresh_cache."""
+        self.graph = self.graph.with_sample_tables(
+            self.paths, seed=self.cfg.seed + 1_299_709 * epoch)
 
     # -- encoding --------------------------------------------------------------
     def _encode_impl(self, graph: HeteroDeviceGraph, params,
                      node_ids: jnp.ndarray, node_type: str,
                      seed_offset: int, train: bool, rng=None):
         shape = node_ids.shape
-        blocks = graph.sample(node_ids, node_type, self.paths[node_type],
-                              seed=self.cfg.seed + seed_offset)
+        if self.cfg.tabularized and graph.sample_tables is not None:
+            blocks = graph.sample_tabularized(node_ids, node_type,
+                                              self.paths[node_type])
+        else:
+            blocks = graph.sample(node_ids, node_type, self.paths[node_type],
+                                  seed=self.cfg.seed + seed_offset)
         feats, _ = graph.hydrate(blocks)
         rngs = {"dropout": rng} if (train and rng is not None) else None
         emb = self.model.apply(params, blocks, feats, train=train, rngs=rngs)
@@ -287,6 +305,8 @@ class HeteroNALPTrainer:
         global_step, stop = 0, False
         t0 = time.time()
         for epoch in range(num_epochs):
+            if self.cfg.tabularized and epoch > 0:
+                self.refresh_tables(epoch)
             for anchors in it.epoch(epoch):
                 rng, srng = jax.random.split(rng)
                 state, loss = self.train_step(state, anchors, srng)
