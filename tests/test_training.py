@@ -206,3 +206,43 @@ class TestCheckpoint:
                         {"w": jnp.full((2,), float(step))}, step=step)
         got = restore_params(str(tmp_path / "c"))
         np.testing.assert_array_equal(np.asarray(got["w"]), [5.0, 5.0])
+
+
+class TestTrainStateCheckpoint:
+    """Full-state mid-training resume (beyond the reference's end-of-run
+    params-only save)."""
+
+    def test_save_restore_resume_exact(self, tmp_path):
+        import jax
+
+        from gigl_tpu.training.checkpoint import (
+            latest_step,
+            restore_train_state,
+            save_train_state,
+        )
+
+        tr, anchor_pool = _nalp_setup()
+        st = tr.init_state(jax.random.PRNGKey(0), batch_size=8)
+        anchors = (np.arange(8 * 6).reshape(6, 8) % len(anchor_pool)).astype(np.int32)
+        rng = jax.random.PRNGKey(1)
+        st, _ = tr.train_steps(st, anchors[:3], rng)
+        # jnp.copy: train_steps donates its input state buffers.
+        snap = jax.tree_util.tree_map(
+            lambda x: jnp.copy(x) if hasattr(x, "dtype") else x, st)
+        save_train_state(str(tmp_path / "ck"), snap, step=3)
+        assert latest_step(str(tmp_path / "ck")) == 3
+
+        # Continue A: from the live state.
+        st_a, losses_a = tr.train_steps(st, anchors[3:], rng)
+        # Continue B: from the restored checkpoint.
+        template = tr.init_state(jax.random.PRNGKey(0), batch_size=8)
+        restored = restore_train_state(str(tmp_path / "ck"), template)
+        assert int(restored.step) == 3
+        st_b, losses_b = tr.train_steps(restored, anchors[3:], rng)
+        np.testing.assert_allclose(np.asarray(losses_a),
+                                   np.asarray(losses_b), rtol=1e-6)
+
+    def test_latest_step_empty(self, tmp_path):
+        from gigl_tpu.training.checkpoint import latest_step
+
+        assert latest_step(str(tmp_path / "nope")) is None
