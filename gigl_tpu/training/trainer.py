@@ -427,11 +427,27 @@ class NALPTrainer:
         early_stop_patience: int = 5,
         log_every: int = 50,
         scalar_logger=None,
+        checkpoint_dir: Optional[str] = None,
     ) -> Tuple[TrainState, Dict[str, float]]:
         """Ref parity: the NALP train loop (modeling_task_spec:334+) — batch
         loop with periodic validation + early stopping on val MRR.
         ``scalar_logger``: optional utils.scalar_log.ScalarLogger — streams
-        loss/eval scalars (the should_log_to_tensorboard analog)."""
+        loss/eval scalars (the should_log_to_tensorboard analog).
+        ``checkpoint_dir``: when set, the FULL train state is checkpointed at
+        every validation point and, if a checkpoint already exists there,
+        training auto-resumes from it (preemption recovery — beyond the
+        reference's end-of-run params-only save; training/checkpoint.py)."""
+        if checkpoint_dir is not None:
+            from gigl_tpu.training.checkpoint import (
+                latest_step,
+                restore_train_state,
+            )
+
+            resume_step = latest_step(checkpoint_dir)
+            if resume_step is not None:
+                state = restore_train_state(checkpoint_dir, state)
+                logger.info("resumed from %s at step %d", checkpoint_dir,
+                            resume_step)
         it = AnchorBatchIterator(train_anchors, batch_size, seed=self.cfg.seed)
         # Val batches must exist even when the val split is smaller than the
         # train batch size (pad-free: shrink the eval batch instead).
@@ -441,6 +457,7 @@ class NALPTrainer:
         stopper = EarlyStopper(patience=early_stop_patience)
         rng = jax.random.PRNGKey(self.cfg.seed)
         global_step = 0
+        resume_past = int(state.step)  # 0 on a fresh state
         t0 = time.time()
         stop = False
         for epoch in range(num_epochs):
@@ -454,6 +471,11 @@ class NALPTrainer:
             for start in range(0, len(batches), val_every_n_batches):
                 chunk = batches[start: start + val_every_n_batches]
                 rng, chunk_rng = jax.random.split(rng)
+                if global_step + len(chunk) <= resume_past:
+                    # Already covered by the restored checkpoint (checkpoints
+                    # land on chunk boundaries, so skipping is exact).
+                    global_step += len(chunk)
+                    continue
                 state, losses = self.train_steps(state, chunk, chunk_rng)
                 global_step += len(chunk)
                 if log_every:
@@ -472,6 +494,17 @@ class NALPTrainer:
                     logger.info("eval @%d: %s", global_step, metrics)
                     if scalar_logger is not None:
                         scalar_logger.log(global_step, **metrics)
+                    if checkpoint_dir is not None:
+                        from gigl_tpu.training.checkpoint import (
+                            save_train_state,
+                        )
+
+                        full_snap = jax.tree_util.tree_map(
+                            lambda x: (jnp.copy(x)
+                                       if hasattr(x, "dtype") else x),
+                            state)
+                        save_train_state(checkpoint_dir, full_snap,
+                                         step=global_step)
                     # Snapshot (on-device copy): state buffers are donated
                     # into the next scan chunk, so a bare reference would
                     # point at freed buffers.
