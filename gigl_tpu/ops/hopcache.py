@@ -48,7 +48,7 @@ from gigl_tpu.sampling.neighbor_sampler import DeviceCSR, sample_neighbors
 CACHEABLE_AGGS = ("mean", "sum", "gcn")
 
 
-@partial(jax.jit, static_argnames=("fanout", "agg", "chunk"))
+@partial(jax.jit, static_argnames=("fanout", "agg", "chunk", "method"))
 def build_neighbor_cache(
     csr: DeviceCSR,
     features: jnp.ndarray,          # [N, D]
@@ -59,6 +59,7 @@ def build_neighbor_cache(
     agg: str = "mean",
     degrees: Optional[jnp.ndarray] = None,  # [N] float (for agg="gcn")
     chunk: int = 8192,
+    method: str = "uniform",  # uniform | weighted | top_k (needs weights)
 ) -> jnp.ndarray:
     """Per-node sampled-neighbor aggregate table M [N, D].
 
@@ -77,7 +78,7 @@ def build_neighbor_cache(
 
     def one_chunk(node_ids):
         nbr, mask, _ = sample_neighbors(
-            csr, node_ids, fanout, seed=seed, hop=hop_key)
+            csr, node_ids, fanout, seed=seed, hop=hop_key, method=method)
         x = features[nbr]                                     # [C, k, D]
         if agg == "mean":
             return masked_mean(x, mask)

@@ -128,12 +128,18 @@ class DeviceGraph:
         edge_type: Optional[EdgeType] = None,
         sampling_direction: str = "in",
         quantize_features: bool = False,
+        sampling_weight_index: Optional[int] = None,
     ) -> "DeviceGraph":
         """``quantize_features``: store node features as an int8
         per-row-scaled QuantizedTable (ops/pallas_kernels.py) — 4x less
         HBM; gathers dequantize on the fly. Throughput is unchanged
         (gathers are row-count bound, docs/performance.md); this is a
-        CAPACITY lever for the MAG240M regime."""
+        CAPACITY lever for the MAG240M regime.
+
+        ``sampling_weight_index``: column of the edge features to use as
+        per-edge sampling weights, enabling method="weighted"/"top_k"
+        neighbor sampling (ref: RandomWeighted/TopK sampling ops,
+        subgraph_sampling_strategy.proto:11-19)."""
         et = edge_type or graph.metadata.edge_types[0]
         nt = et.dst_node_type if sampling_direction == "in" else et.src_node_type
         anchor = "dst" if sampling_direction == "in" else "src"
@@ -173,8 +179,15 @@ class DeviceGraph:
             feats_dev = QuantizedTable.quantize(np.asarray(feats))
         else:
             feats_dev = jnp.asarray(np.asarray(feats), dtype=jnp.float32)
+        sampling_weights = None
+        if sampling_weight_index is not None:
+            if edge_features is None:
+                raise ValueError(
+                    "sampling_weight_index requires edge features")
+            sampling_weights = np.asarray(
+                edge_features[:, sampling_weight_index])
         return cls(
-            message_csr=DeviceCSR.from_csr(csr),
+            message_csr=DeviceCSR.from_csr(csr, edge_weights=sampling_weights),
             node_features=feats_dev,
             num_nodes=n,
             supervision_csr=sup_csr,
@@ -232,9 +245,10 @@ class DeviceGraph:
         fanouts: Sequence[int],
         *,
         seed: int = 0,
+        method: str = "uniform",
     ) -> SampledBlocks:
         return sample_blocks(self.message_csr, node_ids.reshape(-1),
-                             fanouts, seed=seed)
+                             fanouts, seed=seed, method=method)
 
     def hydrate(self, blocks: SampledBlocks):
         """Gather hop features (+ per-hop degrees) for encoder input."""
@@ -254,6 +268,7 @@ class DeviceGraph:
         table_fanouts: Optional[Sequence[int]] = None,
         quantize: bool = False,
         fuse_features: bool = False,
+        method: str = "uniform",
     ) -> "DeviceGraph":
         """Return a copy with the v1 "tabularized" sampling tables
         precomputed (ops/hopcache.py — one frozen sample per node per
@@ -273,7 +288,7 @@ class DeviceGraph:
         cache = build_neighbor_cache(
             self.message_csr, self.node_features,
             fanout=fanout, seed=seed, hop_key=hop_key, agg=agg,
-            degrees=self.degrees)
+            degrees=self.degrees, method=method)
         if quantize:
             from gigl_tpu.ops.pallas_kernels import QuantizedTable
 
@@ -286,7 +301,8 @@ class DeviceGraph:
             # elementwise vs a second [N, k] table gather).
             def packed(k: int):
                 ids_t, mask_t = build_sample_table(
-                    self.message_csr, fanout=int(k), seed=seed, hop_key=1)
+                    self.message_csr, fanout=int(k), seed=seed, hop_key=1,
+                    method=method)
                 return jnp.where(mask_t, ids_t, -1)
 
             tables = {

@@ -92,6 +92,11 @@ class NALPTrainerConfig:
     use_cms_correction: bool = False
     eval_ks: Tuple[int, ...] = (1, 5, 10, 50, 100)
     seed: int = 0
+    # Neighbor-sampling method: uniform | weighted | top_k. weighted/top_k
+    # need per-edge weights (DeviceGraph.from_hetero(sampling_weight_index=...))
+    # — the RandomWeighted/TopK sampling ops of the reference's
+    # subgraph_sampling_strategy.proto:11-19.
+    sampling_method: str = "uniform"
     # Tabularized deepest-hop cache (ops/hopcache.py): precompute per-node
     # sampled-neighbor aggregates and gather them instead of resampling +
     # regathering k_last neighbor rows per occurrence (~5x fewer gather
@@ -221,7 +226,8 @@ class NALPTrainer:
             agg=self._cache_agg_kind(),
             table_fanouts=self.cfg.fanouts[:-1],
             quantize=self.cfg.quantize_cache,
-            fuse_features=self.cfg.fused_cache)
+            fuse_features=self.cfg.fused_cache,
+            method=self.cfg.sampling_method)
 
     # -- state -----------------------------------------------------------------
     def _init_params_impl(self, graph: DeviceGraph, rng: jax.Array,
@@ -264,7 +270,8 @@ class NALPTrainer:
             else:
                 blocks = graph.sample_hop_blocks(
                     node_ids, self.cfg.fanouts[:-1],
-                    seed=self.cfg.seed + seed_offset)
+                    seed=self.cfg.seed + seed_offset,
+                    method=self.cfg.sampling_method)
             if graph.fused_table is not None:
                 feats, masks, degs, cached = graph.hydrate_fused(blocks)
             else:
@@ -275,7 +282,8 @@ class NALPTrainer:
                 hop_degrees=degs, cached_agg=cached, rngs=rngs)
             return emb.reshape(shape + (emb.shape[-1],))
         blocks = graph.sample_hop_blocks(
-            node_ids, self.cfg.fanouts, seed=self.cfg.seed + seed_offset)
+            node_ids, self.cfg.fanouts, seed=self.cfg.seed + seed_offset,
+            method=self.cfg.sampling_method)
         feats, masks, degs = graph.hydrate(blocks)
         edge_feats = graph.hydrate_edges(blocks)
         emb = self.model.apply(

@@ -185,3 +185,76 @@ class TestCounterRng:
         ids = jnp.array([3], dtype=jnp.int32)
         a = np.asarray(counter_rng_uniform(ids, seed=1, hop=1, num_slots=8))[0]
         assert len(set(a.tolist())) > 1
+
+
+class TestWeightedTrainerPath:
+    """sampling_method plumbing: DeviceGraph weights -> trainer -> kernel."""
+
+    def _graph(self, top_k_target=7):
+        rng = np.random.default_rng(0)
+        n, e = 60, 600
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+        # weight 100 on edges whose src == top_k_target, else ~0
+        w = np.where(src == top_k_target, 100.0, 1e-3).astype(np.float32)
+        from gigl_tpu.graph.csr import HeteroGraph
+
+        g = HeteroGraph.homogeneous(
+            src=src, dst=dst, num_nodes=n,
+            node_features=rng.normal(size=(n, 4)).astype(np.float32),
+            edge_features=w[:, None])
+        return g, src, dst
+
+    def test_top_k_sampling_prefers_heavy_edges(self):
+        import jax.numpy as jnp
+
+        from gigl_tpu.training.dataset import DeviceGraph
+
+        g, src, dst = self._graph()
+        dg = DeviceGraph.from_hetero(g, sampling_weight_index=0)
+        assert dg.message_csr.edge_weights is not None
+        blocks = dg.sample_hop_blocks(
+            jnp.arange(60, dtype=jnp.int32), (2,), method="top_k")
+        ids = np.asarray(blocks.node_ids[1])
+        mask = np.asarray(blocks.masks[1])
+        # any root with an in-edge from node 7 must sample node 7 first
+        has7 = np.unique(dst[src == 7])
+        for r in has7:
+            assert 7 in ids[r][mask[r]]
+
+    def test_trainer_uses_weighted_method(self):
+        import jax
+
+        from gigl_tpu.models.encoders import GNNEncoder
+        from gigl_tpu.models.link_prediction import (
+            LinkPredictionDecoder,
+            LinkPredictionGNN,
+        )
+        from gigl_tpu.training.dataset import DeviceGraph
+        from gigl_tpu.training.trainer import NALPTrainer, NALPTrainerConfig
+
+        g, src, dst = self._graph()
+        dg = DeviceGraph.from_hetero(
+            g, supervision_edges=np.stack([src, dst]),
+            sampling_weight_index=0)
+        model = LinkPredictionGNN(
+            encoder=GNNEncoder(hid_dim=8, out_dim=4, num_layers=2,
+                               conv="graphsage"),
+            decoder=LinkPredictionDecoder())
+        cfg = NALPTrainerConfig(fanouts=(3, 2), num_random_negs=16,
+                                sampling_method="weighted")
+        tr = NALPTrainer(model, dg, cfg,
+                         optimizer_args={"learning_rate": "0.01"})
+        st = tr.init_state(jax.random.PRNGKey(0), batch_size=8)
+        st, loss = tr.train_step(st, np.arange(8), jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss))
+
+    def test_weight_index_requires_edge_features(self):
+        import pytest as _pytest
+
+        from gigl_tpu.data.mocking import toy_graph
+        from gigl_tpu.training.dataset import DeviceGraph
+
+        g = toy_graph()
+        with _pytest.raises(ValueError, match="edge features"):
+            DeviceGraph.from_hetero(g, sampling_weight_index=0)
