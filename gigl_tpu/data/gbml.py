@@ -749,3 +749,35 @@ def validate_samples(samples, metadata: Optional[GraphMetadata] = None) -> int:
                         f"not present in the sample's neighborhood nodes")
         count += 1
     return count
+
+
+def link_supervision_from_samples(
+    samples: Sequence[SupervisedLinkBasedTaskSamplePb],
+    metadata: Optional[GraphMetadata] = None,
+) -> Dict[EdgeType, Dict[str, np.ndarray]]:
+    """Extract labeled edges from SupervisedLinkBasedTaskSample protos.
+
+    Returns, per condensed edge type: edges [2, E] and labels [E] (the
+    first root_edge_label's value; -1 when a sample carries none) — the
+    input contract of training.link_task.LinkClassificationTrainer.
+    """
+    metadata = metadata or GraphMetadata.homogeneous()
+    cet_map = dict(metadata.condensed_edge_type_map)
+    out: Dict[EdgeType, Dict[str, List[int]]] = {
+        et: {"src": [], "dst": [], "label": []}
+        for et in metadata.edge_types
+    }
+    for s in samples:
+        e = s.root_edge
+        et = cet_map[e.condensed_edge_type or 0]
+        out[et]["src"].append(e.src_node_id)
+        out[et]["dst"].append(e.dst_node_id)
+        out[et]["label"].append(
+            s.root_edge_labels[0].label if s.root_edge_labels else -1)
+    return {
+        et: {
+            "edges": np.array([v["src"], v["dst"]], dtype=np.int64),
+            "labels": np.array(v["label"], dtype=np.int64),
+        }
+        for et, v in out.items()
+    }
