@@ -517,3 +517,114 @@ class NodeClassificationTaskSpec(BaseTrainer, BaseInferencer):
 
     def infer_batch(self, batch: Any) -> jnp.ndarray:
         return self.trainer.predict_batch(self.state.params, batch)
+
+
+class LinkBasedTaskSpec(BaseTrainer, BaseInferencer):
+    """Supervised link-based task spec (edge classification).
+
+    Completes the reference's schema-only task flavor: LinkBasedTaskMetadata
+    (gbml_config.proto:32-34) + SupervisedLinkBasedTaskSample
+    (training_samples_schema.proto:56) define the contract but no modeling
+    task spec ships for it. Labeled edges come either from ``labeled_edges``
+    / ``edge_labels`` passed to init_model (e.g. imported via
+    data.gbml.link_supervision_from_samples) or from the supervision edge
+    type's edge-feature column named by trainerArgs
+    ``edge_label_feature_index``. Edges are hash-split train/val/test with
+    the UDL edge assigner semantics.
+    """
+
+    def __init__(self, **kwargs: Any):
+        super().__init__(**kwargs)
+        self.trainer = None
+        self.state: Optional[TrainState] = None
+        self.task_config: Optional[TaskConfig] = None
+        self.splits: Optional[Tuple[np.ndarray, ...]] = None
+
+    def init_model(self, task_config: TaskConfig, state: Optional[Any] = None,
+                   graph: Optional[HeteroGraph] = None,
+                   labeled_edges: Optional[np.ndarray] = None,
+                   edge_labels: Optional[np.ndarray] = None):
+        from gigl_tpu.training.link_task import (
+            EdgeClassifierHead,
+            LinkClassificationModel,
+            LinkClassificationTrainer,
+            LinkClassificationTrainerConfig,
+        )
+
+        if graph is None:
+            raise ValueError("link task spec requires graph=HeteroGraph")
+        self.task_config = task_config
+        args = {**task_config.trainer.trainer_args, **self.kwargs}
+        fanouts = _fanouts_from_config(task_config, args)
+        sup_types = task_config.task_metadata.supervision_edge_types
+        et = sup_types[0] if sup_types else graph.metadata.edge_types[0]
+        if labeled_edges is None:
+            labeled_edges = np.asarray(graph.edges[et])
+            ef = graph.edge_features.features.get(str(et))
+            if edge_labels is None:
+                if ef is None:
+                    raise ValueError(
+                        "link task needs edge_labels or an edge-feature "
+                        "column (edge_label_feature_index) to read labels "
+                        "from")
+                col = int(args.get("edge_label_feature_index", 0))
+                edge_labels = np.asarray(ef)[:, col].astype(np.int64)
+        labeled_edges = np.asarray(labeled_edges)
+        edge_labels = np.asarray(edge_labels, dtype=np.int64)
+
+        sp = task_config.dataset.split
+        splitter = UserDefinedLabelsEdgeSplitter(
+            train_ratio=sp.train_ratio, val_ratio=sp.val_ratio, seed=sp.seed)
+        self.splits = splitter.split_edge_indices(labeled_edges[0],
+                                                  labeled_edges[1])
+        device_graph = DeviceGraph.from_hetero(graph, edge_type=et)
+        num_classes = int(args.get("num_classes",
+                                   int(edge_labels.max()) + 1))
+        encoder = encoder_from_config(args)
+        model = LinkClassificationModel(
+            encoder=encoder,
+            head=EdgeClassifierHead(
+                num_classes=num_classes,
+                hidden_dim=int(args.get("head_hidden_dim", 64)),
+                combine=str(args.get("edge_combine", "hadamard"))))
+        self.trainer = LinkClassificationTrainer(
+            model, device_graph, labeled_edges, edge_labels,
+            LinkClassificationTrainerConfig(
+                fanouts=fanouts, seed=int(args.get("seed", sp.seed))),
+            optimizer_args=args)
+        self._batch_size = int(args.get("main_sample_batch_size", 256))
+        params = state
+        if params is None and task_config.trainer.pretrained_model_uri:
+            params = restore_params(task_config.trainer.pretrained_model_uri)
+        self.state = self.trainer.init_state(
+            jax.random.PRNGKey(int(args.get("seed", 0))),
+            self._batch_size, params=params)
+        return self.state.params
+
+    def train(self, **kwargs) -> Dict[str, float]:
+        args = {**(self.task_config.trainer.trainer_args if self.task_config
+                   else {}), **self.kwargs, **kwargs}
+        tr_idx, va_idx, _ = self.splits
+        self.state, metrics = self.trainer.fit(
+            self.state, tr_idx, va_idx, batch_size=self._batch_size,
+            num_epochs=int(args.get("num_epochs", 5)),
+            early_stop_patience=int(args.get("early_stop_patience", 5)),
+            log_every=int(args.get("log_every", 50)))
+        return metrics
+
+    def eval(self, split: str = "test", **kwargs) -> Dict[str, float]:
+        idx = {"train": 0, "val": 1, "test": 2}[split]
+        sel = self.splits[idx]
+        if len(sel) == 0:
+            return {"accuracy": 0.0}
+        return {"accuracy": self.trainer.evaluate(
+            self.state.params, sel, self._batch_size)}
+
+    def infer_batch(self, batch) -> np.ndarray:
+        """batch: [2, B] (src, dst) pairs -> class logits [B, C]."""
+        batch = np.asarray(batch)
+        return np.asarray(self.trainer.predict_batch(
+            self.state.params, batch[0], batch[1]))
+
+    def save(self, uri, step: int = 0) -> None:
+        save_params(uri, self.state.params, step=step)

@@ -111,3 +111,75 @@ class TestLinkSampleImport:
         np.testing.assert_array_equal(sup[et]["edges"],
                                       [[1, 3], [2, 4]])
         np.testing.assert_array_equal(sup[et]["labels"], [1, -1])
+
+
+class TestLinkBasedTaskSpec:
+    def _config(self, **trainer_args):
+        from gigl_tpu.config.task_config import (
+            DatasetConfig,
+            SubgraphSamplingStrategy,
+            TaskConfig,
+            TrainerConfig,
+        )
+        from gigl_tpu.types.graph import GraphMetadata
+        from gigl_tpu.types.task import TaskMetadata, TaskMetadataType
+
+        gm = GraphMetadata.homogeneous()
+        return TaskConfig(
+            graph_metadata=gm,
+            task_metadata=TaskMetadata(
+                task_type=TaskMetadataType.LINK_BASED_TASK,
+                supervision_edge_types=gm.edge_types),
+            dataset=DatasetConfig(
+                sampling=SubgraphSamplingStrategy(fanouts=(5, 3))),
+            trainer=TrainerConfig(
+                trainer_cls_path="gigl_tpu.training.task_specs."
+                                 "LinkBasedTaskSpec",
+                trainer_args={"hid_dim": "16", "out_dim": "16",
+                              "num_layers": "2", "learning_rate": "0.01",
+                              "main_sample_batch_size": "64",
+                              "edge_combine": "concat",
+                              **trainer_args}),
+        )
+
+    def test_spec_end_to_end(self):
+        from gigl_tpu.training.task_specs import LinkBasedTaskSpec
+
+        g, edges, labels = _edge_labeled_graph()
+        cfg = self._config(num_epochs="8")
+        spec = LinkBasedTaskSpec()
+        spec.init_model(cfg, graph=g, labeled_edges=edges,
+                        edge_labels=labels)
+        metrics = spec.train()
+        assert metrics["accuracy"] > 0.75, metrics
+        test_m = spec.eval("test")
+        assert test_m["accuracy"] > 0.6, test_m
+        logits = spec.infer_batch(edges[:, :5])
+        assert logits.shape == (5, 2)
+
+    def test_labels_from_edge_feature_column(self):
+        from gigl_tpu.training.task_specs import LinkBasedTaskSpec
+
+        g, edges, labels = _edge_labeled_graph()
+        # attach labels as an edge-feature column on the structural edges
+        et = g.metadata.edge_types[0]
+        coo = g.edges[et]
+        import numpy as _np
+        lbl = _np.random.default_rng(0).integers(
+            0, 2, coo.shape[1]).astype(_np.float32)
+        g.edge_features[str(et)] = lbl[:, None]
+        cfg = self._config(num_epochs="1", edge_label_feature_index="0")
+        spec = LinkBasedTaskSpec()
+        spec.init_model(cfg, graph=g)
+        m = spec.train()
+        assert _np.isfinite(m["accuracy"])
+
+    def test_missing_labels_rejected(self):
+        import pytest as _pytest
+
+        from gigl_tpu.training.task_specs import LinkBasedTaskSpec
+
+        g, _, _ = _edge_labeled_graph()
+        spec = LinkBasedTaskSpec()
+        with _pytest.raises(ValueError, match="edge_labels"):
+            spec.init_model(self._config(), graph=g)
