@@ -526,3 +526,133 @@ class TestSampleValidation:
         protos = gbml.sampled_blocks_to_rooted_neighborhoods(
             blocks, condensed_node_type=0, condensed_edge_type=0)
         assert gbml.validate_samples(protos) == 8
+
+
+class TestConfigExportRoundTrip:
+    def _cfg(self, **kw):
+        from gigl_tpu.config.task_config import (
+            DatasetConfig,
+            SplitConfig,
+            SubgraphSamplingStrategy,
+            TaskConfig,
+            TrainerConfig,
+        )
+        from gigl_tpu.types.task import TaskMetadata
+
+        gm = GraphMetadata(
+            node_types=("user", "item"),
+            edge_types=(EdgeType("user", "buys", "item"),
+                        EdgeType("item", "rev_buys", "user")))
+        return TaskConfig(
+            graph_metadata=gm,
+            task_metadata=TaskMetadata(
+                task_type=TaskMetadataType.NODE_ANCHOR_BASED_LINK_PREDICTION_TASK,
+                supervision_edge_types=(EdgeType("user", "buys", "item"),)),
+            dataset=DatasetConfig(
+                sampling=SubgraphSamplingStrategy(**kw.get("sampling", {"fanouts": (15, 15)})),
+                num_positive_samples=2,
+                split=SplitConfig(train_ratio=0.7, val_ratio=0.1, seed=7,
+                                  strategy="udl_edge")),
+            trainer=TrainerConfig(
+                trainer_cls_path="gigl_tpu.training.task_specs."
+                                 "NodeAnchorLinkPredictionTaskSpec",
+                trainer_args={"hid_dim": "64"}),
+        )
+
+    def test_round_trip_flat_fanouts(self):
+        from gigl_tpu.config.gbml_export import task_config_to_gbml_dict
+        from gigl_tpu.config.gbml_import import task_config_from_gbml_dict
+
+        cfg = self._cfg()
+        d = task_config_to_gbml_dict(cfg)
+        assert d["datasetConfig"]["subgraphSamplerConfig"]["numHops"] == 2
+        back = task_config_from_gbml_dict(d)
+        assert back.graph_metadata == cfg.graph_metadata
+        assert back.task_metadata == cfg.task_metadata
+        assert back.dataset.sampling.fanouts == (15, 15)
+        assert back.dataset.num_positive_samples == 2
+        assert back.dataset.split.strategy == "udl_edge"
+        assert back.dataset.split.train_ratio == 0.7
+        assert back.dataset.split.seed == 7
+        assert back.trainer.trainer_cls_path == cfg.trainer.trainer_cls_path
+        assert back.trainer.trainer_args == {"hid_dim": "64"}
+
+    def test_round_trip_mixed_fanouts_via_dag(self):
+        from gigl_tpu.config.gbml_export import task_config_to_gbml_dict
+        from gigl_tpu.config.gbml_import import task_config_from_gbml_dict
+
+        cfg = self._cfg(sampling={"fanouts": (15, 10)})
+        d = task_config_to_gbml_dict(cfg)
+        sgs = d["datasetConfig"]["subgraphSamplerConfig"]
+        assert "subgraphSamplingStrategy" in sgs
+        back = task_config_from_gbml_dict(d)
+        ops = next(iter(back.dataset.sampling.message_passing_paths.values()))
+        assert [op.num_nodes_to_sample for op in ops] == [15, 10]
+
+    def test_round_trip_dag_paths(self):
+        from gigl_tpu.config.gbml_export import task_config_to_gbml_dict
+        from gigl_tpu.config.gbml_import import task_config_from_gbml_dict
+        from gigl_tpu.config.task_config import SamplingOp
+
+        ops = [
+            SamplingOp(op_name="h1",
+                       edge_type=EdgeType("item", "rev_buys", "user"),
+                       num_nodes_to_sample=5,
+                       sampling_direction="INCOMING"),
+            SamplingOp(op_name="h2",
+                       edge_type=EdgeType("user", "buys", "item"),
+                       num_nodes_to_sample=3, input_op_names=("h1",),
+                       sampling_method="top_k",
+                       sampling_direction="INCOMING"),
+        ]
+        cfg = self._cfg(sampling={"message_passing_paths": {"user": ops}})
+        back = task_config_from_gbml_dict(task_config_to_gbml_dict(cfg))
+        bops = back.dataset.sampling.message_passing_paths["user"]
+        assert [o.op_name for o in bops] == ["h1", "h2"]
+        assert bops[1].sampling_method == "top_k"
+        assert bops[1].input_op_names == ("h1",)
+
+    def test_exported_yaml_parses_against_saved_file(self, tmp_path):
+        from gigl_tpu.config.gbml_export import save_task_config_as_gbml_yaml
+        from gigl_tpu.config.gbml_import import task_config_from_gbml_yaml
+
+        cfg = self._cfg()
+        p = str(tmp_path / "exported.yaml")
+        save_task_config_as_gbml_yaml(cfg, p)
+        back = task_config_from_gbml_yaml(p)
+        assert back.graph_metadata == cfg.graph_metadata
+
+    def test_export_parses_in_reference_proto(self, tmp_path):
+        """The exported dict must ParseDict into the actual GbmlConfig
+        proto (protoc-oracle: the real wire contract, not just our own
+        importer)."""
+        if shutil.which("protoc") is None or not os.path.isdir(_REF_PROTO_DIR):
+            pytest.skip("protoc or reference protos unavailable")
+        import glob
+        import subprocess as sp
+
+        out = str(tmp_path / "pb")
+        os.makedirs(out)
+        files = glob.glob(
+            f"{_REF_PROTO_DIR}/snapchat/research/gbml/*.proto")
+        res = sp.run(["protoc", "-I", _REF_PROTO_DIR,
+                      f"--python_out={out}"] + files, capture_output=True)
+        if res.returncode != 0:
+            pytest.skip(f"protoc failed: {res.stderr.decode()[:200]}")
+        sys.path.insert(0, out)
+        try:
+            from google.protobuf.json_format import ParseDict
+            from snapchat.research.gbml import gbml_config_pb2
+
+            from gigl_tpu.config.gbml_export import task_config_to_gbml_dict
+
+            cfg = self._cfg()
+            pb = ParseDict(task_config_to_gbml_dict(cfg),
+                           gbml_config_pb2.GbmlConfig())
+            assert pb.task_metadata.WhichOneof("task_metadata") == (
+                "node_anchor_based_link_prediction_task_metadata")
+            assert pb.graph_metadata.node_types[0] == "user"
+            assert (pb.dataset_config.subgraph_sampler_config
+                    .num_positive_samples == 2)
+        finally:
+            sys.path.remove(out)
