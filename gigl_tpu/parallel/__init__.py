@@ -1,5 +1,10 @@
 """Mesh/sharding layer: device meshes, graph partitioning, halo exchange."""
 
+from gigl_tpu.parallel.feature_lookup import (
+    request_capacity,
+    routed_gather,
+    routed_sample_neighbors,
+)
 from gigl_tpu.parallel.halo import (
     RingSchedule,
     build_ring_schedule,
@@ -44,8 +49,11 @@ __all__ = [
     "put_replicated",
     "put_ring_schedule",
     "replicated",
+    "request_capacity",
     "ring_sharded_aggregate",
     "ring_spmm",
+    "routed_gather",
+    "routed_sample_neighbors",
     "shard_features_rowwise",
     "shard_graph_features",
 ]

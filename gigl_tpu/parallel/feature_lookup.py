@@ -1,0 +1,184 @@
+"""Routed per-id lookup across a sharded table/graph — GLT's RPC as collectives.
+
+TPU-native replacement for GraphLearn-for-PyTorch's torch-RPC remote feature
+lookup and remote neighbor sampling (ref: GLT C++ engine used via
+python/gigl/distributed/distributed_neighborloader.py:26 and
+dist_link_prediction_dataset.py:31 — during sampled training, feature rows
+and adjacency of nodes owned by OTHER machines are fetched with async RPC).
+
+Here the table (feature rows, or per-node CSR adjacency) is range-partitioned
+over a mesh axis, and a per-id lookup of arbitrary global ids becomes ONE
+all_to_all round trip inside ``shard_map``:
+
+  1. bucket the requested ids by owner shard (owner = id // rows_per_shard),
+  2. ``all_to_all`` the request buckets (each shard receives the ids it owns),
+  3. answer locally (dense row gather, or a local ``sample_neighbors`` call),
+  4. ``all_to_all`` the answers back and un-permute into request order.
+
+Shapes are static: each shard sends at most ``capacity`` requests to each
+peer. ``capacity`` defaults to a multiple of the balanced load G/P; requests
+beyond it are dropped and reported via a validity mask (the analog of an RPC
+timeout — callers size capacity so overflow never happens in practice; tests
+assert zero overflow under uniform access). All routing state (sort, bucket
+offsets) is O(G log G) on-device integer work; the only communication is the
+two all_to_all collectives, which XLA schedules over ICI/DCN.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gigl_tpu.parallel.mesh import DATA_AXIS
+
+
+def request_capacity(num_requests: int, num_shards: int,
+                     factor: float = 2.0) -> int:
+    """Per-(src, dst) shard bucket capacity: factor x the balanced load,
+    rounded up to a multiple of 8 (lane-friendly)."""
+    base = int(math.ceil(num_requests / max(num_shards, 1) * factor))
+    return max(8, ((base + 7) // 8) * 8)
+
+
+def _route_requests(global_ids: jnp.ndarray, rows_per_shard: int,
+                    num_shards: int, capacity: int):
+    """Bucket ``global_ids`` [G] by owner shard into a [P, C] request table.
+
+    Returns (req [P, C] int32, s_owner [G], pos [G], ok [G], order [G]):
+    the sorted-by-owner permutation plus each request's bucket coordinates,
+    used to un-permute the answers.
+    """
+    g = global_ids.shape[0]
+    owner = jnp.clip(global_ids // rows_per_shard, 0, num_shards - 1)
+    order = jnp.argsort(owner, stable=True)
+    s_owner = owner[order]
+    s_ids = global_ids[order]
+    # first[p] = index of the first request owned by shard p (sorted order).
+    first = jnp.searchsorted(s_owner, jnp.arange(num_shards, dtype=s_owner.dtype))
+    pos = jnp.arange(g, dtype=jnp.int32) - first[s_owner].astype(jnp.int32)
+    ok = pos < capacity
+    # Overflowing requests scatter to column == capacity -> dropped.
+    req = jnp.zeros((num_shards, capacity), jnp.int32)
+    req = req.at[s_owner, jnp.where(ok, pos, capacity)].set(
+        s_ids, mode="drop")
+    return req, s_owner, pos, ok, order
+
+
+def _unroute(answers: jnp.ndarray, s_owner, pos, ok, order):
+    """Invert _route_requests: answers [P, C, ...] -> per-request [G, ...]
+    in original order, zero-filled where the request overflowed."""
+    g = order.shape[0]
+    out_sorted = answers[s_owner, jnp.minimum(pos, answers.shape[1] - 1)]
+    zero_shape = (1,) * (out_sorted.ndim - 1)
+    out_sorted = jnp.where(ok.reshape((g,) + zero_shape), out_sorted, 0)
+    inv = jnp.argsort(order)
+    return out_sorted[inv], ok[inv]
+
+
+def routed_gather(
+    local_table: jnp.ndarray,
+    global_ids: jnp.ndarray,
+    *,
+    axis: str = DATA_AXIS,
+    capacity: Optional[int] = None,
+    capacity_factor: float = 2.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather rows of a range-sharded table by GLOBAL row id.
+
+    Must run inside ``shard_map`` over ``axis``. ``local_table`` is this
+    shard's [rows_per_shard, ...] block (global row r lives on shard
+    r // rows_per_shard at local row r % rows_per_shard). ``global_ids`` is
+    this shard's [G] int32 request vector (each shard requests its own set).
+
+    Returns (values [G, ...], ok [G] bool). ``ok`` is False only for
+    requests dropped by bucket-capacity overflow (values row zero-filled).
+    """
+    num_shards = jax.lax.axis_size(axis)
+    rows_per_shard = local_table.shape[0]
+    g = global_ids.shape[0]
+    if capacity is None:
+        capacity = request_capacity(g, num_shards, capacity_factor)
+    capacity = min(capacity, g) if g > 0 else capacity
+    req, s_owner, pos, ok, order = _route_requests(
+        global_ids.astype(jnp.int32), rows_per_shard, num_shards, capacity)
+    # recv[q] = the ids shard q asked ME for.
+    recv = jax.lax.all_to_all(req, axis, 0, 0, tiled=True)
+    local_rows = jnp.clip(recv - jax.lax.axis_index(axis) * rows_per_shard,
+                          0, rows_per_shard - 1)
+    vals = local_table[local_rows]  # [P, C, ...]
+    # back[p] = my requests' rows as answered by shard p.
+    back = jax.lax.all_to_all(vals, axis, 0, 0, tiled=True)
+    return _unroute(back, s_owner, pos, ok, order)
+
+
+def routed_sample_neighbors(
+    local_indptr: jnp.ndarray,
+    local_indices: jnp.ndarray,
+    global_ids: jnp.ndarray,
+    fanout: int,
+    *,
+    row_offset: Optional[jnp.ndarray] = None,
+    axis: str = DATA_AXIS,
+    seed: int = 0,
+    hop: int = 1,
+    capacity: Optional[int] = None,
+    capacity_factor: float = 2.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample ``fanout`` neighbors per frontier node over a row-sharded CSR.
+
+    The adjacency is partitioned by anchor-node range: shard p holds the CSR
+    of global nodes [p * rows_per_shard, (p+1) * rows_per_shard) as a LOCAL
+    ``local_indptr`` [rows_per_shard + 1] / ``local_indices`` [E_p] pair
+    (indices store GLOBAL neighbor ids). Frontier ids are routed to their
+    owner shard, the owner runs the same counter-RNG draw as the single-chip
+    sampler (bit-identical: keyed by global id), and the sampled GLOBAL
+    neighbor ids are routed back.
+
+    ``row_offset``: this shard's first global row (defaults to
+    axis_index * rows_per_shard). Must run inside shard_map over ``axis``.
+
+    Returns (neighbor_ids [G, fanout] int32 global ids, mask [G, fanout]).
+    """
+    from gigl_tpu.sampling.neighbor_sampler import counter_rng_uniform
+
+    num_shards = jax.lax.axis_size(axis)
+    rows_per_shard = local_indptr.shape[0] - 1
+    g = global_ids.shape[0]
+    if capacity is None:
+        capacity = request_capacity(g, num_shards, capacity_factor)
+    capacity = min(capacity, g) if g > 0 else capacity
+    if row_offset is None:
+        row_offset = jax.lax.axis_index(axis) * rows_per_shard
+    req, s_owner, pos, ok, order = _route_requests(
+        global_ids.astype(jnp.int32), rows_per_shard, num_shards, capacity)
+    recv = jax.lax.all_to_all(req, axis, 0, 0, tiled=True)  # [P, C] global ids
+    local_rows = jnp.clip(recv - row_offset, 0, rows_per_shard - 1)
+    # Owner-side draw. The counter RNG is keyed by the GLOBAL id (recv), so
+    # the draw matches the replicated-graph sampler (sample_neighbors with
+    # method="uniform") bit for bit; the CSR slice bounds come from the
+    # local indptr.
+    start = local_indptr[local_rows]
+    deg = local_indptr[local_rows + 1] - start
+    bits = counter_rng_uniform(recv, seed, hop, fanout)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32,
+                                         recv.shape + (fanout,), recv.ndim)
+    rand_off = (bits % jnp.maximum(deg, 1)[..., None].astype(jnp.uint32)
+                ).astype(jnp.int32)
+    take_all = (deg <= fanout)[..., None]
+    offsets = jnp.where(
+        take_all,
+        jnp.minimum(slot_iota, jnp.maximum(deg - 1, 0)[..., None]),
+        rand_off)
+    mask = jnp.where(take_all, slot_iota < deg[..., None],
+                     deg[..., None] > 0)
+    slots = jnp.clip(start[..., None] + offsets, 0,
+                     local_indices.shape[0] - 1)
+    nbr = jnp.where(mask, local_indices[slots], 0)  # [P, C, fanout] global
+    packed = jnp.where(mask, nbr, -1)  # single payload: -1 = invalid slot
+    back = jax.lax.all_to_all(packed, axis, 0, 0, tiled=True)
+    out, ok_req = _unroute(back, s_owner, pos, ok, order)
+    out_mask = (out >= 0) & ok_req[:, None]
+    return jnp.where(out_mask, out, 0).astype(jnp.int32), out_mask

@@ -1,0 +1,233 @@
+"""Partitioned-graph sampled training (GLT-distributed equivalent).
+
+Mirrors the reference's single-host "fake cluster" strategy
+(tests/integration/distributed/distributed_dataset_test.py:34-60): an
+8-device virtual CPU mesh stands in for 8 TPU chips.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gigl_tpu.graph.csr import HeteroGraph
+from gigl_tpu.models.encoders import GNNEncoder
+from gigl_tpu.models.link_prediction import (
+    LinkPredictionDecoder,
+    LinkPredictionGNN,
+)
+from gigl_tpu.parallel.feature_lookup import (
+    request_capacity,
+    routed_gather,
+    routed_sample_neighbors,
+)
+from gigl_tpu.parallel.mesh import make_mesh
+from gigl_tpu.sampling.neighbor_sampler import DeviceCSR, sample_neighbors
+from gigl_tpu.training.dataset import DeviceGraph
+from gigl_tpu.training.dist_sampled import (
+    PartitionedGraph,
+    PartitionedNALPTrainer,
+    _shard_csr,
+)
+from gigl_tpu.training.trainer import (
+    NALPTrainer,
+    NALPTrainerConfig,
+    nalp_loss_from_embeddings,
+)
+
+AXIS = "data"
+
+
+def _mesh():
+    return make_mesh(8, axes=(AXIS,))
+
+
+def _toy(n=256, e=2048, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    g = HeteroGraph.homogeneous(
+        src=src, dst=dst, num_nodes=n,
+        node_features=rng.normal(size=(n, d)).astype(np.float32))
+    return DeviceGraph.from_hetero(g, supervision_edges=np.stack([src, dst]))
+
+
+def _model(d=16):
+    enc = GNNEncoder(hid_dim=32, out_dim=16, num_layers=2, conv="graphsage",
+                     dropout=0.0)
+    return LinkPredictionGNN(encoder=enc, decoder=LinkPredictionDecoder())
+
+
+class TestRoutedGather:
+    def test_exact_rows(self):
+        mesh = _mesh()
+        n, d, g = 64 * 8, 5, 96
+        table = np.arange(n * d, dtype=np.float32).reshape(n, d)
+        rng = np.random.default_rng(1)
+        ids = rng.integers(0, n, 8 * g).astype(np.int32)
+
+        fn = jax.jit(jax.shard_map(
+            lambda t, i: routed_gather(t, i, axis=AXIS),
+            mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS)), check_vma=False))
+        vals, ok = fn(jax.device_put(table, NamedSharding(mesh, P(AXIS))),
+                      jax.device_put(ids, NamedSharding(mesh, P(AXIS))))
+        assert bool(np.all(np.asarray(ok)))
+        np.testing.assert_array_equal(np.asarray(vals), table[ids])
+
+    def test_overflow_masked(self):
+        mesh = _mesh()
+        n, d = 64 * 8, 3
+        table = np.ones((n, d), np.float32)
+        # every request on every shard targets shard 0 -> bucket overflow
+        ids = np.zeros(8 * 32, np.int32)
+        cap = 8
+        fn = jax.jit(jax.shard_map(
+            lambda t, i: routed_gather(t, i, axis=AXIS, capacity=cap),
+            mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS)), check_vma=False))
+        vals, ok = fn(jax.device_put(table, NamedSharding(mesh, P(AXIS))),
+                      jax.device_put(ids, NamedSharding(mesh, P(AXIS))))
+        ok = np.asarray(ok).reshape(8, 32)
+        vals = np.asarray(vals).reshape(8, 32, d)
+        # per shard: first `cap` requests to shard 0 served, rest dropped
+        assert (ok.sum(1) == cap).all()
+        assert (vals[ok] == 1.0).all()
+        assert (vals[~ok] == 0.0).all()
+
+    def test_capacity_helper(self):
+        assert request_capacity(1024, 8, 2.0) >= 256
+        assert request_capacity(3, 8) >= 8
+
+
+class TestRoutedSampleNeighbors:
+    def test_matches_single_chip_sampler(self):
+        mesh = _mesh()
+        n, e = 64 * 8, 4096
+        rng = np.random.default_rng(2)
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+        g = HeteroGraph.homogeneous(src=src, dst=dst, num_nodes=n)
+        dg = DeviceGraph.from_hetero(g)
+        csr = dg.message_csr
+        ip, ix = _shard_csr(np.asarray(csr.indptr), np.asarray(csr.indices),
+                            8, n // 8)
+        frontier = rng.integers(0, n, 8 * 40).astype(np.int32)
+        fanout, seed, hop = 6, 13, 2
+
+        fn = jax.jit(jax.shard_map(
+            lambda a, b, f: routed_sample_neighbors(
+                a[0], b[0], f, fanout, axis=AXIS, seed=seed, hop=hop),
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS)), check_vma=False))
+        nbr, mask = fn(
+            jax.device_put(ip, NamedSharding(mesh, P(AXIS, None))),
+            jax.device_put(ix, NamedSharding(mesh, P(AXIS, None))),
+            jax.device_put(frontier, NamedSharding(mesh, P(AXIS))))
+
+        ref_nbr, ref_mask, _ = sample_neighbors(
+            csr, jnp.asarray(frontier), fanout, seed=seed, hop=hop)
+        np.testing.assert_array_equal(np.asarray(mask), np.asarray(ref_mask))
+        np.testing.assert_array_equal(np.asarray(nbr), np.asarray(ref_nbr))
+
+
+class TestPartitionedNALPTrainer:
+    def _setup(self, **cfg_kw):
+        mesh = _mesh()
+        dg = _toy()
+        model = _model()
+        cfg = NALPTrainerConfig(fanouts=(5, 3), num_positives=1,
+                                num_random_negs=64, loss_type="retrieval",
+                                **cfg_kw)
+        pg = PartitionedGraph.build(dg, mesh)
+        trainer = PartitionedNALPTrainer(model, pg, mesh, cfg,
+                                         capacity_factor=8.0)
+        return mesh, dg, model, cfg, trainer
+
+    def test_loss_parity_with_replicated_trainer(self):
+        """A P-shard partitioned step == mean of per-shard replicated-graph
+        losses with shared random negatives (bit-identical sampling)."""
+        mesh, dg, model, cfg, trainer = self._setup()
+        B = 64
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=B)
+        anchors = np.arange(B, dtype=np.int32) * 3 % dg.num_nodes
+        # Snapshot params to host first: train_steps donates the state.
+        params0 = jax.tree_util.tree_map(np.asarray, state.params)
+
+        # Reference: per-shard loss via the replicated-graph encode path.
+        ref = NALPTrainer(model, dg, cfg)
+        b = B // 8
+        per_shard = []
+        for s in range(8):
+            a = jnp.asarray(anchors[s * b: (s + 1) * b])
+            batch = dg.sample_nalp_batch(
+                a, num_positives=cfg.num_positives, num_hard_negs=0,
+                num_random_negs=cfg.num_random_negs, seed=cfg.seed, step=0)
+            q = ref._encode_impl(dg, params0, batch.anchors, 0, False)
+            pos = ref._encode_impl(dg, params0, batch.pos, 1, False)
+            rand = ref._encode_impl(dg, params0, batch.random_neg, 2, False)
+            loss, _ = nalp_loss_from_embeddings(
+                model, params0, cfg, batch, q, pos, None, rand)
+            per_shard.append(float(loss))
+
+        new_state, losses = trainer.train_steps(
+            state, anchors[None, :], jax.random.PRNGKey(1))
+        loss_dist = float(losses[0])
+        assert loss_dist == pytest.approx(np.mean(per_shard), rel=1e-4)
+        assert int(new_state.step) == 1
+
+    def test_training_reduces_loss(self):
+        mesh, dg, model, cfg, trainer = self._setup()
+        B, K = 64, 30
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=B)
+        rng = np.random.default_rng(3)
+        anchors = rng.integers(0, dg.num_nodes, (K, B)).astype(np.int32)
+        state, losses = trainer.train_steps(state, anchors,
+                                            jax.random.PRNGKey(1))
+        losses = np.asarray(losses)
+        assert np.isfinite(losses).all()
+        assert losses[-5:].mean() < losses[:5].mean()
+
+    def test_evaluate_and_encode(self):
+        mesh, dg, model, cfg, trainer = self._setup()
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=64)
+        metrics = trainer.evaluate(
+            state.params, [np.arange(64, dtype=np.int32)])
+        assert 0.0 <= metrics["mrr"] <= 1.0
+        assert 0.0 <= metrics["hits@10"] <= 1.0
+        emb = trainer.encode_batch(state.params,
+                                   np.arange(64, dtype=np.int32))
+        assert emb.shape == (64, 16)
+        assert np.isfinite(np.asarray(emb)).all()
+
+    def test_rejects_bad_configs(self):
+        mesh = _mesh()
+        dg = _toy()
+        pg = PartitionedGraph.build(dg, mesh)
+        with pytest.raises(ValueError):
+            PartitionedNALPTrainer(
+                _model(), pg, mesh,
+                NALPTrainerConfig(fanouts=(5,), cached_hop=True))
+        with pytest.raises(ValueError):
+            PartitionedNALPTrainer(
+                _model(), pg, mesh,
+                NALPTrainerConfig(fanouts=(5,), num_random_negs=7))
+
+    def test_uneven_nodes_padding(self):
+        """N not divisible by P: trailing pad rows are empty and unreachable."""
+        mesh = _mesh()
+        dg = _toy(n=250, e=1500)
+        model = _model()
+        cfg = NALPTrainerConfig(fanouts=(4, 2), num_positives=1,
+                                num_random_negs=64, loss_type="margin")
+        pg = PartitionedGraph.build(dg, mesh)
+        assert pg.rows_per_shard * 8 >= 250
+        trainer = PartitionedNALPTrainer(model, pg, mesh, cfg,
+                                         capacity_factor=8.0)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=64)
+        anchors = (np.arange(64, dtype=np.int32) * 7) % 250
+        state, losses = trainer.train_steps(state, anchors[None, :],
+                                            jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(losses)).all()
