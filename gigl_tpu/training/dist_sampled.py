@@ -51,6 +51,7 @@ from gigl_tpu.parallel.feature_lookup import (
     routed_gather,
     routed_sample_neighbors,
 )
+from gigl_tpu.losses.metrics import hits_at_k, mean_reciprocal_rank
 from gigl_tpu.parallel.mesh import DATA_AXIS
 from gigl_tpu.sampling.neighbor_sampler import counter_rng_uniform
 from gigl_tpu.training.dataset import NALPBatch
@@ -193,6 +194,7 @@ class PartitionedNALPTrainer:
 
         self._P = P
         pspec_graph = (P(axis), P(axis, None), P(axis, None),
+                       P(axis, None), P(axis, None),
                        P(axis, None), P(axis, None))
         self._train_steps = jax.jit(jax.shard_map(
             self._steps_local,
@@ -200,7 +202,7 @@ class PartitionedNALPTrainer:
             in_specs=pspec_graph + (P(), P(None, axis), P()),
             out_specs=(P(), P()),
             check_vma=False,
-        ), donate_argnums=(5,))
+        ), donate_argnums=(7,))
         self._eval_step = jax.jit(jax.shard_map(
             self._eval_local,
             mesh=mesh,
@@ -221,7 +223,20 @@ class PartitionedNALPTrainer:
         pg = self.pg
         sup_ip = pg.sup_indptr if pg.sup_indptr is not None else pg.msg_indptr
         sup_ix = pg.sup_indices if pg.sup_indices is not None else pg.msg_indices
-        return (pg.feat_deg, pg.msg_indptr, pg.msg_indices, sup_ip, sup_ix)
+        hard_ip = pg.hard_indptr
+        hard_ix = pg.hard_indices
+        if hard_ip is None:
+            # Degenerate all-degree-0 CSR: hard draws mask to empty.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P(self.axis, None))
+            hard_ip = jax.device_put(
+                np.zeros((self.num_shards, self.pg.rows_per_shard + 1),
+                         np.int32), sh)
+            hard_ix = jax.device_put(
+                np.zeros((self.num_shards, 1), np.int32), sh)
+        return (pg.feat_deg, pg.msg_indptr, pg.msg_indices, sup_ip, sup_ix,
+                hard_ip, hard_ix)
 
     def _sample_tree(self, msg_ip, msg_ix, roots, seed_offset):
         """Frontier expansion via owner-routed sampling; mirrors
@@ -274,7 +289,7 @@ class PartitionedNALPTrainer:
             outs.append(emb.reshape(roots.shape + (emb.shape[-1],)))
         return outs
 
-    def _make_batch(self, sup_ip, sup_ix, anchors, step):
+    def _make_batch(self, sup_ip, sup_ix, hard_ip, hard_ix, anchors, step):
         cfg = self.cfg
         pos, pos_mask = routed_sample_neighbors(
             sup_ip, sup_ix, anchors, cfg.num_positives, axis=self.axis,
@@ -288,40 +303,45 @@ class PartitionedNALPTrainer:
             seed=cfg.seed, hop=3_000_017 + step, num_slots=1)[:, 0]
         rand = (bits % jnp.uint32(self.pg.num_nodes)).astype(jnp.int32)
         h = cfg.num_hard_negs
-        hard = jnp.zeros(anchors.shape + (h,), jnp.int32)
-        hard_mask = jnp.zeros(anchors.shape + (h,), bool)
-        if h > 0 and self.pg.hard_indptr is not None:
-            # hard CSR shards are replicated into the step via closure-free
-            # args only when present; route through supervision args slot.
-            raise NotImplementedError(
-                "hard negatives in the partitioned trainer: register "
-                "hard_neg_csr and extend _graph_args (kept out of v1)")
+        if h > 0:
+            hard, hard_mask = routed_sample_neighbors(
+                hard_ip, hard_ix, anchors, h, axis=self.axis,
+                seed=cfg.seed, hop=2_000_003 + step,
+                capacity_factor=self.capacity_factor)
+        else:
+            hard = jnp.zeros(anchors.shape + (h,), jnp.int32)
+            hard_mask = jnp.zeros(anchors.shape + (h,), bool)
         return NALPBatch(anchors=anchors.astype(jnp.int32), pos=pos,
                          pos_mask=pos_mask, hard_neg=hard,
                          hard_neg_mask=hard_mask, random_neg=rand)
 
     def _loss_local(self, feat_deg_l, msg_ip, msg_ix, sup_ip, sup_ix,
-                    params, cms, anchors, step, rng):
-        batch = self._make_batch(sup_ip, sup_ix, anchors, step)
+                    hard_ip, hard_ix, params, cms, anchors, step, rng):
+        batch = self._make_batch(sup_ip, sup_ix, hard_ip, hard_ix,
+                                 anchors, step)
         r_per = self.cfg.num_random_negs // self.num_shards
         shard = jax.lax.axis_index(self.axis)
         rand_local = jax.lax.dynamic_slice_in_dim(
             batch.random_neg, shard * r_per, r_per)
-        q, pos, rand_l = self._encode_groups(
-            feat_deg_l, msg_ip, msg_ix, params,
-            [(batch.anchors, 0), (batch.pos, 1), (rand_local, 2)],
-            train=True, rng=rng)
+        groups = [(batch.anchors, 0), (batch.pos, 1), (rand_local, 2)]
+        if self.cfg.num_hard_negs > 0:
+            groups.append((batch.hard_neg, 3))
+        embs = self._encode_groups(feat_deg_l, msg_ip, msg_ix, params,
+                                   groups, train=True, rng=rng)
+        q, pos, rand_l = embs[0], embs[1], embs[2]
+        hard = embs[3] if self.cfg.num_hard_negs > 0 else None
         # Candidate embeddings shared across the global batch.
         rand = jax.lax.all_gather(rand_l, self.axis, axis=0, tiled=True)
         loss, cms = nalp_loss_from_embeddings(
-            self.model, params, self.cfg, batch, q, pos, None, rand, cms)
+            self.model, params, self.cfg, batch, q, pos, hard, rand, cms)
         return loss, cms
 
     def _step_local(self, feat_deg_l, msg_ip, msg_ix, sup_ip, sup_ix,
-                    state: TrainState, anchors, rng):
+                    hard_ip, hard_ix, state: TrainState, anchors, rng):
         (loss, cms), grads = jax.value_and_grad(
             lambda p: self._loss_local(feat_deg_l, msg_ip, msg_ix, sup_ip,
-                                       sup_ix, p, state.cms, anchors,
+                                       sup_ix, hard_ip, hard_ix, p,
+                                       state.cms, anchors,
                                        state.step, rng),
             has_aux=True)(state.params)
         grads = jax.lax.pmean(grads, self.axis)
@@ -333,27 +353,30 @@ class PartitionedNALPTrainer:
                           step=state.step + 1, cms=cms), loss
 
     def _steps_local(self, feat_deg_l, msg_ip, msg_ix, sup_ip, sup_ix,
-                     state, anchors_kb, rngs):
+                     hard_ip, hard_ix, state, anchors_kb, rngs):
         msg_ip, msg_ix = msg_ip[0], msg_ix[0]
         sup_ip, sup_ix = sup_ip[0], sup_ix[0]
+        hard_ip, hard_ix = hard_ip[0], hard_ix[0]
 
         def body(st, xs):
             a, r = xs
             return self._step_local(feat_deg_l, msg_ip, msg_ix,
-                                    sup_ip, sup_ix, st, a, r)
+                                    sup_ip, sup_ix, hard_ip, hard_ix,
+                                    st, a, r)
 
         return jax.lax.scan(body, state, (anchors_kb, rngs))
 
     def _eval_local(self, feat_deg_l, msg_ip, msg_ix, sup_ip, sup_ix,
-                    params, anchors, step):
+                    hard_ip, hard_ix, params, anchors, step):
         """Ref parity eval (modeling_task_spec:534-546): positives ranked
         against the shared random negatives; (rr_sum, hits_sums, count)
         psum-reduced across shards."""
         msg_ip, msg_ix = msg_ip[0], msg_ix[0]
         sup_ip, sup_ix = sup_ip[0], sup_ix[0]
-        from gigl_tpu.losses.metrics import hits_at_k, mean_reciprocal_rank
+        hard_ip, hard_ix = hard_ip[0], hard_ix[0]
 
-        batch = self._make_batch(sup_ip, sup_ix, anchors, step)
+        batch = self._make_batch(sup_ip, sup_ix, hard_ip, hard_ix,
+                                 anchors, step)
         r_per = self.cfg.num_random_negs // self.num_shards
         shard = jax.lax.axis_index(self.axis)
         rand_local = jax.lax.dynamic_slice_in_dim(

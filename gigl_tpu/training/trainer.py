@@ -130,12 +130,25 @@ def nalp_loss_from_embeddings(model, params, cfg, batch: NALPBatch,
     if cfg.loss_type == "retrieval":
         q_rep = jnp.repeat(q, P, axis=0)                       # [B*P, D]
         pos_flat = pos.reshape(B * P, D)
-        cand = jnp.concatenate([pos_flat, rand], axis=0)       # [C, D]
+        # Candidates = positives ++ hard negatives ++ random negatives
+        # (ref layers/loss.py:339-346); padded pos/hard slots are masked
+        # out as candidate COLUMNS (the reference has no padding — samples
+        # are ragged — so validity masking is the static-shape analog).
+        parts, id_parts, cmask_parts = [pos_flat], [batch.pos.reshape(-1)], [
+            batch.pos_mask.reshape(-1)]
+        if hard is not None and hard.shape[1] > 0:
+            parts.append(hard.reshape(-1, D))
+            id_parts.append(batch.hard_neg.reshape(-1))
+            cmask_parts.append(batch.hard_neg_mask.reshape(-1))
+        parts.append(rand)
+        id_parts.append(batch.random_neg)
+        cmask_parts.append(jnp.ones(rand.shape[0], bool))
+        cand = jnp.concatenate(parts, axis=0)                  # [C, D]
         scores = model.apply(params, q_rep, cand,
                              method="decode_all_pairs")        # [B*P, C]
         qids = jnp.repeat(batch.anchors, P, axis=0)
-        cids = jnp.concatenate(
-            [batch.pos.reshape(-1), batch.random_neg], axis=0)
+        cids = jnp.concatenate(id_parts, axis=0)
+        cand_mask = jnp.concatenate(cmask_parts, axis=0)
         qmask = batch.pos_mask.reshape(-1)
         prob = None
         if cms is not None:
@@ -149,6 +162,7 @@ def nalp_loss_from_embeddings(model, params, cfg, batch: NALPBatch,
             candidate_ids=cids,
             remove_accidental_hits=cfg.remove_accidental_hits,
             query_mask=qmask,
+            candidate_mask=cand_mask,
         )
     else:
         pos_scores = decode(q[:, None, :], pos)                # [B, P]
