@@ -102,6 +102,13 @@ class PartitionedGraph:
     feat_deg: [P*rows, D+1] — feature rows with the node's message in-degree
     fused as the LAST column, so hydration + degree lookup is one routed
     gather (same fused-table trick as DeviceGraph.fused_table).
+    With ``quantized``: [P*rows, D+8] int8 — per-row symmetric int8 features
+    with the fp32 scale and fp32 degree BIT-PACKED into the last 8 bytes
+    (little-endian, matching XLA bitcast_convert_type), so hydration stays
+    ONE routed gather while rows shrink ~4x — both the per-chip HBM
+    footprint and the all_to_all payload (the ICI bytes GLT would move as
+    RPC responses). The MAG240M capacity lever: 244M x 768 fp32 = 750 GB
+    total; int8 over a pod slice fits where fp32 does not.
     msg_*/sup_*/hard_*: per-shard CSR blocks (see _shard_csr).
     """
 
@@ -115,10 +122,11 @@ class PartitionedGraph:
     num_nodes: int
     rows_per_shard: int
     feat_dim: int
+    quantized: bool = False
 
     @classmethod
-    def build(cls, device_graph, mesh, axis: str = DATA_AXIS
-              ) -> "PartitionedGraph":
+    def build(cls, device_graph, mesh, axis: str = DATA_AXIS,
+              quantize_features: bool = False) -> "PartitionedGraph":
         """Partition a (host-assembled) DeviceGraph across ``mesh[axis]``."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -130,9 +138,23 @@ class PartitionedGraph:
         d = feats.shape[1]
         deg = (np.asarray(dg.degrees, np.float32) if dg.degrees is not None
                else np.zeros((n,), np.float32))
-        fd = np.zeros((num_shards * rows, d + 1), np.float32)
-        fd[:n, :d] = feats
-        fd[:n, d] = deg
+        if quantize_features:
+            absmax = np.maximum(np.abs(feats).max(axis=1, keepdims=True),
+                                1e-12)
+            scale = (absmax / 127.0).astype(np.float32)          # [n, 1]
+            q = np.clip(np.rint(feats / scale), -127, 127).astype(np.int8)
+            tail = np.concatenate(
+                [scale.view(np.uint8).reshape(n, 4),
+                 deg.astype(np.float32).reshape(n, 1).view(
+                     np.uint8).reshape(n, 4)],
+                axis=1).view(np.int8)                            # [n, 8]
+            fd = np.zeros((num_shards * rows, d + 8), np.int8)
+            fd[:n, :d] = q
+            fd[:n, d:] = tail
+        else:
+            fd = np.zeros((num_shards * rows, d + 1), np.float32)
+            fd[:n, :d] = feats
+            fd[:n, d] = deg
         row_sh = NamedSharding(mesh, P(axis))
         blk_sh = NamedSharding(mesh, P(axis, None))
         msg_ip, msg_ix = _shard_csr(np.asarray(dg.message_csr.indptr),
@@ -158,7 +180,24 @@ class PartitionedGraph:
             sup_indptr=sup_ip, sup_indices=sup_ix,
             hard_indptr=hard_ip, hard_indices=hard_ix,
             num_nodes=n, rows_per_shard=rows, feat_dim=d,
+            quantized=quantize_features,
         )
+
+    def decode_rows(self, rows: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Gathered table rows -> (features [G, D] f32, degrees [G] f32).
+
+        Quantized rows dequantize via the bit-packed per-row scale; the
+        byte order of the pack (little-endian) matches XLA's
+        bitcast_convert_type contract (minor-most index = low-order bits).
+        """
+        d = self.feat_dim
+        if not self.quantized:
+            return rows[:, :d], rows[:, d]
+        q = rows[:, :d].astype(jnp.float32)
+        tail = jax.lax.bitcast_convert_type(
+            rows[:, d:].reshape(rows.shape[0], 2, 4), jnp.float32)  # [G, 2]
+        return q * tail[:, 0:1], tail[:, 1]
 
 
 class PartitionedNALPTrainer:
@@ -273,6 +312,7 @@ class PartitionedNALPTrainer:
         rows, _ok = routed_gather(
             feat_deg_l, all_ids, axis=self.axis,
             capacity_factor=self.capacity_factor)
+        feat_rows, deg_rows = self.pg.decode_rows(rows)
         d = self.pg.feat_dim
         outs = []
         offset = 0
@@ -280,10 +320,10 @@ class PartitionedNALPTrainer:
         for (ids, masks), (roots, _off) in zip(trees, groups):
             feats, degs = [], []
             for lvl in ids:
-                r = rows[offset: offset + lvl.size]
+                sl = slice(offset, offset + lvl.size)
                 offset += lvl.size
-                feats.append(r[:, :d].reshape(lvl.shape + (d,)))
-                degs.append(r[:, d].reshape(lvl.shape))
+                feats.append(feat_rows[sl].reshape(lvl.shape + (d,)))
+                degs.append(deg_rows[sl].reshape(lvl.shape))
             emb = self.model.apply(params, feats, masks, None, train=train,
                                    hop_degrees=degs, rngs=rngs)
             outs.append(emb.reshape(roots.shape + (emb.shape[-1],)))

@@ -231,3 +231,40 @@ class TestPartitionedNALPTrainer:
         state, losses = trainer.train_steps(state, anchors[None, :],
                                             jax.random.PRNGKey(1))
         assert np.isfinite(np.asarray(losses)).all()
+
+
+class TestQuantizedPartitionedGraph:
+    def test_decode_rows_parity(self):
+        mesh = _mesh()
+        dg = _toy(n=256, e=2048, d=16)
+        pg_f = PartitionedGraph.build(dg, mesh)
+        pg_q = PartitionedGraph.build(dg, mesh, quantize_features=True)
+        assert pg_q.quantized and pg_q.feat_deg.dtype == jnp.int8
+        # decode every real row on a single device (decode_rows is pure)
+        n = dg.num_nodes
+        rows_q = jnp.asarray(np.asarray(pg_q.feat_deg)[:n])
+        feats_q, deg_q = pg_q.decode_rows(rows_q)
+        feats = np.asarray(dg.node_features)
+        absmax = np.abs(feats).max(axis=1, keepdims=True)
+        tol = absmax / 127.0 * 0.51 + 1e-7
+        assert (np.abs(np.asarray(feats_q) - feats) <= tol).all()
+        np.testing.assert_array_equal(np.asarray(deg_q),
+                                      np.asarray(dg.degrees))
+
+    def test_training_runs_quantized(self):
+        mesh = _mesh()
+        dg = _toy()
+        model = _model()
+        cfg = NALPTrainerConfig(fanouts=(5, 3), num_positives=1,
+                                num_random_negs=64, loss_type="retrieval")
+        pg = PartitionedGraph.build(dg, mesh, quantize_features=True)
+        trainer = PartitionedNALPTrainer(model, pg, mesh, cfg,
+                                         capacity_factor=8.0)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=64)
+        rng = np.random.default_rng(5)
+        anchors = rng.integers(0, dg.num_nodes, (20, 64)).astype(np.int32)
+        state, losses = trainer.train_steps(state, anchors,
+                                            jax.random.PRNGKey(1))
+        losses = np.asarray(losses)
+        assert np.isfinite(losses).all()
+        assert losses[-5:].mean() < losses[:5].mean()
