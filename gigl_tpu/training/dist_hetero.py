@@ -1,0 +1,499 @@
+"""Heterogeneous NALP training over a graph partitioned across the mesh.
+
+Typed extension of training/dist_sampled.py — the reference's v2 GLT
+distributed path is heterogeneous-first (one CSR per edge type + one
+feature store per node type, partitioned across machines:
+python/gigl/distributed/dist_link_prediction_dataset.py:428-439), so the
+partitioned TPU regime must be too. Per chip, HBM holds a 1/P node-range
+slice of EVERY node type's feature table and EVERY edge type's CSR (each
+partitioned by its anchor node type's id range). SubgraphSamplingStrategy
+op trees execute with ``routed_sample_neighbors`` per op (frontier routed
+to the owner shard of that op's anchor node type; same counter-RNG keying
+as sample_typed_blocks — hop = depth * 1_000_003 + op_index — so sampling
+is bit-identical to the replicated-graph hetero trainer), and hydration is
+ONE routed gather per node type over the union of that type's tree levels.
+
+Losses/eval mirror HeteroNALPTrainer (anchor and candidate node types may
+differ — bipartite link prediction); random negatives are drawn in the
+candidate type's id space, encoded 1/P per shard, and all_gathered.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gigl_tpu.parallel.feature_lookup import (
+    routed_gather,
+    routed_sample_neighbors,
+)
+from gigl_tpu.parallel.mesh import DATA_AXIS
+from gigl_tpu.sampling.hetero_sampler import OpSpec, TypedBlocks
+from gigl_tpu.sampling.neighbor_sampler import counter_rng_uniform
+from gigl_tpu.training.dataset import NALPBatch
+from gigl_tpu.training.dist_sampled import _shard_csr
+from gigl_tpu.training.hetero_dataset import HeteroDeviceGraph
+from gigl_tpu.training.hetero_trainer import HeteroNALPTrainerConfig
+from gigl_tpu.training.trainer import (
+    TrainState,
+    make_optimizer,
+    nalp_loss_from_embeddings,
+)
+from gigl_tpu.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclass
+class PartitionedHeteroGraph:
+    """Per-node-type feature shards + per-edge-type CSR shards.
+
+    feats[nt]: [P*rows_nt, D_nt] sharded over the mesh axis.
+    csr_ip/csr_ix[key]: [P, rows_anchor+1] / [P, E_pad] blocks of the CSR
+    keyed like HeteroDeviceGraph.csrs ("{edge_type}|{anchor}"), partitioned
+    by the ANCHOR node type's range (the frontier side of the op).
+    sup_*/hard_*: supervision / hard-negative CSRs partitioned by the
+    anchor node type's range (positives/negatives live in the candidate
+    type's id space).
+    """
+
+    feats: Dict[str, jax.Array]
+    csr_ip: Dict[str, jax.Array]
+    csr_ix: Dict[str, jax.Array]
+    sup_ip: Optional[jax.Array]
+    sup_ix: Optional[jax.Array]
+    hard_ip: Optional[jax.Array]
+    hard_ix: Optional[jax.Array]
+    num_nodes: Dict[str, int]
+    rows: Dict[str, int]
+    feat_dims: Dict[str, int]
+    anchor_node_type: str
+
+    @classmethod
+    def build(
+        cls,
+        hdg: HeteroDeviceGraph,
+        paths: Dict[str, Tuple[OpSpec, ...]],
+        mesh,
+        *,
+        anchor_node_type: str,
+        axis: str = DATA_AXIS,
+    ) -> "PartitionedHeteroGraph":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        num_shards = int(mesh.shape[axis])
+        row_sh = NamedSharding(mesh, P(axis))
+        blk_sh = NamedSharding(mesh, P(axis, None))
+        rows = {nt: -(-n // num_shards) for nt, n in hdg.num_nodes.items()}
+        feats, dims = {}, {}
+        for nt, f in hdg.node_features.items():
+            f = np.asarray(f, np.float32)
+            d = f.shape[1]
+            pad = np.zeros((num_shards * rows[nt], d), np.float32)
+            pad[: f.shape[0]] = f
+            feats[nt] = jax.device_put(pad, row_sh)
+            dims[nt] = d
+        # csr_key -> anchor node type, from the op specs that use it.
+        anchor_of: Dict[str, str] = {}
+        for ops in paths.values():
+            for op in ops:
+                anchor_of[op.csr_key] = str(op.frontier_node_type)
+        csr_ip, csr_ix = {}, {}
+        for key, csr in hdg.csrs.items():
+            if key not in anchor_of:
+                continue  # CSR not used by any path
+            nt = anchor_of[key]
+            ip, ix = _shard_csr(np.asarray(csr.indptr),
+                                np.asarray(csr.indices),
+                                num_shards, rows[nt])
+            csr_ip[key] = jax.device_put(ip, blk_sh)
+            csr_ix[key] = jax.device_put(ix, blk_sh)
+        sup_ip = sup_ix = hard_ip = hard_ix = None
+        if hdg.supervision_csr is not None:
+            a, b = _shard_csr(np.asarray(hdg.supervision_csr.indptr),
+                              np.asarray(hdg.supervision_csr.indices),
+                              num_shards, rows[str(anchor_node_type)])
+            sup_ip = jax.device_put(a, blk_sh)
+            sup_ix = jax.device_put(b, blk_sh)
+        if hdg.hard_neg_csr is not None:
+            a, b = _shard_csr(np.asarray(hdg.hard_neg_csr.indptr),
+                              np.asarray(hdg.hard_neg_csr.indices),
+                              num_shards, rows[str(anchor_node_type)])
+            hard_ip = jax.device_put(a, blk_sh)
+            hard_ix = jax.device_put(b, blk_sh)
+        return cls(feats=feats, csr_ip=csr_ip, csr_ix=csr_ix,
+                   sup_ip=sup_ip, sup_ix=sup_ix,
+                   hard_ip=hard_ip, hard_ix=hard_ix,
+                   num_nodes=dict(hdg.num_nodes), rows=rows,
+                   feat_dims=dims, anchor_node_type=str(anchor_node_type))
+
+
+class PartitionedHeteroNALPTrainer:
+    """Typed partitioned trainer; API mirrors HeteroNALPTrainer."""
+
+    def __init__(
+        self,
+        model,  # HeteroLinkPredictionGNN
+        pgraph: PartitionedHeteroGraph,
+        paths: Dict[str, Tuple[OpSpec, ...]],
+        config: HeteroNALPTrainerConfig,
+        mesh,
+        optimizer_args: Optional[Dict[str, Any]] = None,
+        axis: str = DATA_AXIS,
+        capacity_factor: float = 4.0,
+    ):
+        if config.tabularized:
+            raise ValueError("tabularized tables are a replicated-graph "
+                             "optimization; the partitioned trainer samples "
+                             "live via routed lookups")
+        for nt in (config.anchor_node_type, config.candidate_node_type):
+            if str(nt) not in paths:
+                raise ValueError(f"no sampling path for node type {nt!r}")
+        for ops in paths.values():
+            for op in ops:
+                if op.method != "uniform":
+                    raise ValueError(
+                        "partitioned hetero sampling supports uniform ops "
+                        f"only (op {op.name!r} uses {op.method!r})")
+        if config.num_random_negs % int(mesh.shape[axis]):
+            raise ValueError("num_random_negs must divide the mesh axis size")
+        self.model = model
+        self.pg = pgraph
+        self.paths = {k: tuple(v) for k, v in paths.items()}
+        self.cfg = config
+        self.mesh = mesh
+        self.axis = axis
+        self.num_shards = int(mesh.shape[axis])
+        self.capacity_factor = capacity_factor
+        self.tx = make_optimizer(optimizer_args or {})
+        from jax.sharding import PartitionSpec as P
+
+        graph_specs = (P(axis), P(axis, None), P(axis, None),
+                       P(axis, None), P(axis, None),
+                       P(axis, None), P(axis, None))
+        self._train_steps = jax.jit(jax.shard_map(
+            self._steps_local, mesh=mesh,
+            in_specs=graph_specs + (P(), P(None, axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ), donate_argnums=(7,))
+        self._eval_step = jax.jit(jax.shard_map(
+            self._eval_local, mesh=mesh,
+            in_specs=graph_specs + (P(), P(axis), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        ))
+        # Per-node-type encode programs (node type is a static trace-time
+        # choice; strings cannot pass through shard_map).
+        self._encode_fns: Dict[str, Any] = {}
+        self._graph_specs = graph_specs
+
+    # -- graph arg plumbing ------------------------------------------------
+    def _graph_args(self):
+        pg = self.pg
+
+        def dummy_csr(nt):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self.mesh, P(self.axis, None))
+            return (jax.device_put(
+                np.zeros((self.num_shards, pg.rows[nt] + 1), np.int32), sh),
+                jax.device_put(
+                    np.zeros((self.num_shards, 1), np.int32), sh))
+
+        a_nt = pg.anchor_node_type
+        sup_ip, sup_ix = pg.sup_ip, pg.sup_ix
+        if sup_ip is None:
+            sup_ip, sup_ix = dummy_csr(a_nt)
+        hard_ip, hard_ix = pg.hard_ip, pg.hard_ix
+        if hard_ip is None:
+            hard_ip, hard_ix = dummy_csr(a_nt)
+        return (pg.feats, pg.csr_ip, pg.csr_ix, sup_ip, sup_ix,
+                hard_ip, hard_ix)
+
+    @staticmethod
+    def _squeeze_csr(d):
+        return {k: v[0] for k, v in d.items()}
+
+    # -- SPMD bodies -------------------------------------------------------
+    def _sample_tree(self, ip_l, ix_l, roots, root_nt: str,
+                     spec: Tuple[OpSpec, ...], seed: int):
+        """Op-tree expansion via owner-routed sampling; RNG keying matches
+        sample_typed_blocks (hop = depth * 1_000_003 + op index)."""
+        node_ids: List[jnp.ndarray] = [roots.astype(jnp.int32)]
+        masks: List[jnp.ndarray] = [jnp.ones(roots.shape, bool)]
+        for i, op in enumerate(spec):
+            frontier = node_ids[op.parent + 1]
+            pmask = masks[op.parent + 1]
+            nbr, m = routed_sample_neighbors(
+                ip_l[op.csr_key], ix_l[op.csr_key],
+                frontier.reshape(-1), op.fanout, axis=self.axis,
+                seed=seed, hop=op.depth * 1_000_003 + i,
+                capacity_factor=self.capacity_factor)
+            nbr = nbr.reshape(frontier.shape + (op.fanout,))
+            m = m.reshape(frontier.shape + (op.fanout,)) & pmask[..., None]
+            node_ids.append(jnp.where(m, nbr, 0))
+            masks.append(m)
+        return TypedBlocks(root_node_type=root_nt, spec=spec,
+                           node_ids=node_ids, masks=masks,
+                           edge_slots=[None] * (len(spec) + 1))
+
+    def _encode_groups(self, feats_l, ip_l, ix_l, params, groups,
+                       train: bool, rng=None):
+        """groups: [(node_ids, node_type, seed_offset)]. One routed gather
+        PER NODE TYPE over the union of that type's tree levels."""
+        trees = []
+        for (ids, nt, off) in groups:
+            blocks = self._sample_tree(
+                ip_l, ix_l, ids.reshape(-1), str(nt), self.paths[str(nt)],
+                self.cfg.seed + off)
+            trees.append(blocks)
+        # Level (tree_i, level_i) -> node type; bucket by type.
+        by_type: Dict[str, List[Tuple[int, int]]] = {}
+        for t_i, blocks in enumerate(trees):
+            types = [blocks.root_node_type] + [
+                op.neighbor_node_type for op in blocks.spec]
+            for l_i, nt in enumerate(types):
+                by_type.setdefault(str(nt), []).append((t_i, l_i))
+        gathered: Dict[Tuple[int, int], jnp.ndarray] = {}
+        for nt, levels in sorted(by_type.items()):
+            flat = jnp.concatenate(
+                [trees[t].node_ids[l].reshape(-1) for (t, l) in levels])
+            rows, _ok = routed_gather(
+                feats_l[nt], flat, axis=self.axis,
+                capacity_factor=self.capacity_factor)
+            off = 0
+            d = self.pg.feat_dims[nt]
+            for (t, l) in levels:
+                lvl = trees[t].node_ids[l]
+                gathered[(t, l)] = rows[off: off + lvl.size].reshape(
+                    lvl.shape + (d,))
+                off += lvl.size
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        outs = []
+        for t_i, (blocks, (ids, _nt, _off)) in enumerate(zip(trees, groups)):
+            feats = [gathered[(t_i, l)]
+                     for l in range(len(blocks.node_ids))]
+            emb = self.model.apply(params, blocks, feats, train=train,
+                                   rngs=rngs)
+            outs.append(emb.reshape(ids.shape + (emb.shape[-1],)))
+        return outs
+
+    def _make_batch(self, sup_ip, sup_ix, hard_ip, hard_ix, anchors, step):
+        cfg = self.cfg
+        pos, pos_mask = routed_sample_neighbors(
+            sup_ip, sup_ix, anchors, cfg.num_positives, axis=self.axis,
+            seed=cfg.seed, hop=1_000_003 + step,
+            capacity_factor=self.capacity_factor)
+        bits = counter_rng_uniform(
+            jnp.arange(cfg.num_random_negs, dtype=jnp.int32),
+            seed=cfg.seed, hop=3_000_017 + step, num_slots=1)[:, 0]
+        n_cand = self.pg.num_nodes[str(cfg.candidate_node_type)]
+        rand = (bits % jnp.uint32(n_cand)).astype(jnp.int32)
+        h = cfg.num_hard_negs
+        if h > 0:
+            hard, hard_mask = routed_sample_neighbors(
+                hard_ip, hard_ix, anchors, h, axis=self.axis,
+                seed=cfg.seed, hop=2_000_003 + step,
+                capacity_factor=self.capacity_factor)
+        else:
+            hard = jnp.zeros(anchors.shape + (h,), jnp.int32)
+            hard_mask = jnp.zeros(anchors.shape + (h,), bool)
+        return NALPBatch(anchors=anchors.astype(jnp.int32), pos=pos,
+                         pos_mask=pos_mask, hard_neg=hard,
+                         hard_neg_mask=hard_mask, random_neg=rand)
+
+    def _loss_local(self, feats_l, ip_l, ix_l, sup_ip, sup_ix,
+                    hard_ip, hard_ix, params, anchors, step, rng):
+        cfg = self.cfg
+        batch = self._make_batch(sup_ip, sup_ix, hard_ip, hard_ix,
+                                 anchors, step)
+        r_per = cfg.num_random_negs // self.num_shards
+        shard = jax.lax.axis_index(self.axis)
+        rand_local = jax.lax.dynamic_slice_in_dim(
+            batch.random_neg, shard * r_per, r_per)
+        a_nt, c_nt = cfg.anchor_node_type, cfg.candidate_node_type
+        groups = [(batch.anchors, a_nt, 0), (batch.pos, c_nt, 1),
+                  (rand_local, c_nt, 2)]
+        if cfg.num_hard_negs > 0:
+            groups.append((batch.hard_neg, c_nt, 3))
+        embs = self._encode_groups(feats_l, ip_l, ix_l, params, groups,
+                                   train=True, rng=rng)
+        q, pos, rand_l = embs[0], embs[1], embs[2]
+        hard = embs[3] if cfg.num_hard_negs > 0 else None
+        rand = jax.lax.all_gather(rand_l, self.axis, axis=0, tiled=True)
+        loss, _ = nalp_loss_from_embeddings(
+            self.model, params, cfg, batch, q, pos, hard, rand, None)
+        return loss
+
+    def _step_local(self, feats_l, ip_l, ix_l, sup_ip, sup_ix,
+                    hard_ip, hard_ix, state: TrainState, anchors, rng):
+        loss, grads = jax.value_and_grad(
+            lambda p: self._loss_local(feats_l, ip_l, ix_l, sup_ip, sup_ix,
+                                       hard_ip, hard_ix, p, anchors,
+                                       state.step, rng))(state.params)
+        grads = jax.lax.pmean(grads, self.axis)
+        loss = jax.lax.pmean(loss, self.axis)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1, cms=state.cms), loss
+
+    def _steps_local(self, feats_l, ip_l, ix_l, sup_ip, sup_ix,
+                     hard_ip, hard_ix, state, anchors_kb, rngs):
+        ip_l = self._squeeze_csr(ip_l)
+        ix_l = self._squeeze_csr(ix_l)
+        sup_ip, sup_ix = sup_ip[0], sup_ix[0]
+        hard_ip, hard_ix = hard_ip[0], hard_ix[0]
+
+        def body(st, xs):
+            a, r = xs
+            return self._step_local(feats_l, ip_l, ix_l, sup_ip, sup_ix,
+                                    hard_ip, hard_ix, st, a, r)
+
+        return jax.lax.scan(body, state, (anchors_kb, rngs))
+
+    def _eval_local(self, feats_l, ip_l, ix_l, sup_ip, sup_ix,
+                    hard_ip, hard_ix, params, anchors, step):
+        from gigl_tpu.losses.metrics import hits_at_k, mean_reciprocal_rank
+
+        ip_l = self._squeeze_csr(ip_l)
+        ix_l = self._squeeze_csr(ix_l)
+        sup_ip, sup_ix = sup_ip[0], sup_ix[0]
+        hard_ip, hard_ix = hard_ip[0], hard_ix[0]
+        cfg = self.cfg
+        batch = self._make_batch(sup_ip, sup_ix, hard_ip, hard_ix,
+                                 anchors, step)
+        r_per = cfg.num_random_negs // self.num_shards
+        shard = jax.lax.axis_index(self.axis)
+        rand_local = jax.lax.dynamic_slice_in_dim(
+            batch.random_neg, shard * r_per, r_per)
+        a_nt, c_nt = cfg.anchor_node_type, cfg.candidate_node_type
+        q, pos, rand_l = self._encode_groups(
+            feats_l, ip_l, ix_l, params,
+            [(batch.anchors, a_nt, 0), (batch.pos, c_nt, 1),
+             (rand_local, c_nt, 2)], train=False)
+        rand = jax.lax.all_gather(rand_l, self.axis, axis=0, tiled=True)
+        b, p_, d_ = pos.shape
+        pos_scores = self.model.apply(params, q[:, None, :], pos,
+                                      method="decode")
+        rand_scores = self.model.apply(params, q, rand,
+                                       method="decode_all_pairs")
+        pos_flat = pos_scores.reshape(-1)
+        mask_flat = batch.pos_mask.reshape(-1)
+        neg_rep = jnp.repeat(rand_scores, p_, axis=0)
+        acc = (batch.pos.reshape(-1)[:, None] == batch.random_neg[None, :])
+        rr_sum, rr_cnt = mean_reciprocal_rank(
+            pos_flat, neg_rep, pos_mask=mask_flat, neg_mask=~acc)
+        hits, _ = hits_at_k(pos_flat, neg_rep, cfg.eval_ks,
+                            pos_mask=mask_flat, neg_mask=~acc)
+        hits_arr = jnp.stack([hits[int(k)] for k in cfg.eval_ks])
+        return (jax.lax.psum(rr_sum, self.axis),
+                jax.lax.psum(hits_arr, self.axis),
+                jax.lax.psum(rr_cnt, self.axis))
+
+    def _encode_local(self, feats_l, ip_l, ix_l, params, node_ids, *,
+                      node_type: str):
+        ip_l = self._squeeze_csr(ip_l)
+        ix_l = self._squeeze_csr(ix_l)
+        (emb,) = self._encode_groups(feats_l, ip_l, ix_l, params,
+                                     [(node_ids, node_type, 0)],
+                                     train=False)
+        return emb
+
+    def _get_encode_fn(self, node_type: str):
+        if node_type not in self._encode_fns:
+            from functools import partial
+
+            from jax.sharding import PartitionSpec as P
+
+            self._encode_fns[node_type] = jax.jit(jax.shard_map(
+                partial(self._encode_local, node_type=node_type),
+                mesh=self.mesh,
+                in_specs=self._graph_specs[:3] + (P(), P(self.axis)),
+                out_specs=P(self.axis),
+                check_vma=False,
+            ))
+        return self._encode_fns[node_type]
+
+    # -- public API --------------------------------------------------------
+    def init_state(self, rng: jax.Array, batch_size: int,
+                   params: Optional[Any] = None) -> TrainState:
+        """Initialize params by tracing every distinct root path + decoder
+        over dummy static-shape blocks (no graph access needed)."""
+        if params is None:
+            b = max(batch_size // self.num_shards, 1)
+            node_types = []
+            for nt in (self.cfg.anchor_node_type,
+                       self.cfg.candidate_node_type):
+                if str(nt) not in node_types:
+                    node_types.append(str(nt))
+            samples = []
+            for nt in node_types:
+                spec = self.paths[nt]
+                node_ids = [jnp.zeros((b,), jnp.int32)]
+                masks = [jnp.ones((b,), bool)]
+                for op in spec:
+                    shape = node_ids[op.parent + 1].shape + (op.fanout,)
+                    node_ids.append(jnp.zeros(shape, jnp.int32))
+                    masks.append(jnp.ones(shape, bool))
+                blocks = TypedBlocks(root_node_type=nt, spec=spec,
+                                     node_ids=node_ids, masks=masks,
+                                     edge_slots=[None] * (len(spec) + 1))
+                types = [nt] + [op.neighbor_node_type for op in spec]
+                feats = [jnp.zeros(ids.shape + (self.pg.feat_dims[str(t)],),
+                                   jnp.float32)
+                         for ids, t in zip(node_ids, types)]
+                samples.append((blocks, feats))
+
+            def init_all(mdl):
+                embs = [mdl(bk, f) for bk, f in samples]
+                mdl.decode(embs[0], embs[-1])
+                mdl.decode_all_pairs(embs[0], embs[-1])
+                return embs[0]
+
+            params = self.model.init(rng, method=init_all)
+        return TrainState(params=params, opt_state=self.tx.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+    def train_steps(self, state: TrainState, anchors_kb,
+                    rng: jax.Array) -> Tuple[TrainState, jnp.ndarray]:
+        anchors_kb = jnp.asarray(anchors_kb, jnp.int32)
+        if anchors_kb.shape[1] % self.num_shards:
+            raise ValueError(
+                f"batch size {anchors_kb.shape[1]} not divisible by "
+                f"{self.num_shards} shards")
+        rngs = jax.random.split(rng, anchors_kb.shape[0])
+        return self._train_steps(*self._graph_args(), state, anchors_kb,
+                                 rngs)
+
+    def evaluate(self, params, anchor_batches, step: int = 0
+                 ) -> Dict[str, float]:
+        rr_t, hits_t, cnt_t = 0.0, None, 0.0
+        for i, a in enumerate(anchor_batches):
+            rr, hits, cnt = self._eval_step(
+                *self._graph_args(), params, jnp.asarray(a, jnp.int32),
+                jnp.asarray(step + i, jnp.int32))
+            rr_t += float(rr)
+            cnt_t += float(cnt)
+            h = np.asarray(hits)
+            hits_t = h if hits_t is None else hits_t + h
+        cnt_t = max(cnt_t, 1.0)
+        out = {"mrr": rr_t / cnt_t}
+        for i, k in enumerate(self.cfg.eval_ks):
+            out[f"hits@{k}"] = float(hits_t[i]) / cnt_t
+        return out
+
+    def encode_batch(self, params, node_ids,
+                     node_type: Optional[str] = None) -> jnp.ndarray:
+        nt = str(node_type or self.cfg.anchor_node_type)
+        pg = self.pg
+        return self._get_encode_fn(nt)(
+            pg.feats, pg.csr_ip, pg.csr_ix, params,
+            jnp.asarray(node_ids, jnp.int32))
