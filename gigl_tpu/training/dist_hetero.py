@@ -477,6 +477,10 @@ class PartitionedHeteroNALPTrainer:
                  ) -> Dict[str, float]:
         rr_t, hits_t, cnt_t = 0.0, None, 0.0
         for i, a in enumerate(anchor_batches):
+            a = np.asarray(a)
+            a = a[: len(a) // self.num_shards * self.num_shards]
+            if len(a) == 0:
+                continue
             rr, hits, cnt = self._eval_step(
                 *self._graph_args(), params, jnp.asarray(a, jnp.int32),
                 jnp.asarray(step + i, jnp.int32))
@@ -485,6 +489,8 @@ class PartitionedHeteroNALPTrainer:
             h = np.asarray(hits)
             hits_t = h if hits_t is None else hits_t + h
         cnt_t = max(cnt_t, 1.0)
+        if hits_t is None:
+            hits_t = np.zeros(len(self.cfg.eval_ks))
         out = {"mrr": rr_t / cnt_t}
         for i, k in enumerate(self.cfg.eval_ks):
             out[f"hits@{k}"] = float(hits_t[i]) / cnt_t
@@ -494,6 +500,10 @@ class PartitionedHeteroNALPTrainer:
                      node_type: Optional[str] = None) -> jnp.ndarray:
         nt = str(node_type or self.cfg.anchor_node_type)
         pg = self.pg
-        return self._get_encode_fn(nt)(
+        node_ids = jnp.asarray(node_ids, jnp.int32)
+        m = node_ids.shape[0]
+        m_pad = -(-m // self.num_shards) * self.num_shards
+        out = self._get_encode_fn(nt)(
             pg.feats, pg.csr_ip, pg.csr_ix, params,
-            jnp.asarray(node_ids, jnp.int32))
+            jnp.pad(node_ids, (0, m_pad - m)))
+        return out[:m]

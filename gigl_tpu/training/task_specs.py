@@ -215,15 +215,51 @@ class NodeAnchorLinkPredictionTaskSpec(BaseTrainer, BaseInferencer):
                 downsample_root_nodes(self.splits[0], max_train, seed=sp.seed),
             ) + tuple(self.splits[1:])
 
-        self.trainer = NALPTrainer(model, device_graph, cfg,
-                                   optimizer_args=args)
-        if self._split_graphs is not None:
-            # fit()'s val cadence must draw positives from VAL-assigned
-            # supervision edges, not the train graph's.
-            self.trainer.eval_graph = self._split_graphs[DatasetSplit.VAL]
-        # Clamp to the train split (iterator drops partial batches).
+        partitioned = str(args.get("partitioned_backend", "false")
+                          ).lower() in ("1", "true")
         batch_size = max(1, min(int(args.get("main_sample_batch_size", 512)),
                                 len(self.splits[0])))
+        if partitioned:
+            # The should_run_glt_backend analog (ref gbml_config
+            # featureFlags, pb_wrappers/gbml_config.py:416-429): dispatch
+            # training onto the PARTITIONED in-memory backend — graph +
+            # features sharded O(N/P) across the device mesh, routed
+            # sampling/hydration (training/dist_sampled.py).
+            if self._split_graphs is not None:
+                raise ValueError("partitioned_backend does not support the "
+                                 "udl_edge split strategy (per-split "
+                                 "supervision graphs); use the replicated "
+                                 "backend")
+            import dataclasses as _dc
+
+            from gigl_tpu.parallel.mesh import make_mesh
+            from gigl_tpu.training.dist_sampled import (
+                PartitionedGraph,
+                PartitionedNALPTrainer,
+            )
+
+            mesh = make_mesh()
+            n_sh = int(np.prod(list(mesh.shape.values())))
+            cfg = _dc.replace(
+                cfg, num_random_negs=-(-cfg.num_random_negs // n_sh) * n_sh,
+                cached_hop=False, fused_cache=False, quantize_cache=False,
+                use_cms_correction=False)
+            pgraph = PartitionedGraph.build(
+                device_graph, mesh,
+                quantize_features=str(args.get("quantize_features", "false")
+                                      ).lower() in ("1", "true"))
+            self.trainer = PartitionedNALPTrainer(
+                model, pgraph, mesh, cfg, optimizer_args=args,
+                capacity_factor=float(args.get("capacity_factor", 4.0)))
+            batch_size = max(n_sh, batch_size // n_sh * n_sh)
+        else:
+            self.trainer = NALPTrainer(model, device_graph, cfg,
+                                       optimizer_args=args)
+            if self._split_graphs is not None:
+                # fit()'s val cadence must draw positives from VAL-assigned
+                # supervision edges, not the train graph's.
+                self.trainer.eval_graph = self._split_graphs[DatasetSplit.VAL]
+        # Clamp to the train split (iterator drops partial batches).
         self._batch_size = batch_size
         params = state
         if params is None and task_config.trainer.pretrained_model_uri:

@@ -247,3 +247,35 @@ class TestPerfKnobArgs:
         assert spec.trainer.model.encoder.dtype == jnp.bfloat16
         metrics = spec.train()
         assert np.isfinite(metrics["mrr"])
+
+
+class TestPartitionedBackendDispatch:
+    """trainerArgs partitioned_backend=true — the should_run_glt_backend
+    dispatch analog (ref pb_wrappers/gbml_config.py:416-429): the same task
+    spec trains on the partitioned-graph backend (training/dist_sampled.py)."""
+
+    def test_spec_trains_on_partitioned_backend(self):
+        from gigl_tpu.training.dist_sampled import PartitionedNALPTrainer
+
+        g, _, _, _ = _clustered_graph()
+        cfg = _nalp_config(num_epochs="3", val_every_num_batches="4",
+                           num_val_batches="2", partitioned_backend="true",
+                           capacity_factor="8.0")
+        spec = NodeAnchorLinkPredictionTaskSpec()
+        spec.init_model(cfg, graph=g)
+        assert isinstance(spec.trainer, PartitionedNALPTrainer)
+        metrics = spec.train()
+        assert metrics["mrr"] > 0.3, metrics
+        test_metrics = spec.eval("test", num_batches=2)
+        assert "mrr" in test_metrics
+        emb = spec.infer_batch(np.arange(11))  # not a multiple of 8: padded
+        assert emb.shape == (11, 16)
+
+    def test_partitioned_rejects_udl_edge_split(self):
+        g, _, _, _ = _clustered_graph()
+        cfg = _nalp_config(partitioned_backend="true",
+                           split_strategy="udl_edge")
+        spec = NodeAnchorLinkPredictionTaskSpec()
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="partitioned_backend"):
+            spec.init_model(cfg, graph=g)
