@@ -77,3 +77,56 @@ def accuracy(
     if mask is not None:
         return jnp.sum(jnp.where(mask, correct, False)), jnp.sum(mask)
     return jnp.sum(correct), jnp.asarray(labels.shape[0], jnp.int32)
+
+
+class EvalMetric:
+    """One named eval metric (ref `src/common/types/model_eval_metrics.py`
+    EvalMetric.from_eval_metric_type: name + value)."""
+
+    __slots__ = ("name", "value")
+
+    def __init__(self, name: str, value: float):
+        self.name = str(name)
+        self.value = float(value)
+
+    def __repr__(self):
+        return f"EvalMetric({self.name}={self.value:.6g})"
+
+
+class EvalMetricsCollection:
+    """Named collection of eval metrics with KFP-metrics-JSON export.
+
+    Ref parity: `src/common/types/model_eval_metrics.py`
+    EvalMetricsCollection (metric map) and
+    `translators/model_eval_metrics_translator.py` (flush to the KFP metrics
+    JSON consumed by the pipeline UI, training_process.py:185-202).
+    """
+
+    def __init__(self, metrics: Optional[dict] = None):
+        self.metrics: dict = {}
+        for k, v in (metrics or {}).items():
+            self.add(k, v)
+
+    def add(self, name: str, value) -> None:
+        self.metrics[str(name)] = EvalMetric(str(name), float(value))
+
+    def __getitem__(self, name: str) -> float:
+        return self.metrics[name].value
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.metrics
+
+    def to_dict(self) -> dict:
+        return {k: m.value for k, m in self.metrics.items()}
+
+    def to_kfp_metrics_json(self) -> str:
+        """KFP UI metrics file format: {"metrics": [{name, numberValue}]}."""
+        import json
+
+        return json.dumps({"metrics": [
+            {"name": k, "numberValue": m.value, "format": "RAW"}
+            for k, m in sorted(self.metrics.items())]})
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "EvalMetricsCollection":
+        return cls(d)

@@ -245,10 +245,12 @@ class Runner:
                                              for k, v in metrics.items()}}))
         # KFP metrics file (ref training_process.py:154-202 writes eval
         # metrics to the KFP metrics JSON consumed by the pipeline UI).
+        from gigl_tpu.losses.metrics import EvalMetricsCollection
+
+        collection = EvalMetricsCollection(
+            {k.replace("@", "_at_"): float(v) for k, v in metrics.items()})
         UriFactory.create(f"{model_dir}/kfp_metrics.json").write_text(
-            json.dumps({"metrics": [
-                {"name": k.replace("@", "_at_"), "numberValue": float(v),
-                 "format": "RAW"} for k, v in metrics.items()]}))
+            collection.to_kfp_metrics_json())
 
     def run_inferencer(self, frozen: TaskConfig) -> None:
         from gigl_tpu.data.export import EmbeddingExporter
