@@ -51,7 +51,8 @@ from gigl_tpu.parallel.feature_lookup import (
     routed_gather,
     routed_sample_neighbors,
 )
-from gigl_tpu.losses.metrics import hits_at_k, mean_reciprocal_rank
+from gigl_tpu.losses.losses import cross_entropy_loss
+from gigl_tpu.losses.metrics import accuracy, hits_at_k, mean_reciprocal_rank
 from gigl_tpu.parallel.mesh import DATA_AXIS
 from gigl_tpu.sampling.neighbor_sampler import counter_rng_uniform
 from gigl_tpu.training.dataset import NALPBatch
@@ -123,6 +124,9 @@ class PartitionedGraph:
     rows_per_shard: int
     feat_dim: int
     quantized: bool = False
+    # Row-sharded node labels [P*rows, 1] int32 (supervised node
+    # classification over the partitioned graph; None for NALP graphs).
+    labels: Optional[jax.Array] = None
 
     @classmethod
     def build(cls, device_graph, mesh, axis: str = DATA_AXIS,
@@ -173,6 +177,11 @@ class PartitionedGraph:
                               num_shards, rows)
             hard_ip = jax.device_put(a, blk_sh)
             hard_ix = jax.device_put(b, blk_sh)
+        labels = None
+        if dg.node_labels is not None:
+            lab = np.zeros((num_shards * rows, 1), np.int32)
+            lab[:n, 0] = np.asarray(dg.node_labels, np.int32)
+            labels = jax.device_put(lab, row_sh)
         return cls(
             feat_deg=jax.device_put(fd, row_sh),
             msg_indptr=jax.device_put(msg_ip, blk_sh),
@@ -181,6 +190,7 @@ class PartitionedGraph:
             hard_indptr=hard_ip, hard_indices=hard_ix,
             num_nodes=n, rows_per_shard=rows, feat_dim=d,
             quantized=quantize_features,
+            labels=labels,
         )
 
     def decode_rows(self, rows: jnp.ndarray
@@ -627,3 +637,196 @@ class PartitionedNALPTrainer:
                 break
             final_batches.append(b)
         return state, self.evaluate(state.params, final_batches)
+
+
+class PartitionedNodeClassificationTrainer(PartitionedNALPTrainer):
+    """Supervised node classification over the PARTITIONED graph.
+
+    The reference's v2 loader serves node classification through the same
+    distributed dataset/neighbor-loader stack as link prediction
+    (distributed_neighborloader.py:26 + NodeClassificationModelingTaskSpec
+    semantics: CE loss on labeled anchors, accuracy eval). Here the same
+    owner-routed sampling + one routed feature gather encode the anchor
+    trees; anchor labels ride a second tiny routed gather over the
+    row-sharded label column; grads/metrics are pmean/psum-reduced.
+
+    Sampling RNG keying matches the replicated NodeClassificationTrainer
+    (seed, hop) — per-shard logits are bit-compatible with single-chip
+    encodes of the same anchor slices.
+    """
+
+    def __init__(self, model, pgraph: PartitionedGraph, mesh,
+                 config, optimizer_args: Optional[Dict[str, Any]] = None,
+                 axis: str = DATA_AXIS, capacity_factor: float = 4.0):
+        if pgraph.labels is None:
+            raise ValueError("PartitionedGraph has no labels; build from a "
+                             "DeviceGraph with node_labels")
+        self.model = model
+        self.pg = pgraph
+        self.mesh = mesh
+        self.axis = axis
+        self.cfg = config
+        self.num_shards = int(mesh.shape[axis])
+        self.capacity_factor = capacity_factor
+        self.tx = make_optimizer(optimizer_args or {})
+        from jax.sharding import PartitionSpec as P
+
+        self._P = P
+        pspec_graph = (P(axis), P(axis, None), P(axis, None), P(axis))
+        self._train_steps = jax.jit(jax.shard_map(
+            self._nc_steps_local,
+            mesh=mesh,
+            in_specs=pspec_graph + (P(), P(None, axis), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ), donate_argnums=(4,))
+        self._eval_step = jax.jit(jax.shard_map(
+            self._nc_eval_local,
+            mesh=mesh,
+            in_specs=pspec_graph + (P(), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        ))
+        self._encode = jax.jit(jax.shard_map(
+            self._encode_local,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis, None), P(axis, None), P(), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        ))
+
+    def _nc_graph_args(self):
+        pg = self.pg
+        return (pg.feat_deg, pg.msg_indptr, pg.msg_indices, pg.labels)
+
+    # -- SPMD bodies -------------------------------------------------------
+    def _nc_loss_local(self, feat_deg_l, msg_ip, msg_ix, labels_l, params,
+                       nodes, rng):
+        (logits,) = self._encode_groups(
+            feat_deg_l, msg_ip, msg_ix, params, [(nodes, 0)],
+            train=True, rng=rng)
+        lab_rows, _ok = routed_gather(
+            labels_l, nodes.astype(jnp.int32), axis=self.axis,
+            capacity_factor=self.capacity_factor)
+        labels = lab_rows[:, 0].astype(jnp.int32)
+        s, c = cross_entropy_loss(logits, labels)
+        return s / jnp.maximum(c.astype(jnp.float32), 1.0)
+
+    def _nc_step_local(self, feat_deg_l, msg_ip, msg_ix, labels_l,
+                       state: TrainState, nodes, rng):
+        loss, grads = jax.value_and_grad(
+            lambda p: self._nc_loss_local(feat_deg_l, msg_ip, msg_ix,
+                                          labels_l, p, nodes, rng)
+        )(state.params)
+        grads = jax.lax.pmean(grads, self.axis)
+        loss = jax.lax.pmean(loss, self.axis)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1, cms=state.cms), loss
+
+    def _nc_steps_local(self, feat_deg_l, msg_ip, msg_ix, labels_l, state,
+                        nodes_kb, rngs):
+        msg_ip, msg_ix = msg_ip[0], msg_ix[0]
+
+        def body(st, xs):
+            nb, r = xs
+            return self._nc_step_local(feat_deg_l, msg_ip, msg_ix,
+                                       labels_l, st, nb, r)
+
+        return jax.lax.scan(body, state, (nodes_kb, rngs))
+
+    def _nc_eval_local(self, feat_deg_l, msg_ip, msg_ix, labels_l, params,
+                       nodes):
+        msg_ip, msg_ix = msg_ip[0], msg_ix[0]
+        (logits,) = self._encode_groups(
+            feat_deg_l, msg_ip, msg_ix, params, [(nodes, 0)], train=False)
+        lab_rows, _ok = routed_gather(
+            labels_l, nodes.astype(jnp.int32), axis=self.axis,
+            capacity_factor=self.capacity_factor)
+        labels = lab_rows[:, 0].astype(jnp.int32)
+        correct, count = accuracy(logits, labels)
+        return (jax.lax.psum(correct, self.axis),
+                jax.lax.psum(count, self.axis))
+
+    # -- public API --------------------------------------------------------
+    def init_state(self, rng: jax.Array, batch_size: int,
+                   params: Optional[Any] = None) -> TrainState:
+        if params is None:
+            d = self.pg.feat_dim
+            feats, masks = [], []
+            shape = (max(batch_size // self.num_shards, 1),)
+            for k in self.cfg.fanouts:
+                feats.append(jnp.zeros(shape + (d,), jnp.float32))
+                masks.append(jnp.ones(shape, bool))
+                shape = shape + (int(k),)
+            feats.append(jnp.zeros(shape + (d,), jnp.float32))
+            masks.append(jnp.ones(shape, bool))
+            params = self.model.init(rng, feats, masks)
+        return TrainState(params=params, opt_state=self.tx.init(params),
+                          step=jnp.zeros((), jnp.int32), cms=None)
+
+    def train_steps(self, state: TrainState, nodes_kb,
+                    rng: jax.Array) -> Tuple[TrainState, jnp.ndarray]:
+        nodes_kb = jnp.asarray(nodes_kb, jnp.int32)
+        if nodes_kb.shape[1] % self.num_shards:
+            raise ValueError(
+                f"batch size {nodes_kb.shape[1]} not divisible by "
+                f"{self.num_shards} shards")
+        rngs = jax.random.split(rng, nodes_kb.shape[0])
+        return self._train_steps(*self._nc_graph_args(), state, nodes_kb,
+                                 rngs)
+
+    def evaluate(self, params, node_batches) -> float:
+        """Global accuracy over the given batches (psum-reduced)."""
+        correct, total = 0.0, 0.0
+        for b in node_batches:
+            b = np.asarray(b)
+            b = b[: len(b) // self.num_shards * self.num_shards]
+            if len(b) == 0:
+                continue
+            c, n = self._eval_step(*self._nc_graph_args(), params,
+                                   jnp.asarray(b, jnp.int32))
+            correct += float(c)
+            total += float(n)
+        return correct / max(total, 1.0)
+
+    def predict_batch(self, params, node_ids) -> jnp.ndarray:
+        """Sharded logits for arbitrary node ids (inference path)."""
+        return self.encode_batch(params, node_ids)
+
+    def fit(self, state: TrainState, train_nodes, val_nodes, *,
+            batch_size: int, num_epochs: int = 10,
+            early_stop_patience: int = 5,
+            log_every: int = 50) -> Tuple[TrainState, Dict[str, float]]:
+        """Per-epoch loop: K-step scan chunks + accuracy val + early stop
+        (the replicated NodeClassificationTrainer.fit contract)."""
+        from gigl_tpu.training.dataset import AnchorBatchIterator
+        from gigl_tpu.training.early_stop import EarlyStopper
+
+        if batch_size % self.num_shards:
+            raise ValueError(f"batch_size {batch_size} must divide the "
+                             f"{self.num_shards}-shard mesh axis")
+        it = AnchorBatchIterator(train_nodes, batch_size, seed=self.cfg.seed)
+        stopper = EarlyStopper(patience=early_stop_patience)
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        step = 0
+        val = np.asarray(val_nodes)
+        val = val[: max(len(val) // self.num_shards, 1) * self.num_shards]
+        for epoch in range(num_epochs):
+            batches = np.stack(list(it.epoch(epoch)))
+            rng, erng = jax.random.split(rng)
+            state, losses = self.train_steps(state, batches, erng)
+            step += len(batches)
+            if log_every:
+                logger.info("epoch %d step %d loss %.4f", epoch, step,
+                            float(losses[-1]))
+            acc = self.evaluate(state.params, [val])
+            logger.info("epoch %d val acc %.4f", epoch, acc)
+            snap = jax.tree_util.tree_map(jnp.copy, state.params)
+            if stopper.update(acc, snap):
+                break
+        if stopper.best_state is not None:
+            state = state._replace(params=stopper.best_state)
+        return state, {"accuracy": stopper.best_value or 0.0}

@@ -268,3 +268,111 @@ class TestQuantizedPartitionedGraph:
         losses = np.asarray(losses)
         assert np.isfinite(losses).all()
         assert losses[-5:].mean() < losses[:5].mean()
+
+
+class TestPartitionedNodeClassification:
+    """Node classification over the partitioned backend (the reference's v2
+    loader serves NC through the same distributed stack as NALP)."""
+
+    def _labeled_toy(self, n=256, e=2048, d=16, classes=4, seed=0):
+        rng = np.random.default_rng(seed)
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+        g = HeteroGraph.homogeneous(
+            src=src, dst=dst, num_nodes=n,
+            node_features=rng.normal(size=(n, d)).astype(np.float32))
+        nt = g.metadata.node_types[0]
+        g.node_labels[nt] = (np.arange(n) % classes).astype(np.int64)
+        return DeviceGraph.from_hetero(g)
+
+    def test_loss_parity_with_replicated_nc_trainer(self):
+        from gigl_tpu.training.dist_sampled import (
+            PartitionedNodeClassificationTrainer,
+        )
+        from gigl_tpu.training.trainer import (
+            NodeClassificationTrainer,
+            NodeClassificationTrainerConfig,
+        )
+
+        mesh = _mesh()
+        dg = self._labeled_toy()
+        classes = 4
+        enc = GNNEncoder(hid_dim=32, out_dim=classes, num_layers=2,
+                         conv="graphsage", dropout=0.0)
+        cfg = NodeClassificationTrainerConfig(fanouts=(5, 3), seed=7)
+        rep = NodeClassificationTrainer(enc, dg, cfg,
+                                        optimizer_args={"learning_rate": "0.0"})
+        B = 64
+        state_r = rep.init_state(jax.random.PRNGKey(0), B)
+        nodes = np.random.default_rng(3).integers(0, dg.num_nodes, B)
+        _, loss_rep = rep._train_step(dg, state_r,
+                                      jnp.asarray(nodes, jnp.int32),
+                                      jax.random.PRNGKey(1))
+
+        pg = PartitionedGraph.build(dg, mesh, axis=AXIS)
+        part = PartitionedNodeClassificationTrainer(
+            enc, pg, mesh, cfg, optimizer_args={"learning_rate": "0.0"},
+            capacity_factor=8.0)
+        state_p = part.init_state(jax.random.PRNGKey(0), B,
+                                  params=state_r.params)
+        _, losses = part.train_steps(state_p, nodes[None, :],
+                                     jax.random.PRNGKey(1))
+        np.testing.assert_allclose(float(losses[0]), float(loss_rep),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_fit_learns_and_predicts(self):
+        from gigl_tpu.training.dist_sampled import (
+            PartitionedNodeClassificationTrainer,
+        )
+        from gigl_tpu.training.trainer import NodeClassificationTrainerConfig
+
+        mesh = _mesh()
+        # Cluster-structured graph: label = cluster id (learnable from
+        # neighborhoods).
+        n, classes = 128, 4
+        rng = np.random.default_rng(5)
+        cluster = np.arange(n) % classes
+        src, dst = [], []
+        for c in range(classes):
+            members = np.where(cluster == c)[0]
+            src.append(rng.choice(members, 600))
+            dst.append(rng.choice(members, 600))
+        src, dst = np.concatenate(src), np.concatenate(dst)
+        feats = rng.normal(size=(n, 8)).astype(np.float32)
+        feats[:, :classes] += 2.0 * np.eye(classes, dtype=np.float32)[cluster]
+        g = HeteroGraph.homogeneous(src=src, dst=dst, num_nodes=n,
+                                    node_features=feats)
+        g.node_labels[g.metadata.node_types[0]] = cluster.astype(np.int64)
+        dg = DeviceGraph.from_hetero(g)
+
+        pg = PartitionedGraph.build(dg, mesh, axis=AXIS)
+        enc = GNNEncoder(hid_dim=32, out_dim=classes, num_layers=2,
+                         conv="graphsage", dropout=0.0)
+        cfg = NodeClassificationTrainerConfig(fanouts=(5, 3), seed=0)
+        part = PartitionedNodeClassificationTrainer(
+            enc, pg, mesh, cfg, optimizer_args={"learning_rate": "0.01"},
+            capacity_factor=8.0)
+        state = part.init_state(jax.random.PRNGKey(0), 64)
+        perm = rng.permutation(n)
+        train_nodes, val_nodes = perm[:96], perm[96:]
+        state, metrics = part.fit(state, train_nodes, val_nodes,
+                                  batch_size=32, num_epochs=8,
+                                  early_stop_patience=8, log_every=0)
+        assert metrics["accuracy"] > 0.6, metrics
+        logits = part.predict_batch(state.params, np.arange(40))
+        assert logits.shape == (40, classes)
+
+    def test_requires_labels(self):
+        from gigl_tpu.training.dist_sampled import (
+            PartitionedNodeClassificationTrainer,
+        )
+        from gigl_tpu.training.trainer import NodeClassificationTrainerConfig
+
+        mesh = _mesh()
+        dg = _toy()
+        pg = PartitionedGraph.build(dg, mesh, axis=AXIS)
+        enc = GNNEncoder(hid_dim=16, out_dim=4, num_layers=2,
+                         conv="graphsage")
+        with pytest.raises(ValueError, match="labels"):
+            PartitionedNodeClassificationTrainer(
+                enc, pg, mesh, NodeClassificationTrainerConfig())
