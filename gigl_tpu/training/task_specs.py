@@ -505,14 +505,41 @@ class NodeClassificationTaskSpec(BaseTrainer, BaseInferencer):
         num_classes = int(args.get(
             "num_classes", int(np.asarray(device_graph.node_labels).max()) + 1))
         encoder = encoder_from_config(args, out_dim=num_classes)
-        self.trainer = NodeClassificationTrainer(
-            encoder, device_graph,
-            NodeClassificationTrainerConfig(
-                fanouts=fanouts, seed=int(args.get("seed", 0))),
-            optimizer_args=args)
-        if self._split_graphs is not None:
-            self.trainer.eval_graph = self._split_graphs[DatasetSplit.VAL]
+        nc_cfg = NodeClassificationTrainerConfig(
+            fanouts=fanouts, seed=int(args.get("seed", 0)))
         self._batch_size = int(args.get("main_sample_batch_size", 256))
+        self._partitioned = str(args.get("partitioned_backend", "false")
+                                ).lower() in ("1", "true")
+        if self._partitioned:
+            # should_run_glt_backend analog for node classification: the
+            # reference's v2 loader serves NC through the same distributed
+            # dataset stack (SURVEY.md §2.2); here the graph + labels shard
+            # O(N/P) over the mesh with routed sampling/hydration.
+            if self._split_graphs is not None:
+                raise ValueError("partitioned_backend does not support the "
+                                 "inductive_node split (per-split message "
+                                 "graphs); use the replicated backend")
+            from gigl_tpu.parallel.mesh import make_mesh
+            from gigl_tpu.training.dist_sampled import (
+                PartitionedGraph,
+                PartitionedNodeClassificationTrainer,
+            )
+
+            mesh = make_mesh()
+            n_sh = int(np.prod(list(mesh.shape.values())))
+            pgraph = PartitionedGraph.build(
+                device_graph, mesh,
+                quantize_features=str(args.get("quantize_features", "false")
+                                      ).lower() in ("1", "true"))
+            self.trainer = PartitionedNodeClassificationTrainer(
+                encoder, pgraph, mesh, nc_cfg, optimizer_args=args,
+                capacity_factor=float(args.get("capacity_factor", 4.0)))
+            self._batch_size = max(n_sh, self._batch_size // n_sh * n_sh)
+        else:
+            self.trainer = NodeClassificationTrainer(
+                encoder, device_graph, nc_cfg, optimizer_args=args)
+            if self._split_graphs is not None:
+                self.trainer.eval_graph = self._split_graphs[DatasetSplit.VAL]
         params = state
         if params is None and task_config.trainer.pretrained_model_uri:
             params = restore_params(task_config.trainer.pretrained_model_uri)
@@ -541,8 +568,11 @@ class NodeClassificationTaskSpec(BaseTrainer, BaseInferencer):
         if len(nodes) == 0:
             return {"accuracy": 0.0}
         try:
-            acc = self.trainer.evaluate(self.state.params, nodes,
-                                        self._batch_size)
+            if getattr(self, "_partitioned", False):
+                acc = self.trainer.evaluate(self.state.params, [nodes])
+            else:
+                acc = self.trainer.evaluate(self.state.params, nodes,
+                                            self._batch_size)
         finally:
             if getattr(self, "_split_graphs", None) is not None:
                 self.trainer.eval_graph = self._split_graphs[1]

@@ -279,3 +279,51 @@ class TestPartitionedBackendDispatch:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="partitioned_backend"):
             spec.init_model(cfg, graph=g)
+
+
+class TestPartitionedNodeClassificationDispatch:
+    """partitioned_backend=true on the NC task spec (the v2 distributed
+    stack serves node classification through the same loader)."""
+
+    def _nc_config(self, **extra):
+        gm = GraphMetadata.homogeneous()
+        return TaskConfig(
+            graph_metadata=gm,
+            task_metadata=TaskMetadata(
+                task_type=TaskMetadataType.NODE_BASED_TASK,
+                supervision_node_types=gm.node_types),
+            trainer=TrainerConfig(trainer_args={
+                "hid_dim": "16", "num_layers": "2", "fanouts": "5,3",
+                "main_sample_batch_size": "32", "learning_rate": "0.01",
+                "num_epochs": "6", **extra,
+            }),
+        )
+
+    def test_spec_trains_on_partitioned_backend(self):
+        from gigl_tpu.training.dist_sampled import (
+            PartitionedNodeClassificationTrainer,
+        )
+
+        g, _, _, _ = _clustered_graph(
+            num_clusters=4, nodes_per_cluster=32, intra_edges=300)
+        cfg = self._nc_config(partitioned_backend="true",
+                              capacity_factor="8.0")
+        spec = NodeClassificationTaskSpec()
+        spec.init_model(cfg, graph=g)
+        assert isinstance(spec.trainer,
+                          PartitionedNodeClassificationTrainer)
+        metrics = spec.train()
+        assert metrics["accuracy"] > 0.5, metrics
+        test_metrics = spec.eval("test")
+        assert "accuracy" in test_metrics
+        logits = spec.infer_batch(np.arange(11))  # padded to shard multiple
+        assert logits.shape == (11, 4)
+
+    def test_partitioned_rejects_inductive_split(self):
+        g, _, _, _ = _clustered_graph(
+            num_clusters=4, nodes_per_cluster=32, intra_edges=300)
+        cfg = self._nc_config(partitioned_backend="true",
+                              split_strategy="inductive_node")
+        spec = NodeClassificationTaskSpec()
+        with pytest.raises(ValueError, match="partitioned_backend"):
+            spec.init_model(cfg, graph=g)
