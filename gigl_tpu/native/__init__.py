@@ -69,6 +69,10 @@ def get_lib() -> ctypes.CDLL:
         lib.gigl_tfrecord_encode.argtypes = [vp, i64, vp]
         lib.gigl_tfrecord_scan.restype = i64
         lib.gigl_tfrecord_scan.argtypes = [vp, i64, vp, vp, i64, ctypes.c_int]
+        lib.gigl_expand_gather.restype = i64
+        lib.gigl_expand_gather.argtypes = [vp, vp, i64, vp, vp, i64, i64,
+                                           vp, i64, vp, i64, vp,
+                                           vp, vp, vp, vp, vp, ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -217,3 +221,79 @@ def tfrecord_read(path: str, check_crc: bool = True):
     raw = data.tobytes()
     for i in range(n):
         yield raw[offs[i]: offs[i] + lens[i]]
+
+
+# ---------------------------------------------------------------------------
+# Fused tree-level expansion + multi-table gather
+# ---------------------------------------------------------------------------
+
+def expand_gather(
+    frontier: np.ndarray,
+    parent_mask: Optional[np.ndarray],
+    ids_table: Optional[np.ndarray],
+    mask_table: Optional[np.ndarray],
+    feats: np.ndarray,
+    agg: np.ndarray,
+    degrees: np.ndarray,
+    num_threads: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """One streamed-training tree level in ONE native call (the GLT
+    async-worker analog, see gigl_native.cpp gigl_expand_gather): expand
+    ``frontier`` through the frozen sample table and gather feature /
+    hopcache-aggregate / degree rows for every child in a single threaded
+    pass.
+
+    With ``ids_table=None``: root level — gather-only over ``frontier``
+    (returned ids/mask are the inputs).
+
+    Returns (ids, mask, feats, agg, degs); child arrays have shape
+    frontier.shape + (K,) (+ feature dim).
+    """
+    lib = get_lib()
+    frontier = np.ascontiguousarray(frontier, np.int32)
+    shape = frontier.shape
+    flat = frontier.reshape(-1)
+    m = flat.shape[0]
+    feats = np.ascontiguousarray(feats, np.float32)
+    agg = np.ascontiguousarray(agg, np.float32)
+    degrees = np.ascontiguousarray(degrees, np.float32)
+    n, df = feats.shape
+    da = agg.shape[1]
+    if parent_mask is None:
+        pm = np.ones(m, np.uint8)
+    else:
+        pm = np.ascontiguousarray(
+            parent_mask.reshape(-1).astype(np.uint8))
+    if ids_table is None:
+        out_f = np.empty((m, df), np.float32)
+        out_a = np.empty((m, da), np.float32)
+        out_d = np.empty((m,), np.float32)
+        rc = lib.gigl_expand_gather(
+            _ptr(flat), _ptr(pm), m, None, None, n, 0,
+            _ptr(feats), df, _ptr(agg), da, _ptr(degrees),
+            None, None, _ptr(out_f), _ptr(out_a), _ptr(out_d),
+            num_threads or _DEFAULT_THREADS)
+        if rc != 0:
+            raise ValueError("expand_gather: node id out of range")
+        return (frontier, pm.reshape(shape).astype(bool),
+                out_f.reshape(shape + (df,)), out_a.reshape(shape + (da,)),
+                out_d.reshape(shape))
+    ids_table = np.ascontiguousarray(ids_table, np.int32)
+    mask_table = np.ascontiguousarray(mask_table.astype(np.uint8))
+    k = ids_table.shape[1]
+    out_ids = np.empty((m * k,), np.int32)
+    out_mask = np.empty((m * k,), np.uint8)
+    out_f = np.empty((m * k, df), np.float32)
+    out_a = np.empty((m * k, da), np.float32)
+    out_d = np.empty((m * k,), np.float32)
+    rc = lib.gigl_expand_gather(
+        _ptr(flat), _ptr(pm), m, _ptr(ids_table), _ptr(mask_table), n, k,
+        _ptr(feats), df, _ptr(agg), da, _ptr(degrees),
+        _ptr(out_ids), _ptr(out_mask), _ptr(out_f), _ptr(out_a), _ptr(out_d),
+        num_threads or _DEFAULT_THREADS)
+    if rc != 0:
+        raise ValueError("expand_gather: node id out of range")
+    cs = shape + (k,)
+    return (out_ids.reshape(cs), out_mask.reshape(cs).astype(bool),
+            out_f.reshape(cs + (df,)), out_a.reshape(cs + (da,)),
+            out_d.reshape(cs))

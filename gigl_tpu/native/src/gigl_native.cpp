@@ -242,4 +242,65 @@ int64_t gigl_tfrecord_scan(const uint8_t* buf, int64_t size,
   return count;
 }
 
+// ---------------------------------------------------------------------------
+// Fused tree-level expansion + multi-table gather (batch assembly)
+// ---------------------------------------------------------------------------
+
+// One streamed-training tree level in a single threaded pass — the GLT
+// async-sampling-worker analog: expand the frontier through the frozen
+// per-node sample table (ids_table/mask_table, [N, K]) AND gather feature
+// rows, hopcache-aggregate rows, and degrees for every child, writing
+// straight into preallocated output buffers (no Python-side temporaries).
+//
+// K == 0 means "root level": no expansion — gather feats/agg/degs for the
+// frontier itself (out_ids/out_mask untouched).
+//
+// Masked children write id 0 and gather row 0 (matching the numpy path's
+// np.where(mask, nbr, 0) semantics). Returns 0, or -1 on out-of-range ids.
+int64_t gigl_expand_gather(const int32_t* frontier, const uint8_t* parent_mask,
+                           int64_t M, const int32_t* ids_table,
+                           const uint8_t* mask_table, int64_t N, int64_t K,
+                           const float* feats, int64_t Df, const float* agg,
+                           int64_t Da, const float* degrees, int32_t* out_ids,
+                           uint8_t* out_mask, float* out_feats, float* out_agg,
+                           float* out_degs, int num_threads) {
+  std::atomic<int64_t> bad{0};
+  auto gather_one = [&](int64_t o, int32_t id) {
+    std::memcpy(out_feats + o * Df, feats + static_cast<int64_t>(id) * Df,
+                Df * sizeof(float));
+    std::memcpy(out_agg + o * Da, agg + static_cast<int64_t>(id) * Da,
+                Da * sizeof(float));
+    out_degs[o] = degrees[id];
+  };
+  if (K == 0) {
+    parallel_for(M, num_threads, [&](int64_t lo, int64_t hi) {
+      for (int64_t i = lo; i < hi; ++i) {
+        int32_t id = frontier[i];
+        if (id < 0 || id >= N) { bad.store(i + 1); return; }
+        gather_one(i, id);
+      }
+    });
+    return bad.load() ? -1 : 0;
+  }
+  parallel_for(M, num_threads, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      int32_t node = frontier[i];
+      if (node < 0 || node >= N) { bad.store(i + 1); return; }
+      bool pm = parent_mask[i] != 0;
+      const int32_t* row_ids = ids_table + static_cast<int64_t>(node) * K;
+      const uint8_t* row_mask = mask_table + static_cast<int64_t>(node) * K;
+      for (int64_t t = 0; t < K; ++t) {
+        int64_t o = i * K + t;
+        bool m = pm && row_mask[t] != 0;
+        int32_t id = m ? row_ids[t] : 0;
+        if (id < 0 || id >= N) { bad.store(i + 1); return; }
+        out_ids[o] = id;
+        out_mask[o] = m ? 1 : 0;
+        gather_one(o, id);
+      }
+    }
+  });
+  return bad.load() ? -1 : 0;
+}
+
 }  // extern "C"

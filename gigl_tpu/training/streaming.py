@@ -275,6 +275,38 @@ class StreamingNALPTrainer:
     # -- host batch assembly --------------------------------------------------
     def _tree(self, roots: np.ndarray) -> GroupArrays:
         fanouts = self.cfg.fanouts[:-1]
+        dt = self._stream_np_dtype
+        if native.available():
+            # Fused native assembly (native gigl_expand_gather — the GLT
+            # async-worker analog): each level's frontier expansion AND the
+            # three table gathers (features / hopcache aggregate / degrees)
+            # happen in one threaded C++ pass, no numpy temporaries.
+            feats_np = self.store.features._np
+            agg_np = self.store.agg._np
+            degs_np = self.store.degrees
+            frontier = roots.reshape(-1).astype(np.int32)
+            ids, mask, f, a, d = native.expand_gather(
+                frontier, None, None, None, feats_np, agg_np, degs_np)
+            feats, cached, masks, degs = [f], [a], [mask], [d]
+            levels = [ids]
+            parent = mask
+            for k in fanouts:
+                ids_t, mask_t = self.store.sample_tables[int(k)]
+                ids, mask, f, a, d = native.expand_gather(
+                    levels[-1], parent, ids_t, mask_t,
+                    feats_np, agg_np, degs_np)
+                levels.append(ids)
+                masks.append(mask)
+                feats.append(f)
+                cached.append(a)
+                degs.append(d)
+                parent = mask
+            return GroupArrays(
+                feats=tuple(x.astype(dt, copy=False) for x in feats),
+                cached=tuple(x.astype(dt, copy=False) for x in cached),
+                masks=tuple(masks),
+                degs=tuple(degs),
+            )
         levels = [roots.reshape(-1).astype(np.int32)]
         masks = [np.ones(levels[0].shape, bool)]
         frontier, parent = levels[0], masks[0]
@@ -286,7 +318,6 @@ class StreamingNALPTrainer:
             levels.append(nbr)
             masks.append(m)
             frontier, parent = nbr, m
-        dt = self._stream_np_dtype
         return GroupArrays(
             feats=tuple(self.store.features.gather(l).astype(dt)
                         for l in levels),

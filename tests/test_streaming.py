@@ -23,6 +23,7 @@ from gigl_tpu.sampling.neighbor_sampler import (
 )
 from gigl_tpu.training.dataset import DeviceGraph
 from gigl_tpu.training.streaming import (
+    GroupArrays,
     HostGraphStore,
     StreamingNALPTrainer,
     np_counter_rng_uniform,
@@ -167,3 +168,55 @@ class TestStreamedParity:
                                 cached_hop=True)
         with pytest.raises(NotImplementedError):
             StreamingNALPTrainer(model, store, cfg)
+
+
+class TestFusedNativeAssembly:
+    """Fused native expand_gather (one C++ pass per tree level) matches the
+    pure-numpy assembly bit-for-bit."""
+
+    def _numpy_tree(self, stream, roots):
+        """Reference numpy assembly (the pre-fusion _tree path)."""
+        fanouts = stream.cfg.fanouts[:-1]
+        levels = [roots.reshape(-1).astype(np.int32)]
+        masks = [np.ones(levels[0].shape, bool)]
+        frontier, parent = levels[0], masks[0]
+        for k in fanouts:
+            ids_t, mask_t = stream.store.sample_tables[int(k)]
+            nbr = ids_t[frontier]
+            m = mask_t[frontier] & parent[..., None]
+            nbr = np.where(m, nbr, 0)
+            levels.append(nbr)
+            masks.append(m)
+            frontier, parent = nbr, m
+        return GroupArrays(
+            feats=tuple(stream.store.features._np[l] for l in levels),
+            cached=tuple(stream.store.agg._np[l] for l in levels),
+            masks=tuple(masks),
+            degs=tuple(stream.store.degrees[l] for l in levels),
+        )
+
+    def test_tree_matches_numpy_assembly(self):
+        from gigl_tpu import native
+
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        _, stream, n = _build_pair()
+        roots = (np.arange(24) * 7 % n).astype(np.int32)
+        got = stream._tree(roots)
+        want = self._numpy_tree(stream, roots)
+        assert len(got.feats) == len(want.feats)
+        for lvl in range(len(want.feats)):
+            np.testing.assert_array_equal(got.masks[lvl], want.masks[lvl])
+            np.testing.assert_array_equal(got.feats[lvl], want.feats[lvl])
+            np.testing.assert_array_equal(got.cached[lvl], want.cached[lvl])
+            np.testing.assert_array_equal(got.degs[lvl], want.degs[lvl])
+
+    def test_expand_gather_out_of_range_raises(self):
+        from gigl_tpu import native
+
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        feats = np.zeros((4, 3), np.float32)
+        with pytest.raises(ValueError, match="out of range"):
+            native.expand_gather(np.array([9], np.int32), None, None, None,
+                                 feats, feats, np.zeros(4, np.float32))
