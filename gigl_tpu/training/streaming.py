@@ -24,8 +24,9 @@ losses as the device-resident NALPTrainer in tabularized mode
 path would have gathered from HBM.
 
 Scope: tabularized mode only (hop cache + frozen sample tables — the
-regime where host-side tree construction is deterministic); hard negatives
-not yet streamed (num_hard_negs must be 0).
+regime where host-side tree construction is deterministic). Hard negatives
+stream like the other groups when the store is built with
+``hard_neg_edges`` (device-parity draws on the hard-negative CSR).
 """
 
 from __future__ import annotations
@@ -144,6 +145,10 @@ class HostGraphStore:
     degrees: np.ndarray               # [N] float32
     sample_tables: Dict[int, Tuple[np.ndarray, np.ndarray]]
     num_nodes: int
+    # Optional user-defined hard-negative CSR (ref UDL hard negs,
+    # training_samples_schema.proto hard_neg edges).
+    hard_neg_indptr: Optional[np.ndarray] = None
+    hard_neg_indices: Optional[np.ndarray] = None
 
     @classmethod
     def build(
@@ -156,6 +161,7 @@ class HostGraphStore:
         fanouts: Sequence[int],
         seed: int = 0,
         agg: str = "mean",
+        hard_neg_edges: Optional[np.ndarray] = None,  # [2, Eh]
     ) -> "HostGraphStore":
         from gigl_tpu.graph.csr import build_csr
 
@@ -165,8 +171,17 @@ class HostGraphStore:
         sup = build_csr(supervision_edges[0], supervision_edges[1],
                         num_anchor_nodes=num_nodes,
                         num_neighbor_nodes=num_nodes, anchor="dst")
+        hn_ip = hn_ix = None
+        if hard_neg_edges is not None:
+            hn = build_csr(hard_neg_edges[0], hard_neg_edges[1],
+                           num_anchor_nodes=num_nodes,
+                           num_neighbor_nodes=num_nodes, anchor="dst")
+            hn_ip = hn.indptr.astype(np.int64)
+            hn_ix = hn.indices.astype(np.int32)
         degrees = np.diff(msg.indptr).astype(np.float32)
         store = cls(
+            hard_neg_indptr=hn_ip,
+            hard_neg_indices=hn_ix,
             message_indptr=msg.indptr.astype(np.int64),
             message_indices=msg.indices.astype(np.int32),
             supervision_indptr=sup.indptr.astype(np.int64),
@@ -240,6 +255,7 @@ class StreamedBatch(NamedTuple):
     q: GroupArrays
     pos: GroupArrays
     rand: GroupArrays
+    hard: Optional[GroupArrays] = None
 
 
 class StreamingNALPTrainer:
@@ -255,9 +271,9 @@ class StreamingNALPTrainer:
         transfer (the streamed-path bottleneck: PCIe on real hosts); the
         encoder upcasts to its compute dtype. Default: float32 (exact
         parity with the device-resident path)."""
-        if config.num_hard_negs:
-            raise NotImplementedError(
-                "hard negatives are not streamed yet (num_hard_negs=0)")
+        if config.num_hard_negs and store.hard_neg_indptr is None:
+            raise ValueError("num_hard_negs > 0 needs a store built with "
+                             "hard_neg_edges")
         self.model = model
         self.store = store
         self.cfg = config
@@ -346,12 +362,31 @@ class StreamingNALPTrainer:
             np.arange(cfg.num_random_negs, dtype=np.int32),
             cfg.seed, 3_000_017 + step, 1)[:, 0]
         rand = (bits % np.uint32(self.store.num_nodes)).astype(np.int32)
-        h = np.zeros((len(anchors), 0), np.int32)
+        hard_tree = None
+        if cfg.num_hard_negs > 0:
+            # Device-parity draw (dataset.py sample_batch: hop 2_000_003+step
+            # on the hard-negative CSR).
+            if native.available():
+                h, h_mask, _ = native.sample_fanout_native(
+                    self.store.hard_neg_indptr, self.store.hard_neg_indices,
+                    anchors, cfg.num_hard_negs,
+                    seed=cfg.seed, hop=2_000_003 + step)
+            else:
+                h, h_mask = np_sample_fanout(
+                    self.store.hard_neg_indptr, self.store.hard_neg_indices,
+                    anchors, cfg.num_hard_negs,
+                    seed=cfg.seed, hop=2_000_003 + step)
+            h = np.where(h_mask, h, 0)
+            hard_tree = self._tree(h)
+        else:
+            h = np.zeros((len(anchors), 0), np.int32)
+            h_mask = h.astype(bool)
         ids = NALPBatch(anchors=anchors, pos=pos, pos_mask=pos_mask,
-                        hard_neg=h, hard_neg_mask=h.astype(bool),
+                        hard_neg=h, hard_neg_mask=h_mask,
                         random_neg=rand)
         return StreamedBatch(ids=ids, q=self._tree(anchors),
-                             pos=self._tree(pos), rand=self._tree(rand))
+                             pos=self._tree(pos), rand=self._tree(rand),
+                             hard=hard_tree)
 
     # -- device steps ---------------------------------------------------------
     def _encode_group(self, params, g: GroupArrays, out_shape, train, rng):
@@ -373,8 +408,12 @@ class StreamingNALPTrainer:
             pos = self._encode_group(p, batch.pos, (B, P), True, rng)
             rand = self._encode_group(
                 p, batch.rand, (ids.random_neg.shape[0],), True, rng)
+            hard = None
+            if batch.hard is not None:
+                hard = self._encode_group(
+                    p, batch.hard, ids.hard_neg.shape, True, rng)
             return nalp_loss_from_embeddings(
-                self.model, p, self.cfg, ids, q, pos, None, rand, state.cms)
+                self.model, p, self.cfg, ids, q, pos, hard, rand, state.cms)
 
         (loss, cms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)

@@ -155,6 +155,45 @@ class TestStreamedParity:
         _, lbf = stream_bf.run_steps(st_bf, anchors, jax.random.PRNGKey(1))
         np.testing.assert_allclose(l32, lbf, rtol=0.05, atol=0.05)
 
+    def test_hard_negatives_stream_with_device_parity(self):
+        """Streamed hard negatives: same losses as the device-resident
+        trainer with a hard-neg CSR (device-parity draws, hop 2_000_003)."""
+        src, dst, feats, n = _graph_arrays(d=12)
+        edges = np.stack([src, dst])
+        hn_rng = np.random.default_rng(9)
+        hard_edges = np.stack([hn_rng.integers(0, n, 3000),
+                               hn_rng.integers(0, n, 3000)])
+        g = HeteroGraph.homogeneous(src=src, dst=dst, num_nodes=n,
+                                    node_features=feats)
+        dg = DeviceGraph.from_hetero(g, supervision_edges=edges,
+                                     hard_neg_edges=hard_edges)
+        enc = GNNEncoder(hid_dim=16, out_dim=8, num_layers=2,
+                         conv="graphsage")
+        model = LinkPredictionGNN(encoder=enc,
+                                  decoder=LinkPredictionDecoder())
+        cfg = NALPTrainerConfig(fanouts=(5, 4), num_random_negs=64,
+                                num_hard_negs=3, loss_type="retrieval",
+                                cached_hop=True)
+        dev = NALPTrainer(model, dg, cfg,
+                          optimizer_args={"learning_rate": "1e-2"})
+        store = HostGraphStore.build(
+            message_edges=edges, supervision_edges=edges, features=feats,
+            num_nodes=n, fanouts=(5, 4), seed=cfg.seed,
+            hard_neg_edges=hard_edges)
+        stream = StreamingNALPTrainer(model, store, cfg,
+                                      optimizer_args={"learning_rate": "1e-2"})
+        B, K = 16, 4
+        st_s = stream.init_state(jax.random.PRNGKey(0), batch_size=B)
+        st_d = dev.init_state(jax.random.PRNGKey(0), batch_size=B,
+                              params=jax.tree_util.tree_map(
+                                  jnp.copy, st_s.params))
+        anchors = (np.arange(B * K).reshape(K, B) % n).astype(np.int32)
+        rng = jax.random.PRNGKey(7)
+        _, dev_losses = dev.train_steps(st_d, anchors, rng)
+        _, stream_losses = stream.run_steps(st_s, anchors, rng)
+        np.testing.assert_allclose(np.asarray(dev_losses), stream_losses,
+                                   rtol=2e-4, atol=2e-4)
+
     def test_hard_negatives_rejected(self):
         src, dst, feats, n = _graph_arrays()
         edges = np.stack([src, dst])
@@ -166,7 +205,8 @@ class TestStreamedParity:
         model = LinkPredictionGNN(enc, LinkPredictionDecoder())
         cfg = NALPTrainerConfig(fanouts=(5, 4), num_hard_negs=2,
                                 cached_hop=True)
-        with pytest.raises(NotImplementedError):
+        # No hard_neg_edges in the store -> rejected up front.
+        with pytest.raises(ValueError, match="hard_neg_edges"):
             StreamingNALPTrainer(model, store, cfg)
 
 
