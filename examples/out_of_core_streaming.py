@@ -43,14 +43,20 @@ def main():
     rng.normal(size=(n, dim)).astype(np.float32).tofile(feat_path)
     feats = np.memmap(feat_path, dtype=np.float32, mode="r", shape=(n, dim))
 
+    # User-defined hard negatives (UDL semantics) stream like every other
+    # group: give the store a hard-negative edge list.
+    hard_edges = np.stack([rng.integers(0, n, n * 2),
+                           rng.integers(0, n, n * 2)])
+
     fanouts = (15, 10)
     store = HostGraphStore.build(
         message_edges=edges, supervision_edges=edges, features=feats,
-        num_nodes=n, fanouts=fanouts, seed=0)
+        num_nodes=n, fanouts=fanouts, seed=0, hard_neg_edges=hard_edges)
 
     enc = GNNEncoder(hid_dim=256, out_dim=dim, num_layers=2, conv="graphsage")
     model = LinkPredictionGNN(encoder=enc, decoder=LinkPredictionDecoder())
     cfg = NALPTrainerConfig(fanouts=fanouts, num_random_negs=512,
+                            num_hard_negs=2,
                             loss_type="retrieval", cached_hop=True)
     trainer = StreamingNALPTrainer(
         model, store, cfg, optimizer_args={"learning_rate": "1e-3"},
