@@ -49,6 +49,87 @@ import numpy as np
 BASELINE_EDGES_PER_S = 4.5956e7
 
 
+def bench_partitioned(model, dg, base_cfg, B, R, FANOUTS, K=300):
+    """Partitioned (scale-path) tabularized step on a 1-chip mesh.
+
+    The all_to_all collectives degenerate on one chip, so this measures the
+    per-step overhead the routed design adds ON TOP of the replicated fast
+    path (id bucketing sort + un-permute + degenerate collectives); the
+    cross-chip byte cost rides ICI on real pods. Printed as a secondary
+    JSON line; VERDICT r2 item 1 target: >= 50% of the replicated
+    tabularized edges/s."""
+    import dataclasses
+    import jax
+
+    from gigl_tpu.parallel.mesh import make_mesh
+    from gigl_tpu.training.dist_sampled import (
+        PartitionedGraph,
+        PartitionedNALPTrainer,
+    )
+
+    mesh = make_mesh(1, axes=("data",))
+    cfg = dataclasses.replace(base_cfg, cached_hop=True, fused_cache=False)
+    pg = PartitionedGraph.build(dg, mesh)
+    trainer = PartitionedNALPTrainer(model, pg, mesh, cfg,
+                                     capacity_factor=4.0)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch_size=B)
+    N = dg.num_nodes
+    anchors = (np.arange(B * K).reshape(K, B) % N).astype(np.int32)
+    state, losses = trainer.train_steps(state, anchors,
+                                        jax.random.PRNGKey(1))
+    _ = float(np.asarray(losses)[-1])  # warmup + full sync
+    best_dt = float("inf")
+    for trial in range(2):
+        t0 = time.perf_counter()
+        state, losses = trainer.train_steps(state, anchors,
+                                            jax.random.PRNGKey(2 + trial))
+        _ = float(np.asarray(losses)[-1])
+        best_dt = min(best_dt, (time.perf_counter() - t0) / K)
+    k1, k2 = FANOUTS
+    per_root = 2 * k1 + k1 * k2
+    roots = B + B * cfg.num_positives + R
+    return per_root * roots / best_dt
+
+
+def bench_routed_gather_us(dg, G=8192, D=129):
+    """Routed-lookup microbench: us per routed_gather call and ns/row on a
+    1-chip mesh (isolates the routing overhead: argsort + bucket scatter +
+    two degenerate all_to_alls + un-permute)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gigl_tpu.parallel.feature_lookup import routed_gather
+    from gigl_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(1, axes=("data",))
+    n = dg.num_nodes
+    table = jax.device_put(
+        np.random.default_rng(0).normal(size=(n, D)).astype(np.float32),
+        NamedSharding(mesh, P("data")))
+    ids = jax.device_put(
+        np.random.default_rng(1).integers(0, n, G).astype(np.int32),
+        NamedSharding(mesh, P("data")))
+
+    def many(t, i):
+        # 50 dependent gathers per program: amortizes dispatch.
+        acc = jnp.zeros((), jnp.float32)
+        for j in range(50):
+            v, _ok = routed_gather(t, i + j % 3, axis="data",
+                                   capacity_factor=2.0)
+            acc = acc + v[0, 0]
+        return acc
+
+    fn = jax.jit(jax.shard_map(many, mesh=mesh, in_specs=(P("data"),
+                                                          P("data")),
+                               out_specs=P(), check_vma=False))
+    _ = float(fn(table, ids))  # compile + sync
+    t0 = time.perf_counter()
+    _ = float(fn(table, ids))
+    dt = (time.perf_counter() - t0) / 50
+    return dt * 1e6, dt / G * 1e9
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -108,6 +189,25 @@ def main():
     roots = B + B * cfg.num_positives + R
     edges_per_step = per_root * roots
     edges_per_s = edges_per_step / best_dt
+
+    # Secondary metrics first; the flagship line is printed LAST (the
+    # driver records the final JSON line).
+    us_call, ns_row = bench_routed_gather_us(dg)
+    print(json.dumps({
+        "metric": "routed_gather_us_per_call_1chip",
+        "value": round(us_call, 2),
+        "unit": "us",
+        "ns_per_row": round(ns_row, 3),
+        "vs_baseline": 0.0,
+    }))
+    part_edges_per_s = bench_partitioned(model, dg, cfg, B, R, FANOUTS)
+    print(json.dumps({
+        "metric": "partitioned_nalp_train_edges_per_s_per_chip",
+        "value": round(part_edges_per_s, 1),
+        "unit": "edges/s",
+        "frac_of_replicated": round(part_edges_per_s / edges_per_s, 4),
+        "vs_baseline": round(part_edges_per_s / BASELINE_EDGES_PER_S, 4),
+    }))
 
     print(json.dumps({
         "metric": "nalp_train_edges_per_s_per_chip",

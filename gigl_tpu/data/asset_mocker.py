@@ -43,6 +43,15 @@ def compute_mocked_dataset_version(name: str) -> str:
     for nt in sorted(g.node_features.features, key=str):
         h.update(str(nt).encode())
         h.update(np.ascontiguousarray(g.node_features[nt]).tobytes())
+    # Labels and edge features are part of the dataset content too — a
+    # label-only change must produce a new version (idempotent mock_assets
+    # would otherwise serve stale artifacts).
+    for nt in sorted(g.node_labels, key=str):
+        h.update(str(nt).encode())
+        h.update(np.ascontiguousarray(g.node_labels[nt]).tobytes())
+    for ek in sorted(g.edge_features.features, key=str):
+        h.update(str(ek).encode())
+        h.update(np.ascontiguousarray(g.edge_features[ek]).tobytes())
     h.update(mocking.mocked_task_config(name).to_yaml().encode())
     return h.hexdigest()[:16]
 

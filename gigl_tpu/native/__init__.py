@@ -259,6 +259,16 @@ def expand_gather(
     degrees = np.ascontiguousarray(degrees, np.float32)
     n, df = feats.shape
     da = agg.shape[1]
+    # The C++ kernel bounds-checks node ids against n = feats.shape[0] only;
+    # a shorter agg/degrees/ids_table would be silent OOB reads.
+    if agg.shape[0] != n or degrees.shape[0] != n:
+        raise ValueError(
+            f"expand_gather: agg rows {agg.shape[0]} / degrees rows "
+            f"{degrees.shape[0]} must equal feats rows {n}")
+    if ids_table is not None and np.asarray(ids_table).shape[0] != n:
+        raise ValueError(
+            f"expand_gather: ids_table rows {np.asarray(ids_table).shape[0]} "
+            f"must equal feats rows {n}")
     if parent_mask is None:
         pm = np.ones(m, np.uint8)
     else:

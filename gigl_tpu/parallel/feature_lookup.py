@@ -19,9 +19,11 @@ Shapes are static: each shard sends at most ``capacity`` requests to each
 peer. ``capacity`` defaults to a multiple of the balanced load G/P; requests
 beyond it are dropped and reported via a validity mask (the analog of an RPC
 timeout — callers size capacity so overflow never happens in practice; tests
-assert zero overflow under uniform access). All routing state (sort, bucket
-offsets) is O(G log G) on-device integer work; the only communication is the
-two all_to_all collectives, which XLA schedules over ICI/DCN.
+assert zero overflow under uniform access, and the partitioned trainers psum
+dropped-request counts per step). Routing state is a counting sort — an
+O(G*P) one-hot cumsum, pure vector work with no argsort and no inverse
+permutation (see _route_requests); the only communication is the two
+all_to_all collectives, which XLA schedules over ICI/DCN.
 """
 
 from __future__ import annotations
@@ -47,35 +49,43 @@ def _route_requests(global_ids: jnp.ndarray, rows_per_shard: int,
                     num_shards: int, capacity: int):
     """Bucket ``global_ids`` [G] by owner shard into a [P, C] request table.
 
-    Returns (req [P, C] int32, s_owner [G], pos [G], ok [G], order [G]):
-    the sorted-by-owner permutation plus each request's bucket coordinates,
-    used to un-permute the answers.
+    COUNTING-SORT routing (no argsort): each request's bucket column is
+    the number of EARLIER requests with the same owner, computed as an
+    exclusive cumsum over a [G, P] one-hot — O(G*P) pure vector work,
+    measured ~5x cheaper than the previous stable-argsort scheme on both
+    TPU and CPU (sorts lower to bitonic networks with poor constants;
+    docs/performance.md "routed lookups"). Because every request keeps its
+    original index, answers are read back DIRECTLY at [owner, pos] — no
+    inverse permutation exists at all.
+
+    Returns (req [P, C] int32, owner [G], pos [G], ok [G]): each request's
+    bucket coordinates in ORIGINAL order. Requests beyond ``capacity`` per
+    owner drop (ok=False), first-come-first-served in request order —
+    identical semantics to the sorted scheme (stable sort preserved
+    request order within an owner).
     """
-    g = global_ids.shape[0]
-    owner = jnp.clip(global_ids // rows_per_shard, 0, num_shards - 1)
-    order = jnp.argsort(owner, stable=True)
-    s_owner = owner[order]
-    s_ids = global_ids[order]
-    # first[p] = index of the first request owned by shard p (sorted order).
-    first = jnp.searchsorted(s_owner, jnp.arange(num_shards, dtype=s_owner.dtype))
-    pos = jnp.arange(g, dtype=jnp.int32) - first[s_owner].astype(jnp.int32)
+    owner = jnp.clip(global_ids // rows_per_shard, 0,
+                     num_shards - 1).astype(jnp.int32)
+    onehot = (owner[:, None]
+              == jnp.arange(num_shards, dtype=jnp.int32)[None, :])
+    counts = jnp.cumsum(onehot.astype(jnp.int32), axis=0)     # inclusive
+    pos = jnp.take_along_axis(counts, owner[:, None], axis=1)[:, 0] - 1
     ok = pos < capacity
     # Overflowing requests scatter to column == capacity -> dropped.
     req = jnp.zeros((num_shards, capacity), jnp.int32)
-    req = req.at[s_owner, jnp.where(ok, pos, capacity)].set(
-        s_ids, mode="drop")
-    return req, s_owner, pos, ok, order
+    req = req.at[owner, jnp.where(ok, pos, capacity)].set(
+        global_ids.astype(jnp.int32), mode="drop", unique_indices=True)
+    return req, owner, pos, ok
 
 
-def _unroute(answers: jnp.ndarray, s_owner, pos, ok, order):
-    """Invert _route_requests: answers [P, C, ...] -> per-request [G, ...]
-    in original order, zero-filled where the request overflowed."""
-    g = order.shape[0]
-    out_sorted = answers[s_owner, jnp.minimum(pos, answers.shape[1] - 1)]
-    zero_shape = (1,) * (out_sorted.ndim - 1)
-    out_sorted = jnp.where(ok.reshape((g,) + zero_shape), out_sorted, 0)
-    inv = jnp.argsort(order)
-    return out_sorted[inv], ok[inv]
+def _unroute(answers: jnp.ndarray, owner, pos, ok):
+    """Read each request's answer back at its bucket coordinates
+    (original order — counting-sort routing needs no un-permutation);
+    zero-filled where the request overflowed."""
+    g = owner.shape[0]
+    out = answers[owner, jnp.minimum(pos, answers.shape[1] - 1)]
+    zero_shape = (1,) * (out.ndim - 1)
+    return jnp.where(ok.reshape((g,) + zero_shape), out, 0), ok
 
 
 def routed_gather(
@@ -102,7 +112,7 @@ def routed_gather(
     if capacity is None:
         capacity = request_capacity(g, num_shards, capacity_factor)
     capacity = min(capacity, g) if g > 0 else capacity
-    req, s_owner, pos, ok, order = _route_requests(
+    req, owner, pos, ok = _route_requests(
         global_ids.astype(jnp.int32), rows_per_shard, num_shards, capacity)
     # recv[q] = the ids shard q asked ME for.
     recv = jax.lax.all_to_all(req, axis, 0, 0, tiled=True)
@@ -111,7 +121,7 @@ def routed_gather(
     vals = local_table[local_rows]  # [P, C, ...]
     # back[p] = my requests' rows as answered by shard p.
     back = jax.lax.all_to_all(vals, axis, 0, 0, tiled=True)
-    return _unroute(back, s_owner, pos, ok, order)
+    return _unroute(back, owner, pos, ok)
 
 
 def routed_sample_neighbors(
@@ -126,7 +136,7 @@ def routed_sample_neighbors(
     hop: int = 1,
     capacity: Optional[int] = None,
     capacity_factor: float = 2.0,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sample ``fanout`` neighbors per frontier node over a row-sharded CSR.
 
     The adjacency is partitioned by anchor-node range: shard p holds the CSR
@@ -140,9 +150,12 @@ def routed_sample_neighbors(
     ``row_offset``: this shard's first global row (defaults to
     axis_index * rows_per_shard). Must run inside shard_map over ``axis``.
 
-    Returns (neighbor_ids [G, fanout] int32 global ids, mask [G, fanout]).
+    Returns (neighbor_ids [G, fanout] int32 global ids, mask [G, fanout],
+    ok [G] bool). ``ok`` is False only for requests dropped by
+    bucket-capacity overflow (their mask rows are all-False) — callers
+    surface/psum it as an overflow counter (the RPC-timeout analog).
     """
-    from gigl_tpu.sampling.neighbor_sampler import counter_rng_uniform
+    from gigl_tpu.sampling.neighbor_sampler import uniform_offsets
 
     num_shards = jax.lax.axis_size(axis)
     rows_per_shard = local_indptr.shape[0] - 1
@@ -152,7 +165,7 @@ def routed_sample_neighbors(
     capacity = min(capacity, g) if g > 0 else capacity
     if row_offset is None:
         row_offset = jax.lax.axis_index(axis) * rows_per_shard
-    req, s_owner, pos, ok, order = _route_requests(
+    req, owner, pos, ok = _route_requests(
         global_ids.astype(jnp.int32), rows_per_shard, num_shards, capacity)
     recv = jax.lax.all_to_all(req, axis, 0, 0, tiled=True)  # [P, C] global ids
     local_rows = jnp.clip(recv - row_offset, 0, rows_per_shard - 1)
@@ -162,23 +175,13 @@ def routed_sample_neighbors(
     # local indptr.
     start = local_indptr[local_rows]
     deg = local_indptr[local_rows + 1] - start
-    bits = counter_rng_uniform(recv, seed, hop, fanout)
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32,
-                                         recv.shape + (fanout,), recv.ndim)
-    rand_off = (bits % jnp.maximum(deg, 1)[..., None].astype(jnp.uint32)
-                ).astype(jnp.int32)
-    take_all = (deg <= fanout)[..., None]
-    offsets = jnp.where(
-        take_all,
-        jnp.minimum(slot_iota, jnp.maximum(deg - 1, 0)[..., None]),
-        rand_off)
-    mask = jnp.where(take_all, slot_iota < deg[..., None],
-                     deg[..., None] > 0)
+    offsets, mask = uniform_offsets(deg, recv, seed, hop, fanout)
     slots = jnp.clip(start[..., None] + offsets, 0,
                      local_indices.shape[0] - 1)
     nbr = jnp.where(mask, local_indices[slots], 0)  # [P, C, fanout] global
     packed = jnp.where(mask, nbr, -1)  # single payload: -1 = invalid slot
     back = jax.lax.all_to_all(packed, axis, 0, 0, tiled=True)
-    out, ok_req = _unroute(back, s_owner, pos, ok, order)
+    out, ok_req = _unroute(back, owner, pos, ok)
     out_mask = (out >= 0) & ok_req[:, None]
-    return jnp.where(out_mask, out, 0).astype(jnp.int32), out_mask
+    return (jnp.where(out_mask, out, 0).astype(jnp.int32), out_mask,
+            ok_req)

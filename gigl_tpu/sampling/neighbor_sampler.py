@@ -63,6 +63,36 @@ def counter_rng_uniform(
     return _mix32(base ^ _mix32(slots + jnp.uint32(0x27220A95)))
 
 
+def uniform_offsets(
+    deg: jnp.ndarray, node_ids: jnp.ndarray, seed, hop, fanout: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared uniform-draw core: per-node CSR slice offsets + validity mask.
+
+    Keyed by GLOBAL node id, so every caller — the replicated sampler
+    (sample_neighbors), the owner side of the routed distributed sampler
+    (parallel/feature_lookup.routed_sample_neighbors), and the sharded
+    tabularized table builders (parallel/partition + dist_sampled) — draws
+    bit-identical samples for the same (seed, node, hop, slot). deg/node_ids
+    may have any matching shape; returns ([..., fanout] int32 offsets,
+    [..., fanout] bool mask). Nodes with deg <= fanout take all neighbors
+    in slot order (mask marks the first deg slots); larger degrees sample
+    with replacement.
+    """
+    slot_iota = jax.lax.broadcasted_iota(
+        jnp.int32, deg.shape + (fanout,), deg.ndim)
+    bits = counter_rng_uniform(node_ids, seed, hop, fanout)
+    rand_off = (bits % jnp.maximum(deg, 1)[..., None].astype(jnp.uint32)
+                ).astype(jnp.int32)
+    take_all = (deg <= fanout)[..., None]
+    offsets = jnp.where(
+        take_all,
+        jnp.minimum(slot_iota, jnp.maximum(deg - 1, 0)[..., None]),
+        rand_off)
+    mask = jnp.where(take_all, slot_iota < deg[..., None],
+                     deg[..., None] > 0)
+    return offsets, mask
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class DeviceCSR:
@@ -126,13 +156,7 @@ def sample_neighbors(
         jnp.int32, frontier.shape + (fanout,), len(frontier.shape)
     )
     if method == "uniform":
-        bits = counter_rng_uniform(frontier, seed, hop, fanout)
-        rand_off = (bits % jnp.maximum(deg, 1)[..., None].astype(jnp.uint32)).astype(
-            jnp.int32
-        )
-        take_all = (deg <= fanout)[..., None]
-        offsets = jnp.where(take_all, jnp.minimum(slot_iota, jnp.maximum(deg - 1, 0)[..., None]), rand_off)
-        mask = jnp.where(take_all, slot_iota < deg[..., None], deg[..., None] > 0)
+        offsets, mask = uniform_offsets(deg, frontier, seed, hop, fanout)
     elif method in ("weighted", "top_k"):
         # Bounded-window weighted sampling: consider the first
         # ``weight_window`` neighbors of each node; Gumbel-top-k (weighted)

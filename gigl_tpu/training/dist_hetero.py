@@ -230,7 +230,7 @@ class PartitionedHeteroNALPTrainer:
         for i, op in enumerate(spec):
             frontier = node_ids[op.parent + 1]
             pmask = masks[op.parent + 1]
-            nbr, m = routed_sample_neighbors(
+            nbr, m, _ok = routed_sample_neighbors(
                 ip_l[op.csr_key], ix_l[op.csr_key],
                 frontier.reshape(-1), op.fanout, axis=self.axis,
                 seed=seed, hop=op.depth * 1_000_003 + i,
@@ -286,7 +286,7 @@ class PartitionedHeteroNALPTrainer:
 
     def _make_batch(self, sup_ip, sup_ix, hard_ip, hard_ix, anchors, step):
         cfg = self.cfg
-        pos, pos_mask = routed_sample_neighbors(
+        pos, pos_mask, _okp = routed_sample_neighbors(
             sup_ip, sup_ix, anchors, cfg.num_positives, axis=self.axis,
             seed=cfg.seed, hop=1_000_003 + step,
             capacity_factor=self.capacity_factor)
@@ -297,7 +297,7 @@ class PartitionedHeteroNALPTrainer:
         rand = (bits % jnp.uint32(n_cand)).astype(jnp.int32)
         h = cfg.num_hard_negs
         if h > 0:
-            hard, hard_mask = routed_sample_neighbors(
+            hard, hard_mask, _okh = routed_sample_neighbors(
                 hard_ip, hard_ix, anchors, h, axis=self.axis,
                 seed=cfg.seed, hop=2_000_003 + step,
                 capacity_factor=self.capacity_factor)

@@ -127,6 +127,19 @@ class PartitionedGraph:
     # Row-sharded node labels [P*rows, 1] int32 (supervised node
     # classification over the partitioned graph; None for NALP graphs).
     labels: Optional[jax.Array] = None
+    # -- tabularized fast path (with_tabularized) --------------------------
+    # Width of the deepest-hop aggregate cache fused into feat_deg columns
+    # (0 = live-sampling layout). With cache_dim > 0 the feat_deg layout is
+    #   fp32:  [feat D | deg | cache Dc]
+    #   int8:  [qfeat D | qcache Dc | scale_f f32 | scale_c f32 | deg f32]
+    # so hydration + degree + cache stays ONE routed gather per tree union.
+    cache_dim: int = 0
+    # One row-sharded frozen sample table [P*rows, k] int32 per distinct
+    # in-tree fanout (ascending order, matching table_fanouts); -1 = invalid
+    # slot. In-step hop expansion becomes one routed_gather over the table
+    # instead of an owner-side CSR draw.
+    sample_tables: Optional[Tuple[jax.Array, ...]] = None
+    table_fanouts: Optional[Tuple[int, ...]] = None
 
     @classmethod
     def build(cls, device_graph, mesh, axis: str = DATA_AXIS,
@@ -209,6 +222,179 @@ class PartitionedGraph:
             rows[:, d:].reshape(rows.shape[0], 2, 4), jnp.float32)  # [G, 2]
         return q * tail[:, 0:1], tail[:, 1]
 
+    def split_rows(self, rows: jnp.ndarray
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                              Optional[jnp.ndarray]]:
+        """Gathered table rows -> (features [G, D], degrees [G],
+        cache [G, Dc] or None) for either layout (see cache_dim)."""
+        d, dc = self.feat_dim, self.cache_dim
+        if dc == 0:
+            f, deg = self.decode_rows(rows)
+            return f, deg, None
+        if not self.quantized:
+            return rows[:, :d], rows[:, d], rows[:, d + 1:]
+        qf = rows[:, :d].astype(jnp.float32)
+        qc = rows[:, d: d + dc].astype(jnp.float32)
+        tail = jax.lax.bitcast_convert_type(
+            rows[:, d + dc:].reshape(rows.shape[0], 3, 4),
+            jnp.float32)                                       # [G, 3]
+        return qf * tail[:, 0:1], tail[:, 2], qc * tail[:, 1:2]
+
+    def with_tabularized(
+        self,
+        mesh,
+        *,
+        fanouts: Sequence[int],
+        agg: str = "mean",
+        seed: int = 0,
+        axis: str = DATA_AXIS,
+        capacity_factor: float = 4.0,
+        chunk: int = 4096,
+    ) -> "PartitionedGraph":
+        """Return a copy with the v1 tabularized fast-path tables built
+        SHARDED across the mesh — the partitioned analog of
+        DeviceGraph.with_neighbor_cache (VERDICT r2 item 1: the scale path
+        and the fast path must compose).
+
+        Per shard (all O(rows/P) memory, one SPMD program):
+          - deepest-hop aggregate cache: each shard samples ``fanouts[-1]``
+            neighbors for ITS OWN rows from its local CSR block (draws
+            bit-identical to the replicated build_neighbor_cache — the
+            counter RNG is keyed by GLOBAL node id), hydrates neighbor
+            rows via ``routed_gather`` (the only communication), and
+            aggregates (mean | sum | gcn). The result is fused into the
+            feature table columns so training-step hydration stays one
+            routed gather.
+          - frozen in-tree sample tables: one [rows, k] draw per distinct
+            fanout in ``fanouts[:-1]`` (hop_key=1, matching
+            build_sample_table) — purely local work.
+
+        ``seed`` is traced: refreshing with a new seed (the analog of
+        re-running the reference's Subgraph Sampler) does not recompile.
+        Raises if the cache-build routed gather overflowed (size
+        ``capacity_factor`` up for extremely skewed graphs).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gigl_tpu.ops.fanout import masked_mean, masked_sum
+        from gigl_tpu.ops.hopcache import CACHEABLE_AGGS
+        from gigl_tpu.sampling.neighbor_sampler import uniform_offsets
+
+        if self.cache_dim:
+            raise ValueError(
+                "already tabularized; rebuild (refresh) from the base "
+                "PartitionedGraph — the trainer keeps it as pg_base")
+        if agg not in CACHEABLE_AGGS:
+            raise ValueError(f"agg={agg!r} not in {CACHEABLE_AGGS}")
+        if len(fanouts) < 2:
+            raise ValueError("tabularized mode needs >= 2 hops (the deepest"
+                             " hop is cached, earlier hops use tables)")
+        num_shards = int(mesh.shape[axis])
+        rows = self.rows_per_shard
+        d = self.feat_dim
+        k_last = int(fanouts[-1])
+        hop_key = len(fanouts)
+        tab_ks = tuple(sorted({int(k) for k in fanouts[:-1]}))
+        chunk = min(chunk, rows)
+        n_chunks = -(-rows // chunk)
+        rows_pad = n_chunks * chunk
+
+        def build_local(feat_deg_l, msg_ip, msg_ix, seed_arr):
+            msg_ip, msg_ix = msg_ip[0], msg_ix[0]
+            base = jax.lax.axis_index(axis) * rows
+            local_ids = jnp.minimum(
+                jnp.arange(rows_pad, dtype=jnp.int32).reshape(n_chunks,
+                                                              chunk),
+                rows - 1)
+
+            def cache_chunk(lid):
+                gid = base + lid
+                start = msg_ip[lid]
+                degc = msg_ip[lid + 1] - start
+                offs, m = uniform_offsets(degc, gid, seed_arr, hop_key,
+                                          k_last)
+                slots = jnp.clip(start[:, None] + offs, 0,
+                                 msg_ix.shape[0] - 1)
+                nbr = jnp.where(m, msg_ix[slots], 0)
+                rows_g, ok = routed_gather(
+                    feat_deg_l, nbr.reshape(-1), axis=axis,
+                    capacity_factor=capacity_factor)
+                x, deg_n = self.decode_rows(rows_g)
+                x = x.reshape(chunk, k_last, d)
+                m = m & ok.reshape(chunk, k_last)
+                if agg == "mean":
+                    out = masked_mean(x, m)
+                elif agg == "sum":
+                    out = masked_sum(x, m)
+                else:  # "gcn": sum_j x_j * rsqrt(deg_j + 1)
+                    w = jax.lax.rsqrt(
+                        deg_n.reshape(chunk, k_last) + 1.0)
+                    out = masked_sum(x * w[..., None], m)
+                return out, (~ok).sum()
+
+            cache, ovf = jax.lax.map(cache_chunk, local_ids)
+            cache = cache.reshape(rows_pad, d)[:rows]
+
+            def table_chunk_for(k):
+                def tchunk(lid):
+                    gid = base + lid
+                    start = msg_ip[lid]
+                    degc = msg_ip[lid + 1] - start
+                    offs, m = uniform_offsets(degc, gid, seed_arr, 1, k)
+                    slots = jnp.clip(start[:, None] + offs, 0,
+                                     msg_ix.shape[0] - 1)
+                    return jnp.where(m, msg_ix[slots], -1)
+
+                t = jax.lax.map(tchunk, local_ids)
+                return t.reshape(rows_pad, k)[:rows]
+
+            tabs = tuple(table_chunk_for(k) for k in tab_ks)
+            return (cache, jax.lax.psum(ovf.sum(), axis)) + tabs
+
+        build = jax.jit(jax.shard_map(
+            build_local, mesh=mesh,
+            in_specs=(P(axis), P(axis, None), P(axis, None), P()),
+            out_specs=(P(axis), P()) + tuple(P(axis) for _ in tab_ks),
+            check_vma=False))
+        cache, ovf, *tabs = build(self.feat_deg, self.msg_indptr,
+                                  self.msg_indices,
+                                  jnp.asarray(seed, jnp.int32))
+        if int(ovf):
+            raise RuntimeError(
+                f"tabularized cache build dropped {int(ovf)} neighbor "
+                f"feature requests (bucket capacity overflow); raise "
+                f"capacity_factor above {capacity_factor}")
+
+        row_sh = NamedSharding(mesh, P(axis))
+        if not self.quantized:
+            fuse = jax.jit(
+                lambda fd, c: jnp.concatenate([fd, c], axis=1),
+                out_shardings=row_sh)
+            fd = fuse(self.feat_deg, cache)
+        else:
+            def fuse_q(fd, c):
+                qf = fd[:, :d]
+                tail = jax.lax.bitcast_convert_type(
+                    fd[:, d:].reshape(-1, 2, 4), jnp.float32)  # [N, 2]
+                absmax = jnp.maximum(
+                    jnp.abs(c).max(axis=1, keepdims=True), 1e-12)
+                scale_c = absmax / 127.0
+                qc = jnp.clip(jnp.round(c / scale_c), -127,
+                              127).astype(jnp.int8)
+                new_tail = jnp.stack(
+                    [tail[:, 0], scale_c[:, 0], tail[:, 1]], axis=1)
+                tail_i8 = jax.lax.bitcast_convert_type(
+                    new_tail, jnp.int8).reshape(-1, 12)
+                return jnp.concatenate([qf, qc, tail_i8], axis=1)
+
+            fd = jax.jit(fuse_q, out_shardings=row_sh)(self.feat_deg,
+                                                       cache)
+        import dataclasses
+
+        return dataclasses.replace(
+            self, feat_deg=fd, cache_dim=d,
+            sample_tables=tuple(tabs), table_fanouts=tab_ks)
+
 
 class PartitionedNALPTrainer:
     """NALP trainer where graph + features live sharded across the mesh.
@@ -222,50 +408,109 @@ class PartitionedNALPTrainer:
                  config: NALPTrainerConfig,
                  optimizer_args: Optional[Dict[str, Any]] = None,
                  axis: str = DATA_AXIS,
-                 capacity_factor: float = 4.0):
-        if config.cached_hop:
-            raise ValueError("hop caching is a replicated-graph optimization;"
-                             " PartitionedNALPTrainer samples live")
-        if config.use_cms_correction:
+                 capacity_factor: float = 4.0,
+                 overflow_policy: str = "warn"):
+        # getattr: the NC config dataclass has no NALP-only fields.
+        if getattr(config, "use_cms_correction", False):
             raise ValueError("CMS correction keeps per-shard sketch state; "
                              "not supported in the partitioned trainer")
-        if config.num_random_negs % int(mesh.shape[axis]):
+        if getattr(config, "num_random_negs", 0) % int(mesh.shape[axis]):
             raise ValueError("num_random_negs must divide the mesh axis size")
+        if overflow_policy not in ("warn", "raise", "silent"):
+            raise ValueError("overflow_policy must be warn | raise | silent")
         self.model = model
-        self.pg = pgraph
         self.mesh = mesh
         self.axis = axis
         self.cfg = config
         self.num_shards = int(mesh.shape[axis])
         self.capacity_factor = capacity_factor
+        self.overflow_policy = overflow_policy
+        # Cumulative routed-lookup requests dropped by bucket-capacity
+        # overflow (the RPC-timeout analog) across all train/eval steps —
+        # surfaced per chunk per ``overflow_policy`` (VERDICT r2 item 5).
+        self.overflow_total = 0
         self.tx = make_optimizer(optimizer_args or {})
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        # Tabularized fast path over the PARTITIONED graph: keep the base
+        # graph for refreshes, build sharded cache + sample tables.
+        self.pg_base = pgraph
+        self._cached = bool(getattr(config, "cached_hop", False))
+        if self._cached:
+            from gigl_tpu.models.encoders import cached_agg_kind
 
+            # LinkPredictionGNN wraps the encoder; NC models ARE encoders.
+            enc = getattr(model, "encoder", model)
+            self._cache_agg = cached_agg_kind(enc.conv, enc.conv_kwargs)
+            if pgraph.cache_dim:
+                self.pg = pgraph
+            else:
+                self.pg = pgraph.with_tabularized(
+                    mesh, fanouts=config.fanouts, agg=self._cache_agg,
+                    seed=config.seed, axis=axis,
+                    capacity_factor=capacity_factor)
+        else:
+            self.pg = pgraph
+        self._build_programs()
+
+    def refresh_cache(self, epoch: int = 0) -> None:
+        """Resample the frozen tabularized tables (the analog of re-running
+        the reference's Subgraph Sampler); traced seed — no recompile of
+        the build program, but training programs recompile only if array
+        shapes changed (they don't)."""
+        if not self._cached:
+            return
+        self.pg = self.pg_base.with_tabularized(
+            self.mesh, fanouts=self.cfg.fanouts, agg=self._cache_agg,
+            seed=self.cfg.seed + 1_299_709 * epoch, axis=self.axis,
+            capacity_factor=self.capacity_factor)
+
+    def _build_programs(self) -> None:
+        from jax.sharding import PartitionSpec as P
+
+        mesh, axis = self.mesh, self.axis
         self._P = P
-        pspec_graph = (P(axis), P(axis, None), P(axis, None),
-                       P(axis, None), P(axis, None),
-                       P(axis, None), P(axis, None))
+        n_tab = len(self.pg.sample_tables or ())
+        # The whole graph rides as ONE tuple argument (feature table, three
+        # CSR block pairs, frozen sample tables) with a matching spec tree.
+        gspec = (P(axis), P(axis, None), P(axis, None),
+                 P(axis, None), P(axis, None),
+                 P(axis, None), P(axis, None),
+                 tuple(P(axis) for _ in range(n_tab)))
+        self._tab_index = {
+            int(k): i
+            for i, k in enumerate(self.pg.table_fanouts or ())}
         self._train_steps = jax.jit(jax.shard_map(
             self._steps_local,
             mesh=mesh,
-            in_specs=pspec_graph + (P(), P(None, axis), P()),
-            out_specs=(P(), P()),
+            in_specs=(gspec, P(), P(None, axis), P()),
+            out_specs=(P(), P(), P()),
             check_vma=False,
-        ), donate_argnums=(7,))
+        ), donate_argnums=(1,))
         self._eval_step = jax.jit(jax.shard_map(
             self._eval_local,
             mesh=mesh,
-            in_specs=pspec_graph + (P(), P(axis), P()),
-            out_specs=(P(), P(), P()),
+            in_specs=(gspec, P(), P(axis), P()),
+            out_specs=(P(), P(), P(), P()),
             check_vma=False,
         ))
         self._encode = jax.jit(jax.shard_map(
             self._encode_local,
             mesh=mesh,
-            in_specs=(P(axis), P(axis, None), P(axis, None), P(), P(axis)),
+            in_specs=(gspec, P(), P(axis)),
             out_specs=P(axis),
             check_vma=False,
         ))
+
+    def _note_overflow(self, count: int) -> None:
+        if not count:
+            return
+        self.overflow_total += int(count)
+        msg = (f"routed lookup dropped {int(count)} requests this chunk "
+               f"(bucket capacity overflow — skewed access pattern); "
+               f"raise capacity_factor above {self.capacity_factor}")
+        if self.overflow_policy == "raise":
+            raise RuntimeError(msg)
+        if self.overflow_policy == "warn":
+            logger.warning(msg)
 
     # -- SPMD bodies (run per shard under shard_map) -----------------------
     def _graph_args(self):
@@ -285,66 +530,155 @@ class PartitionedNALPTrainer:
             hard_ix = jax.device_put(
                 np.zeros((self.num_shards, 1), np.int32), sh)
         return (pg.feat_deg, pg.msg_indptr, pg.msg_indices, sup_ip, sup_ix,
-                hard_ip, hard_ix)
+                hard_ip, hard_ix, tuple(pg.sample_tables or ()))
 
-    def _sample_tree(self, msg_ip, msg_ix, roots, seed_offset):
-        """Frontier expansion via owner-routed sampling; mirrors
-        sample_blocks (same per-hop RNG keying: hop index from 1)."""
+    @staticmethod
+    def _unblock(g):
+        """Strip the leading per-shard block dim off the CSR pairs."""
+        fd, msg_ip, msg_ix, sup_ip, sup_ix, hard_ip, hard_ix, tabs = g
+        return (fd, msg_ip[0], msg_ix[0], sup_ip[0], sup_ix[0],
+                hard_ip[0], hard_ix[0], tabs)
+
+    def _sample_tree(self, g, roots, seed_offset):
+        """Frontier expansion; returns (node_ids, masks, overflow_count).
+
+        Live mode mirrors sample_blocks (owner-routed CSR draws, same
+        per-hop RNG keying: hop index from 1). Tabularized mode
+        (cfg.cached_hop) expands through the frozen sharded sample tables
+        — one routed_gather per hop, frozen v1 semantics matching
+        DeviceGraph.sample_hop_blocks_tabularized — and the tree is one
+        hop shallower (layer 1 consumes the fused aggregate cache)."""
+        _fd, msg_ip, msg_ix = g[0], g[1], g[2]
+        tabs = g[7]
         node_ids: List[jnp.ndarray] = [roots.astype(jnp.int32)]
         masks: List[jnp.ndarray] = [jnp.ones(roots.shape, bool)]
         frontier, pmask = node_ids[0], masks[0]
+        ovf = jnp.zeros((), jnp.int32)
+        if self._cached:
+            for k in self.cfg.fanouts[:-1]:
+                flat = frontier.reshape(-1)
+                row, ok = routed_gather(
+                    tabs[self._tab_index[int(k)]], flat, axis=self.axis,
+                    capacity_factor=self.capacity_factor)
+                ovf += jnp.sum(~ok, dtype=jnp.int32)
+                row = row.reshape(frontier.shape + (int(k),))
+                okr = ok.reshape(frontier.shape)
+                # Overflowed requests zero-fill (would read as node 0);
+                # their ok bit masks the whole row out.
+                m = (row >= 0) & pmask[..., None] & okr[..., None]
+                nbr = jnp.where(m, row, 0)
+                node_ids.append(nbr)
+                masks.append(m)
+                frontier, pmask = nbr, m
+            return node_ids, masks, ovf
         for hop, k in enumerate(self.cfg.fanouts, start=1):
             flat = frontier.reshape(-1)
-            nbr, m = routed_sample_neighbors(
+            nbr, m, ok = routed_sample_neighbors(
                 msg_ip, msg_ix, flat, int(k), axis=self.axis,
                 seed=self.cfg.seed + seed_offset, hop=hop,
                 capacity_factor=self.capacity_factor)
+            ovf += jnp.sum(~ok, dtype=jnp.int32)
             nbr = nbr.reshape(frontier.shape + (int(k),))
             m = m.reshape(frontier.shape + (int(k),)) & pmask[..., None]
             nbr = jnp.where(m, nbr, 0)
             node_ids.append(nbr)
             masks.append(m)
             frontier, pmask = nbr, m
-        return node_ids, masks
+        return node_ids, masks, ovf
 
-    def _encode_groups(self, feat_deg_l, msg_ip, msg_ix, params, groups,
-                       train: bool, rng=None):
+    def _sample_trees_joint(self, g, groups):
+        """Tabularized tree expansion for ALL groups with ONE routed
+        gather per hop (the frozen tables are seed-independent in-step, so
+        group frontiers concatenate into a single request vector — 3x
+        fewer routed round trips than per-group expansion)."""
+        tabs = g[7]
+        sizes0 = [int(np.prod(r.shape)) for (r, _off) in groups]
+        frontier = jnp.concatenate(
+            [r.reshape(-1) for (r, _off) in groups]).astype(jnp.int32)
+        pmask = jnp.ones(frontier.shape, bool)
+        levels = [(frontier, pmask)]
+        ovf = jnp.zeros((), jnp.int32)
+        for k in self.cfg.fanouts[:-1]:
+            row, ok = routed_gather(
+                tabs[self._tab_index[int(k)]], frontier, axis=self.axis,
+                capacity_factor=self.capacity_factor)
+            ovf += jnp.sum(~ok, dtype=jnp.int32)
+            m = (row >= 0) & pmask[:, None] & ok[:, None]
+            nbr = jnp.where(m, row, 0)
+            frontier, pmask = nbr.reshape(-1), m.reshape(-1)
+            levels.append((frontier, pmask))
+        # Split each flat level back into per-group tree blocks.
+        trees = []
+        offs = [0] * len(levels)
+        widths = [1]
+        for k in self.cfg.fanouts[:-1]:
+            widths.append(widths[-1] * int(k))
+        for gi, (roots, _off) in enumerate(groups):
+            ids, masks = [], []
+            shape = roots.shape
+            for li, (flat, fmask) in enumerate(levels):
+                n_elem = sizes0[gi] * widths[li]
+                sl = slice(offs[li], offs[li] + n_elem)
+                offs[li] += n_elem
+                ids.append(flat[sl].reshape(shape))
+                masks.append(fmask[sl].reshape(shape))
+                if li < len(levels) - 1:
+                    shape = shape + (int(self.cfg.fanouts[li]),)
+            trees.append((ids, masks))
+        return trees, ovf
+
+    def _encode_groups(self, g, params, groups, train: bool, rng=None):
         """Sample trees for every (roots, seed_offset) group, hydrate the
-        UNION of their node ids with one routed gather, and encode."""
-        trees = [self._sample_tree(msg_ip, msg_ix, r, off)
-                 for (r, off) in groups]
-        flats, sizes = [], []
+        UNION of their node ids with one routed gather, and encode.
+        Returns (embeddings per group, overflow_count)."""
+        feat_deg_l = g[0]
+        if self._cached:
+            trees, ovf = self._sample_trees_joint(g, groups)
+        else:
+            trees, ovf = [], jnp.zeros((), jnp.int32)
+            for (r, off) in groups:
+                ids, masks, o = self._sample_tree(g, r, off)
+                trees.append((ids, masks))
+                ovf += o
+        flats = []
         for ids, _ in trees:
             for lvl in ids:
                 flats.append(lvl.reshape(-1))
-                sizes.append(lvl.size)
         all_ids = jnp.concatenate(flats)
-        rows, _ok = routed_gather(
+        rows, ok = routed_gather(
             feat_deg_l, all_ids, axis=self.axis,
             capacity_factor=self.capacity_factor)
-        feat_rows, deg_rows = self.pg.decode_rows(rows)
+        ovf += jnp.sum(~ok, dtype=jnp.int32)
+        feat_rows, deg_rows, cache_rows = self.pg.split_rows(rows)
         d = self.pg.feat_dim
         outs = []
         offset = 0
         rngs = {"dropout": rng} if (train and rng is not None) else None
+        cached_mode = self._cached
         for (ids, masks), (roots, _off) in zip(trees, groups):
-            feats, degs = [], []
+            feats, degs, cached = [], [], []
             for lvl in ids:
                 sl = slice(offset, offset + lvl.size)
                 offset += lvl.size
                 feats.append(feat_rows[sl].reshape(lvl.shape + (d,)))
                 degs.append(deg_rows[sl].reshape(lvl.shape))
-            emb = self.model.apply(params, feats, masks, None, train=train,
-                                   hop_degrees=degs, rngs=rngs)
+                if cached_mode:
+                    cached.append(
+                        cache_rows[sl].reshape(lvl.shape + (d,)))
+            emb = self.model.apply(
+                params, feats, masks, None, train=train, hop_degrees=degs,
+                cached_agg=cached if cached_mode else None, rngs=rngs)
             outs.append(emb.reshape(roots.shape + (emb.shape[-1],)))
-        return outs
+        return outs, ovf
 
-    def _make_batch(self, sup_ip, sup_ix, hard_ip, hard_ix, anchors, step):
+    def _make_batch(self, g, anchors, step):
         cfg = self.cfg
-        pos, pos_mask = routed_sample_neighbors(
+        sup_ip, sup_ix, hard_ip, hard_ix = g[3], g[4], g[5], g[6]
+        pos, pos_mask, ok_p = routed_sample_neighbors(
             sup_ip, sup_ix, anchors, cfg.num_positives, axis=self.axis,
             seed=cfg.seed, hop=1_000_003 + step,
             capacity_factor=self.capacity_factor)
+        ovf = jnp.sum(~ok_p, dtype=jnp.int32)
         # Shared random negatives: the SAME global draw on every shard
         # (counter RNG keyed by step only) — batch-shared negatives across
         # the global batch, the reference's random-negative contract.
@@ -354,21 +688,20 @@ class PartitionedNALPTrainer:
         rand = (bits % jnp.uint32(self.pg.num_nodes)).astype(jnp.int32)
         h = cfg.num_hard_negs
         if h > 0:
-            hard, hard_mask = routed_sample_neighbors(
+            hard, hard_mask, ok_h = routed_sample_neighbors(
                 hard_ip, hard_ix, anchors, h, axis=self.axis,
                 seed=cfg.seed, hop=2_000_003 + step,
                 capacity_factor=self.capacity_factor)
+            ovf += jnp.sum(~ok_h, dtype=jnp.int32)
         else:
             hard = jnp.zeros(anchors.shape + (h,), jnp.int32)
             hard_mask = jnp.zeros(anchors.shape + (h,), bool)
         return NALPBatch(anchors=anchors.astype(jnp.int32), pos=pos,
                          pos_mask=pos_mask, hard_neg=hard,
-                         hard_neg_mask=hard_mask, random_neg=rand)
+                         hard_neg_mask=hard_mask, random_neg=rand), ovf
 
-    def _loss_local(self, feat_deg_l, msg_ip, msg_ix, sup_ip, sup_ix,
-                    hard_ip, hard_ix, params, cms, anchors, step, rng):
-        batch = self._make_batch(sup_ip, sup_ix, hard_ip, hard_ix,
-                                 anchors, step)
+    def _loss_local(self, g, params, cms, anchors, step, rng):
+        batch, ovf = self._make_batch(g, anchors, step)
         r_per = self.cfg.num_random_negs // self.num_shards
         shard = jax.lax.axis_index(self.axis)
         rand_local = jax.lax.dynamic_slice_in_dim(
@@ -376,22 +709,20 @@ class PartitionedNALPTrainer:
         groups = [(batch.anchors, 0), (batch.pos, 1), (rand_local, 2)]
         if self.cfg.num_hard_negs > 0:
             groups.append((batch.hard_neg, 3))
-        embs = self._encode_groups(feat_deg_l, msg_ip, msg_ix, params,
-                                   groups, train=True, rng=rng)
+        embs, ovf2 = self._encode_groups(g, params, groups, train=True,
+                                         rng=rng)
+        ovf += ovf2
         q, pos, rand_l = embs[0], embs[1], embs[2]
         hard = embs[3] if self.cfg.num_hard_negs > 0 else None
         # Candidate embeddings shared across the global batch.
         rand = jax.lax.all_gather(rand_l, self.axis, axis=0, tiled=True)
         loss, cms = nalp_loss_from_embeddings(
             self.model, params, self.cfg, batch, q, pos, hard, rand, cms)
-        return loss, cms
+        return loss, (cms, ovf)
 
-    def _step_local(self, feat_deg_l, msg_ip, msg_ix, sup_ip, sup_ix,
-                    hard_ip, hard_ix, state: TrainState, anchors, rng):
-        (loss, cms), grads = jax.value_and_grad(
-            lambda p: self._loss_local(feat_deg_l, msg_ip, msg_ix, sup_ip,
-                                       sup_ix, hard_ip, hard_ix, p,
-                                       state.cms, anchors,
+    def _step_local(self, g, state: TrainState, anchors, rng):
+        (loss, (cms, ovf)), grads = jax.value_and_grad(
+            lambda p: self._loss_local(g, p, state.cms, anchors,
                                        state.step, rng),
             has_aux=True)(state.params)
         grads = jax.lax.pmean(grads, self.axis)
@@ -400,41 +731,34 @@ class PartitionedNALPTrainer:
                                             state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1, cms=cms), loss
+                          step=state.step + 1, cms=cms), (loss, ovf)
 
-    def _steps_local(self, feat_deg_l, msg_ip, msg_ix, sup_ip, sup_ix,
-                     hard_ip, hard_ix, state, anchors_kb, rngs):
-        msg_ip, msg_ix = msg_ip[0], msg_ix[0]
-        sup_ip, sup_ix = sup_ip[0], sup_ix[0]
-        hard_ip, hard_ix = hard_ip[0], hard_ix[0]
+    def _steps_local(self, g, state, anchors_kb, rngs):
+        g = self._unblock(g)
 
         def body(st, xs):
             a, r = xs
-            return self._step_local(feat_deg_l, msg_ip, msg_ix,
-                                    sup_ip, sup_ix, hard_ip, hard_ix,
-                                    st, a, r)
+            return self._step_local(g, st, a, r)
 
-        return jax.lax.scan(body, state, (anchors_kb, rngs))
+        state, (losses, ovfs) = jax.lax.scan(body, state,
+                                             (anchors_kb, rngs))
+        return state, losses, jax.lax.psum(ovfs, self.axis)
 
-    def _eval_local(self, feat_deg_l, msg_ip, msg_ix, sup_ip, sup_ix,
-                    hard_ip, hard_ix, params, anchors, step):
+    def _eval_local(self, g, params, anchors, step):
         """Ref parity eval (modeling_task_spec:534-546): positives ranked
-        against the shared random negatives; (rr_sum, hits_sums, count)
-        psum-reduced across shards."""
-        msg_ip, msg_ix = msg_ip[0], msg_ix[0]
-        sup_ip, sup_ix = sup_ip[0], sup_ix[0]
-        hard_ip, hard_ix = hard_ip[0], hard_ix[0]
-
-        batch = self._make_batch(sup_ip, sup_ix, hard_ip, hard_ix,
-                                 anchors, step)
+        against the shared random negatives; (rr_sum, hits_sums, count,
+        overflow) psum-reduced across shards."""
+        g = self._unblock(g)
+        batch, ovf = self._make_batch(g, anchors, step)
         r_per = self.cfg.num_random_negs // self.num_shards
         shard = jax.lax.axis_index(self.axis)
         rand_local = jax.lax.dynamic_slice_in_dim(
             batch.random_neg, shard * r_per, r_per)
-        q, pos, rand_l = self._encode_groups(
-            feat_deg_l, msg_ip, msg_ix, params,
+        (q, pos, rand_l), ovf2 = self._encode_groups(
+            g, params,
             [(batch.anchors, 0), (batch.pos, 1), (rand_local, 2)],
             train=False)
+        ovf += ovf2
         rand = jax.lax.all_gather(rand_l, self.axis, axis=0, tiled=True)
         b, p_, d_ = pos.shape
         pos_scores = self.model.apply(params, q[:, None, :], pos,
@@ -452,12 +776,13 @@ class PartitionedNALPTrainer:
         hits_arr = jnp.stack([hits[int(k)] for k in self.cfg.eval_ks])
         return (jax.lax.psum(rr_sum, self.axis),
                 jax.lax.psum(hits_arr, self.axis),
-                jax.lax.psum(rr_cnt, self.axis))
+                jax.lax.psum(rr_cnt, self.axis),
+                jax.lax.psum(ovf, self.axis))
 
-    def _encode_local(self, feat_deg_l, msg_ip, msg_ix, params, node_ids):
-        msg_ip, msg_ix = msg_ip[0], msg_ix[0]
-        (emb,) = self._encode_groups(feat_deg_l, msg_ip, msg_ix, params,
-                                     [(node_ids, 0)], train=False)
+    def _encode_local(self, g, params, node_ids):
+        g = self._unblock(g)
+        (emb,), _ovf = self._encode_groups(g, params, [(node_ids, 0)],
+                                           train=False)
         return emb
 
     # -- public API --------------------------------------------------------
@@ -488,25 +813,29 @@ class PartitionedNALPTrainer:
                 f"batch size {anchors_kb.shape[1]} not divisible by "
                 f"{self.num_shards} shards")
         rngs = jax.random.split(rng, anchors_kb.shape[0])
-        return self._train_steps(*self._graph_args(), state, anchors_kb,
-                                 rngs)
+        state, losses, ovfs = self._train_steps(self._graph_args(), state,
+                                                anchors_kb, rngs)
+        self._note_overflow(int(np.asarray(ovfs).sum()))
+        return state, losses
 
     def evaluate(self, params, anchor_batches, step: int = 0
                  ) -> Dict[str, float]:
-        rr_t, hits_t, cnt_t = 0.0, None, 0.0
+        rr_t, hits_t, cnt_t, ovf_t = 0.0, None, 0.0, 0
         for i, a in enumerate(anchor_batches):
             a = np.asarray(a)
             a = a[: len(a) // self.num_shards * self.num_shards]
             if len(a) == 0:
                 continue
-            rr, hits, cnt = self._eval_step(
-                *self._graph_args(), params,
+            rr, hits, cnt, ovf = self._eval_step(
+                self._graph_args(), params,
                 jnp.asarray(a, jnp.int32),
                 jnp.asarray(step + i, jnp.int32))
             rr_t += float(rr)
             cnt_t += float(cnt)
+            ovf_t += int(ovf)
             h = np.asarray(hits)
             hits_t = h if hits_t is None else hits_t + h
+        self._note_overflow(ovf_t)
         cnt_t = max(cnt_t, 1.0)
         if hits_t is None:
             hits_t = np.zeros(len(self.cfg.eval_ks))
@@ -518,13 +847,11 @@ class PartitionedNALPTrainer:
     def encode_batch(self, params, node_ids) -> jnp.ndarray:
         """Sharded inference encode over the partitioned graph (input
         padded to a multiple of the shard count; pad rows dropped)."""
-        pg = self.pg
         node_ids = jnp.asarray(node_ids, jnp.int32)
         m = node_ids.shape[0]
         m_pad = -(-m // self.num_shards) * self.num_shards
         padded = jnp.pad(node_ids, (0, m_pad - m))
-        out = self._encode(pg.feat_deg, pg.msg_indptr, pg.msg_indices,
-                           params, padded)
+        out = self._encode(self._graph_args(), params, padded)
         return out[:m]
 
     def fit(
@@ -581,6 +908,10 @@ class PartitionedNALPTrainer:
         t0 = time.time()
         stop = False
         for epoch in range(num_epochs):
+            if self._cached and epoch > 0:
+                # Resample the frozen tabularized tables — the analog of
+                # re-running the reference's Subgraph Sampler.
+                self.refresh_cache(epoch)
             batches = np.stack(list(it.epoch(epoch)))
             for start in range(0, len(batches), val_every_n_batches):
                 chunk = batches[start: start + val_every_n_batches]
@@ -657,98 +988,100 @@ class PartitionedNodeClassificationTrainer(PartitionedNALPTrainer):
 
     def __init__(self, model, pgraph: PartitionedGraph, mesh,
                  config, optimizer_args: Optional[Dict[str, Any]] = None,
-                 axis: str = DATA_AXIS, capacity_factor: float = 4.0):
+                 axis: str = DATA_AXIS, capacity_factor: float = 4.0,
+                 overflow_policy: str = "warn"):
         if pgraph.labels is None:
             raise ValueError("PartitionedGraph has no labels; build from a "
                              "DeviceGraph with node_labels")
-        self.model = model
-        self.pg = pgraph
-        self.mesh = mesh
-        self.axis = axis
-        self.cfg = config
-        self.num_shards = int(mesh.shape[axis])
-        self.capacity_factor = capacity_factor
-        self.tx = make_optimizer(optimizer_args or {})
+        super().__init__(model, pgraph, mesh, config,
+                         optimizer_args=optimizer_args, axis=axis,
+                         capacity_factor=capacity_factor,
+                         overflow_policy=overflow_policy)
+
+    def _build_programs(self) -> None:
         from jax.sharding import PartitionSpec as P
 
+        mesh, axis = self.mesh, self.axis
         self._P = P
-        pspec_graph = (P(axis), P(axis, None), P(axis, None), P(axis))
+        n_tab = len(self.pg.sample_tables or ())
+        gspec = (P(axis), P(axis, None), P(axis, None),
+                 P(axis, None), P(axis, None),
+                 P(axis, None), P(axis, None),
+                 tuple(P(axis) for _ in range(n_tab)))
+        self._tab_index = {
+            int(k): i
+            for i, k in enumerate(self.pg.table_fanouts or ())}
         self._train_steps = jax.jit(jax.shard_map(
             self._nc_steps_local,
             mesh=mesh,
-            in_specs=pspec_graph + (P(), P(None, axis), P()),
-            out_specs=(P(), P()),
+            in_specs=(gspec, P(axis), P(), P(None, axis), P()),
+            out_specs=(P(), P(), P()),
             check_vma=False,
-        ), donate_argnums=(4,))
+        ), donate_argnums=(2,))
         self._eval_step = jax.jit(jax.shard_map(
             self._nc_eval_local,
             mesh=mesh,
-            in_specs=pspec_graph + (P(), P(axis)),
-            out_specs=(P(), P()),
+            in_specs=(gspec, P(axis), P(), P(axis)),
+            out_specs=(P(), P(), P()),
             check_vma=False,
         ))
         self._encode = jax.jit(jax.shard_map(
             self._encode_local,
             mesh=mesh,
-            in_specs=(P(axis), P(axis, None), P(axis, None), P(), P(axis)),
+            in_specs=(gspec, P(), P(axis)),
             out_specs=P(axis),
             check_vma=False,
         ))
 
-    def _nc_graph_args(self):
-        pg = self.pg
-        return (pg.feat_deg, pg.msg_indptr, pg.msg_indices, pg.labels)
-
     # -- SPMD bodies -------------------------------------------------------
-    def _nc_loss_local(self, feat_deg_l, msg_ip, msg_ix, labels_l, params,
-                       nodes, rng):
-        (logits,) = self._encode_groups(
-            feat_deg_l, msg_ip, msg_ix, params, [(nodes, 0)],
-            train=True, rng=rng)
-        lab_rows, _ok = routed_gather(
+    def _nc_loss_local(self, g, labels_l, params, nodes, rng):
+        (logits,), ovf = self._encode_groups(g, params, [(nodes, 0)],
+                                             train=True, rng=rng)
+        lab_rows, ok = routed_gather(
             labels_l, nodes.astype(jnp.int32), axis=self.axis,
             capacity_factor=self.capacity_factor)
+        ovf += jnp.sum(~ok, dtype=jnp.int32)
         labels = lab_rows[:, 0].astype(jnp.int32)
-        s, c = cross_entropy_loss(logits, labels)
-        return s / jnp.maximum(c.astype(jnp.float32), 1.0)
+        # Dropped label requests zero-fill (label 0): mask them out of the
+        # CE sum/count instead of silently training against label 0.
+        s, c = cross_entropy_loss(logits, labels, mask=ok)
+        return s / jnp.maximum(c.astype(jnp.float32), 1.0), ovf
 
-    def _nc_step_local(self, feat_deg_l, msg_ip, msg_ix, labels_l,
-                       state: TrainState, nodes, rng):
-        loss, grads = jax.value_and_grad(
-            lambda p: self._nc_loss_local(feat_deg_l, msg_ip, msg_ix,
-                                          labels_l, p, nodes, rng)
-        )(state.params)
+    def _nc_step_local(self, g, labels_l, state: TrainState, nodes, rng):
+        (loss, ovf), grads = jax.value_and_grad(
+            lambda p: self._nc_loss_local(g, labels_l, p, nodes, rng),
+            has_aux=True)(state.params)
         grads = jax.lax.pmean(grads, self.axis)
         loss = jax.lax.pmean(loss, self.axis)
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1, cms=state.cms), loss
+                          step=state.step + 1, cms=state.cms), (loss, ovf)
 
-    def _nc_steps_local(self, feat_deg_l, msg_ip, msg_ix, labels_l, state,
-                        nodes_kb, rngs):
-        msg_ip, msg_ix = msg_ip[0], msg_ix[0]
+    def _nc_steps_local(self, g, labels_l, state, nodes_kb, rngs):
+        g = self._unblock(g)
 
         def body(st, xs):
             nb, r = xs
-            return self._nc_step_local(feat_deg_l, msg_ip, msg_ix,
-                                       labels_l, st, nb, r)
+            return self._nc_step_local(g, labels_l, st, nb, r)
 
-        return jax.lax.scan(body, state, (nodes_kb, rngs))
+        state, (losses, ovfs) = jax.lax.scan(body, state, (nodes_kb, rngs))
+        return state, losses, jax.lax.psum(ovfs, self.axis)
 
-    def _nc_eval_local(self, feat_deg_l, msg_ip, msg_ix, labels_l, params,
-                       nodes):
-        msg_ip, msg_ix = msg_ip[0], msg_ix[0]
-        (logits,) = self._encode_groups(
-            feat_deg_l, msg_ip, msg_ix, params, [(nodes, 0)], train=False)
-        lab_rows, _ok = routed_gather(
+    def _nc_eval_local(self, g, labels_l, params, nodes):
+        g = self._unblock(g)
+        (logits,), ovf = self._encode_groups(g, params, [(nodes, 0)],
+                                             train=False)
+        lab_rows, ok = routed_gather(
             labels_l, nodes.astype(jnp.int32), axis=self.axis,
             capacity_factor=self.capacity_factor)
+        ovf += jnp.sum(~ok, dtype=jnp.int32)
         labels = lab_rows[:, 0].astype(jnp.int32)
-        correct, count = accuracy(logits, labels)
+        correct, count = accuracy(logits, labels, mask=ok)
         return (jax.lax.psum(correct, self.axis),
-                jax.lax.psum(count, self.axis))
+                jax.lax.psum(count, self.axis),
+                jax.lax.psum(ovf, self.axis))
 
     # -- public API --------------------------------------------------------
     def init_state(self, rng: jax.Array, batch_size: int,
@@ -775,21 +1108,25 @@ class PartitionedNodeClassificationTrainer(PartitionedNALPTrainer):
                 f"batch size {nodes_kb.shape[1]} not divisible by "
                 f"{self.num_shards} shards")
         rngs = jax.random.split(rng, nodes_kb.shape[0])
-        return self._train_steps(*self._nc_graph_args(), state, nodes_kb,
-                                 rngs)
+        state, losses, ovfs = self._train_steps(
+            self._graph_args(), self.pg.labels, state, nodes_kb, rngs)
+        self._note_overflow(int(np.asarray(ovfs).sum()))
+        return state, losses
 
     def evaluate(self, params, node_batches) -> float:
         """Global accuracy over the given batches (psum-reduced)."""
-        correct, total = 0.0, 0.0
+        correct, total, ovf_t = 0.0, 0.0, 0
         for b in node_batches:
             b = np.asarray(b)
             b = b[: len(b) // self.num_shards * self.num_shards]
             if len(b) == 0:
                 continue
-            c, n = self._eval_step(*self._nc_graph_args(), params,
-                                   jnp.asarray(b, jnp.int32))
+            c, n, ovf = self._eval_step(self._graph_args(), self.pg.labels,
+                                        params, jnp.asarray(b, jnp.int32))
             correct += float(c)
             total += float(n)
+            ovf_t += int(ovf)
+        self._note_overflow(ovf_t)
         return correct / max(total, 1.0)
 
     def predict_batch(self, params, node_ids) -> jnp.ndarray:
@@ -813,7 +1150,14 @@ class PartitionedNodeClassificationTrainer(PartitionedNALPTrainer):
         rng = jax.random.PRNGKey(self.cfg.seed)
         step = 0
         val = np.asarray(val_nodes)
-        val = val[: max(len(val) // self.num_shards, 1) * self.num_shards]
+        if len(val) == 0:
+            raise ValueError("val_nodes is empty")
+        # Pad (by wrapping) up to a shard multiple rather than truncate:
+        # truncation of a val set smaller than the shard count would leave a
+        # non-divisible slice that evaluate() drops entirely, making val
+        # accuracy a constant 0.0 (early stopping then operates on noise).
+        val = np.resize(val, -(-len(val) // self.num_shards)
+                        * self.num_shards)
         for epoch in range(num_epochs):
             batches = np.stack(list(it.epoch(epoch)))
             rng, erng = jax.random.split(rng)

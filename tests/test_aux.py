@@ -60,6 +60,7 @@ class TestProfiler:
             pass
         assert prof._local_dir is None
 
+    @pytest.mark.slow
     def test_enabled_writes_trace_and_uploads(self, tmp_path):
         cfg = ProfilerConfig(should_enable_profiler=True,
                              profiler_log_dir=str(tmp_path / "traces"))

@@ -86,6 +86,7 @@ class TestPartitionedHeteroGraph:
 
 
 class TestPartitionedHeteroTrainer:
+    @pytest.mark.slow
     def test_sampling_parity_with_replicated(self):
         """Loss of the partitioned step == mean of per-shard replicated
         losses (bit-identical typed sampling + shared random negatives)."""
@@ -119,6 +120,7 @@ class TestPartitionedHeteroTrainer:
         assert float(losses[0]) == pytest.approx(np.mean(per_shard),
                                                  rel=1e-4)
 
+    @pytest.mark.slow
     def test_learns_bipartite_structure(self):
         mesh, g, hdg, paths, model, cfg, trainer = _setup()
         B, K = 32, 30

@@ -106,6 +106,7 @@ class TestEllGradients:
     scatter-free); gradients must match the autodiff of the COO path."""
 
     @pytest.mark.parametrize("conv", ["graphsage", "gat"])
+    @pytest.mark.slow
     def test_param_grads_match_coo(self, conv):
         src, dst, feats, n = _graph()
         csr = build_csr(src, dst, num_anchor_nodes=n, anchor="dst")
@@ -129,6 +130,7 @@ class TestEllGradients:
                 np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3),
             g1, g2)
 
+    @pytest.mark.slow
     def test_edge_attr_grads_match_coo(self):
         src, dst, feats, n = _graph(d=16)
         rng = np.random.default_rng(3)
@@ -195,6 +197,7 @@ class TestFullBatchWithEll:
 
 
 class TestFullGraphInference:
+    @pytest.mark.slow
     def test_full_graph_inference_exports_all_nodes(self, tmp_path):
         from gigl_tpu.data.export import EmbeddingExporter
         from gigl_tpu.data.mocking import get_mocked_graph

@@ -253,6 +253,7 @@ class TestHeteroEncoders:
 
 
 class TestHeteroTrainer:
+    @pytest.mark.slow
     def test_train_steps_matches_single_steps(self):
         tr, g = self._make_trainer()
         st0 = tr.init_state(jax.random.PRNGKey(0), batch_size=8)
@@ -287,6 +288,7 @@ class TestHeteroTrainer:
         return HeteroNALPTrainer(model, dg, paths, cfg,
                                  optimizer_args={"learning_rate": "0.01"}), g
 
+    @pytest.mark.slow
     def test_learns_bipartite_structure(self):
         trainer, g = self._make_trainer()
         state = trainer.init_state(jax.random.PRNGKey(0), batch_size=32)
@@ -321,6 +323,7 @@ class TestHeteroTrainer:
         it = trainer.encode_batch(state.params, np.arange(8), "item")
         assert u.shape == (8, 16) and it.shape == (8, 16)
 
+    @pytest.mark.slow
     def test_fit_loop_with_eval(self):
         trainer, g = self._make_trainer()
         state = trainer.init_state(jax.random.PRNGKey(0), batch_size=16)
@@ -424,6 +427,7 @@ class TestTabularizedTypedSampling:
         np.testing.assert_array_equal(np.asarray(blocks.node_ids[2]),
                                       np.asarray(b2.node_ids[2]))
 
+    @pytest.mark.slow
     def test_trainer_tabularized_parity_structure_and_trains(self):
         tr_live, g = TestHeteroTrainer._make_trainer(TestHeteroTrainer())
         # tabularized variant

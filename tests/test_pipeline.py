@@ -122,6 +122,7 @@ class TestNodeClassificationPipeline:
 
 
 class TestHeteroPipeline:
+    @pytest.mark.slow
     def test_bipartite_lp_full_pipeline(self, tmp_path):
         """All seven components on the bipartite (user, buys, item) graph —
         hetero dispatch in the NALP spec (HGT encoder, typed sampling)."""

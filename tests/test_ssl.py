@@ -165,6 +165,7 @@ class TestSSLTrainer:
         t1 = jax.tree_util.tree_leaves(state.target_params)[0]
         assert not np.allclose(np.asarray(t0), np.asarray(t1))
 
+    @pytest.mark.slow
     def test_grace_loss_decreases_with_fit(self):
         dg = self._graph()
         enc = GNNEncoder(hid_dim=16, out_dim=16, num_layers=2,

@@ -254,6 +254,7 @@ class TestPartitionedBackendDispatch:
     dispatch analog (ref pb_wrappers/gbml_config.py:416-429): the same task
     spec trains on the partitioned-graph backend (training/dist_sampled.py)."""
 
+    @pytest.mark.slow
     def test_spec_trains_on_partitioned_backend(self):
         from gigl_tpu.training.dist_sampled import PartitionedNALPTrainer
 
@@ -299,6 +300,7 @@ class TestPartitionedNodeClassificationDispatch:
             }),
         )
 
+    @pytest.mark.slow
     def test_spec_trains_on_partitioned_backend(self):
         from gigl_tpu.training.dist_sampled import (
             PartitionedNodeClassificationTrainer,

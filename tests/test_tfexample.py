@@ -124,6 +124,7 @@ class TestFileIO:
             assert float(r["x"][0]) == float(i)
             assert int(r["id"][0]) == i
 
+    @pytest.mark.slow
     def test_tensorflow_reads_our_file(self, tmp_path):
         """The gold interop test: TF's own TFRecordDataset + Example parser
         consume files written by our native codec + wire encoder."""

@@ -95,6 +95,7 @@ class TestNALPTraining:
         assert after["mrr"] > before["mrr"] + 0.1, (before, after)
         assert 0 <= after["hits@10"] <= 1
 
+    @pytest.mark.slow
     def test_fit_loop_with_early_stop(self):
         trainer, anchors = _nalp_setup("retrieval")
         state = trainer.init_state(jax.random.PRNGKey(0), batch_size=32)
@@ -104,6 +105,7 @@ class TestNALPTraining:
             log_every=1000)
         assert "mrr" in metrics and metrics["mrr"] > 0
 
+    @pytest.mark.slow
     def test_deterministic_given_seeds(self):
         t1, anchors = _nalp_setup("margin")
         t2, _ = _nalp_setup("margin")
@@ -249,6 +251,7 @@ class TestTrainStateCheckpoint:
 
 
 class TestFitCheckpointResume:
+    @pytest.mark.slow
     def test_fit_resumes_from_checkpoint_dir(self, tmp_path):
         """Kill-and-restart: a second fit() with the same checkpoint_dir
         skips the covered chunks and continues from the saved full state."""
