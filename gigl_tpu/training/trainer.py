@@ -651,7 +651,7 @@ class NodeClassificationTrainer:
                 state, loss = self._train_step(
                     self.graph, state, jnp.asarray(nodes, jnp.int32), srng)
                 step += 1
-                if step % log_every == 0:
+                if log_every and step % log_every == 0:
                     logger.info("epoch %d step %d loss %.4f",
                                 epoch, step, float(loss))
             acc = self.evaluate(state.params, val_nodes, batch_size)
