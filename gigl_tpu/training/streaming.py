@@ -266,11 +266,25 @@ class StreamingNALPTrainer:
     def __init__(self, model, store: HostGraphStore,
                  config: NALPTrainerConfig,
                  optimizer_args: Optional[Dict[str, Any]] = None,
-                 stream_dtype: Optional[str] = None):
+                 stream_dtype: Optional[str] = None,
+                 mesh=None, axis: Optional[str] = None):
         """``stream_dtype``: "bfloat16" halves the host->device feature
         transfer (the streamed-path bottleneck: PCIe on real hosts); the
         encoder upcasts to its compute dtype. Default: float32 (exact
-        parity with the device-resident path)."""
+        parity with the device-resident path).
+
+        ``mesh``: optional jax.sharding.Mesh — MULTI-CHIP streamed
+        training (the MAG240M recipe: cluster-RAM features + a whole pod
+        slice, the analog of GLT's feature store feeding torch-DDP
+        workers, ref dist_link_prediction_dataset.py:428-436). Every
+        streamed batch array is device_put sharded over ``axis`` on its
+        leading (root) dim — anchors, positives, hard negatives AND the
+        shared random negatives (each chip encodes its R/P slice); params
+        replicated. The loss stays the single global-batch computation, so
+        XLA inserts the candidate all-gather and the gradient all-reduce
+        (DDP analog) automatically. Loss trajectories are EXACTLY the
+        single-chip streamed ones (same host draws, same math, sharded
+        execution) — tested in tests/test_streaming.py."""
         if config.num_hard_negs and store.hard_neg_indptr is None:
             raise ValueError("num_hard_negs > 0 needs a store built with "
                              "hard_neg_edges")
@@ -284,9 +298,57 @@ class StreamingNALPTrainer:
             self._stream_np_dtype = ml_dtypes.bfloat16
         elif stream_dtype not in (None, "float32", "f32"):
             raise ValueError(f"unknown stream_dtype {stream_dtype!r}")
+        self.mesh = mesh
+        self._data_sh = self._repl_sh = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from gigl_tpu.parallel.mesh import DATA_AXIS
+
+            axis = axis or DATA_AXIS
+            self._n_shards = int(mesh.shape[axis])
+            if config.num_random_negs % self._n_shards:
+                raise ValueError("num_random_negs must divide the mesh "
+                                 "axis size")
+            self._data_sh = NamedSharding(mesh, P(axis))
+            self._repl_sh = NamedSharding(mesh, P())
         self.tx = make_optimizer(optimizer_args or {})
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._eval_step = jax.jit(self._eval_step_impl)
+
+    def _put_batch(self, batch: StreamedBatch) -> StreamedBatch:
+        """Shard every streamed array over the mesh data axis (leading =
+        root dim); no-op without a mesh (jit moves host arrays itself)."""
+        if self.mesh is None:
+            return batch
+
+        def put(x):
+            return jax.device_put(np.asarray(x), self._data_sh)
+
+        def put_group(g: Optional[GroupArrays]):
+            if g is None:
+                return None
+            return GroupArrays(
+                feats=tuple(put(x) for x in g.feats),
+                cached=tuple(put(x) for x in g.cached),
+                masks=tuple(put(x) for x in g.masks),
+                degs=tuple(put(x) for x in g.degs))
+
+        ids = batch.ids
+        h = ids.hard_neg
+        ids = NALPBatch(
+            anchors=put(ids.anchors), pos=put(ids.pos),
+            pos_mask=put(ids.pos_mask),
+            hard_neg=put(h) if h.shape[-1] else jax.device_put(
+                np.asarray(h), self._repl_sh),
+            hard_neg_mask=put(ids.hard_neg_mask) if h.shape[-1]
+            else jax.device_put(np.asarray(ids.hard_neg_mask),
+                                self._repl_sh),
+            random_neg=put(ids.random_neg))
+        return StreamedBatch(ids=ids, q=put_group(batch.q),
+                             pos=put_group(batch.pos),
+                             rand=put_group(batch.rand),
+                             hard=put_group(batch.hard))
 
     # -- host batch assembly --------------------------------------------------
     def _tree(self, roots: np.ndarray) -> GroupArrays:
@@ -457,11 +519,16 @@ class StreamingNALPTrainer:
         from gigl_tpu.losses.count_min_sketch import cms_init
 
         cms = cms_init() if self.cfg.use_cms_correction else None
-        return TrainState(params=params, opt_state=self.tx.init(params),
-                          step=jnp.zeros((), jnp.int32), cms=cms)
+        state = TrainState(params=params, opt_state=self.tx.init(params),
+                           step=jnp.zeros((), jnp.int32), cms=cms)
+        if self.mesh is not None:
+            from gigl_tpu.parallel.mesh import put_replicated
+
+            state = put_replicated(state, self.mesh)
+        return state
 
     def train_step(self, state, batch: StreamedBatch, rng):
-        return self._train_step(state, batch, rng)
+        return self._train_step(state, self._put_batch(batch), rng)
 
     def run_steps(self, state: TrainState, anchor_batches: np.ndarray,
                   rng: jax.Array, *, start_step: int = 0,
@@ -486,7 +553,8 @@ class StreamingNALPTrainer:
                     futs[nxt] = pool.submit(
                         self.prepare_batch, anchor_batches[nxt],
                         start_step + nxt)
-                state, loss = self._train_step(state, batch, rngs[i])
+                state, loss = self._train_step(state, self._put_batch(batch),
+                                               rngs[i])
                 losses.append(loss)
         return state, np.asarray(
             [float(l) for l in jax.device_get(losses)])
@@ -497,7 +565,7 @@ class StreamingNALPTrainer:
         for i, anchors in enumerate(anchor_batches):
             batch = self.prepare_batch(np.asarray(anchors, np.int32),
                                        step=7_777_777 + step + i)
-            rr, hits, cnt = self._eval_step(params, batch)
+            rr, hits, cnt = self._eval_step(params, self._put_batch(batch))
             rr_total += float(rr)
             cnt_total += float(cnt)
             for k in self.cfg.eval_ks:
