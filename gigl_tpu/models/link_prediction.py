@@ -85,16 +85,37 @@ class HeteroLinkPredictionGNN(nn.Module):
         return self.decoder.all_pairs(q, c)
 
 
+class EdgeFeatureScorer(nn.Module):
+    """Scores a supervision (label) edge from its OWN features — the
+    consumer of the reference's per-positive/hard-negative label edge
+    features (ref nalp_data_loader.py:44-46,184-192: batches carry
+    ``label_edge_features`` per supervision edge; a task spec may fold
+    them into scoring). Added to the pair score by
+    ``LinkPredictionGNN.decode(..., edge_feats=)``."""
+
+    hidden_dim: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, edge_feats: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="e0")(edge_feats)
+        h = jax.nn.relu(h)
+        return nn.Dense(1, dtype=self.dtype, name="e1")(h)[..., 0]
+
+
 class LinkPredictionGNN(nn.Module):
     """Encoder + decoder bundle.
 
     Ref parity: pyg/link_prediction.py:13-67 — forward() encodes, decode()
     scores pairs. The encoder is any module exposing the dense-block
-    ``__call__`` and ``encode_coo``.
+    ``__call__`` and ``encode_coo``. ``edge_scorer`` (optional) adds a
+    label-edge-feature term to supervision-edge scores (see
+    EdgeFeatureScorer).
     """
 
     encoder: nn.Module
     decoder: LinkPredictionDecoder
+    edge_scorer: Optional[EdgeFeatureScorer] = None
 
     def __call__(self, hop_feats, masks, edge_feats=None, train: bool = False,
                  hop_degrees=None, cached_agg=None):
@@ -106,8 +127,32 @@ class LinkPredictionGNN(nn.Module):
         return self.encoder.encode_coo(x, src, dst, num_nodes, edge_attr,
                                        train=train)
 
-    def decode(self, q, c):
-        return self.decoder(q, c)
+    def decode(self, q, c, edge_feats=None):
+        s = self.decoder(q, c)
+        if edge_feats is not None and self.edge_scorer is not None:
+            s = s + self.edge_scorer(edge_feats)
+        return s
 
     def decode_all_pairs(self, q, c):
         return self.decoder.all_pairs(q, c)
+
+    def edge_score(self, edge_feats):
+        if self.edge_scorer is None:
+            raise ValueError("model built without an edge_scorer")
+        return self.edge_scorer(edge_feats)
+
+    def warmup(self, hop_feats, masks, edge_feats=None, hop_degrees=None,
+               label_edge_feats=None, cached_agg=None):
+        """Single init-time pass touching EVERY parameterized submodule
+        (encoder, decoder — MLP decoder types have Dense params the plain
+        ``__call__`` never reaches — and the edge scorer), so
+        ``model.init(..., method="warmup")`` yields a complete param
+        tree."""
+        emb = self.encoder(hop_feats, masks, edge_feats, train=False,
+                           hop_degrees=hop_degrees, cached_agg=cached_agg)
+        s = self.decoder(emb, emb)
+        if self.edge_scorer is not None:
+            if label_edge_feats is None:
+                label_edge_feats = jnp.zeros((1, 1), self.decoder.dtype)
+            s = s[:1] + self.edge_scorer(label_edge_feats)[:1]
+        return s

@@ -56,6 +56,12 @@ class NALPBatch(NamedTuple):
     hard_neg: jnp.ndarray     # [B, H] int32 (H may be 0)
     hard_neg_mask: jnp.ndarray  # [B, H] bool
     random_neg: jnp.ndarray   # [R] int32
+    # Per-supervision-edge (label) features, hydrated from the supervision /
+    # hard-negative CSRs' edge ids when the graph carries them — the
+    # reference's ``label_edge_features`` batch slots
+    # (ref nalp_data_loader.py:44-46,184-192). None when absent.
+    pos_edge_feats: Optional[jnp.ndarray] = None       # [B, P, De]
+    hard_neg_edge_feats: Optional[jnp.ndarray] = None  # [B, H, De]
 
 
 class NodeClassificationBatch(NamedTuple):
@@ -98,25 +104,34 @@ class DeviceGraph:
     # separate gathers over the same index set on v5e — gather cost is
     # near width-insensitive, so halving the gather count wins).
     fused_table: Optional[jnp.ndarray] = None
+    # Supervision / hard-negative LABEL edge features in CSR slot order
+    # ([Es, De] / [Eh, De]) — hydrated per sampled positive/hard negative
+    # into NALPBatch (ref nalp_data_loader.py:44-46,184-192).
+    sup_edge_features: Optional[jnp.ndarray] = None
+    hard_neg_edge_features: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         children = (self.message_csr, self.node_features,
                     self.supervision_csr, self.hard_neg_csr,
                     self.node_labels, self.edge_features, self.degrees,
-                    self.nbr_cache, self.sample_tables, self.fused_table)
+                    self.nbr_cache, self.sample_tables, self.fused_table,
+                    self.sup_edge_features, self.hard_neg_edge_features)
         return children, self.num_nodes
 
     @classmethod
     def tree_unflatten(cls, num_nodes, children):
         (message_csr, node_features, supervision_csr, hard_neg_csr,
          node_labels, edge_features, degrees, nbr_cache,
-         sample_tables, fused_table) = children
+         sample_tables, fused_table, sup_edge_features,
+         hard_neg_edge_features) = children
         return cls(message_csr=message_csr, node_features=node_features,
                    num_nodes=num_nodes, supervision_csr=supervision_csr,
                    hard_neg_csr=hard_neg_csr, node_labels=node_labels,
                    edge_features=edge_features, degrees=degrees,
                    nbr_cache=nbr_cache, sample_tables=sample_tables,
-                   fused_table=fused_table)
+                   fused_table=fused_table,
+                   sup_edge_features=sup_edge_features,
+                   hard_neg_edge_features=hard_neg_edge_features)
 
     @classmethod
     def from_hetero(
@@ -129,6 +144,8 @@ class DeviceGraph:
         sampling_direction: str = "in",
         quantize_features: bool = False,
         sampling_weight_index: Optional[int] = None,
+        supervision_edge_features: Optional[np.ndarray] = None,  # [Es, De]
+        hard_neg_edge_features: Optional[np.ndarray] = None,     # [Eh, De]
     ) -> "DeviceGraph":
         """``quantize_features``: store node features as an int8
         per-row-scaled QuantizedTable (ops/pallas_kernels.py) — 4x less
@@ -157,6 +174,7 @@ class DeviceGraph:
             edge_features = jnp.asarray(
                 graph.edge_features[ef_key][csr.edge_ids], dtype=jnp.float32)
         sup_csr = None
+        sup_ef = None
         if supervision_edges is not None:
             sup = build_csr(
                 supervision_edges[0], supervision_edges[1],
@@ -164,13 +182,29 @@ class DeviceGraph:
                 anchor=anchor,
             )
             sup_csr = DeviceCSR.from_csr(sup)
+            if supervision_edge_features is not None:
+                # raw rows are aligned to supervision_edges COLUMNS;
+                # reorder into CSR slot order via edge_ids.
+                sup_ef = jnp.asarray(
+                    np.asarray(supervision_edge_features)[sup.edge_ids],
+                    jnp.float32)
+        elif supervision_edge_features is not None:
+            raise ValueError(
+                "supervision_edge_features needs supervision_edges")
         hn_csr = None
+        hn_ef = None
         if hard_neg_edges is not None:
             hn = build_csr(
                 hard_neg_edges[0], hard_neg_edges[1],
                 num_anchor_nodes=n, num_neighbor_nodes=n, anchor=anchor,
             )
             hn_csr = DeviceCSR.from_csr(hn)
+            if hard_neg_edge_features is not None:
+                hn_ef = jnp.asarray(
+                    np.asarray(hard_neg_edge_features)[hn.edge_ids],
+                    jnp.float32)
+        elif hard_neg_edge_features is not None:
+            raise ValueError("hard_neg_edge_features needs hard_neg_edges")
         labels = graph.node_labels.get(nt)
         deg = np.diff(csr.indptr).astype(np.float32)
         if quantize_features:
@@ -197,6 +231,8 @@ class DeviceGraph:
             ),
             edge_features=edge_features,
             degrees=jnp.asarray(deg),
+            sup_edge_features=sup_ef,
+            hard_neg_edge_features=hn_ef,
         )
 
     # -- device-side batch assembly -------------------------------------------
@@ -214,13 +250,22 @@ class DeviceGraph:
         batch-shared uniform random negatives."""
         if self.supervision_csr is None:
             raise ValueError("No supervision CSR registered for NALP sampling")
-        pos, pos_mask, _ = sample_neighbors(
+        pos, pos_mask, pos_slots = sample_neighbors(
             self.supervision_csr, anchors, num_positives,
             seed=seed, hop=1_000_003 + step)
+        pos_ef = None
+        if self.sup_edge_features is not None:
+            # Label edge features of each sampled positive (CSR slot ->
+            # feature row; padded slots hydrate row 0 and are masked by
+            # pos_mask downstream). Ref nalp_data_loader.py:44-46.
+            pos_ef = self.sup_edge_features[pos_slots]
+        hard_ef = None
         if num_hard_negs > 0 and self.hard_neg_csr is not None:
-            hard, hard_mask, _ = sample_neighbors(
+            hard, hard_mask, hard_slots = sample_neighbors(
                 self.hard_neg_csr, anchors, num_hard_negs,
                 seed=seed, hop=2_000_003 + step)
+            if self.hard_neg_edge_features is not None:
+                hard_ef = self.hard_neg_edge_features[hard_slots]
         else:
             hard = jnp.zeros(anchors.shape + (num_hard_negs,), jnp.int32)
             hard_mask = jnp.zeros(anchors.shape + (num_hard_negs,), bool)
@@ -237,6 +282,8 @@ class DeviceGraph:
             pos=pos, pos_mask=pos_mask,
             hard_neg=hard, hard_neg_mask=hard_mask,
             random_neg=rand,
+            pos_edge_feats=pos_ef,
+            hard_neg_edge_feats=hard_ef,
         )
 
     def sample_hop_blocks(

@@ -148,6 +148,12 @@ class PartitionedGraph:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         dg = device_graph
+        if getattr(dg, "sup_edge_features", None) is not None:
+            logger.warning(
+                "PartitionedGraph does not carry supervision (label) edge "
+                "features yet; the partitioned trainer will score "
+                "positives without them (replicated NALPTrainer supports "
+                "them)")
         num_shards = int(mesh.shape[axis])
         n = dg.num_nodes
         rows = -(-n // num_shards)  # ceil
@@ -798,7 +804,11 @@ class PartitionedNALPTrainer:
                 shape = shape + (int(k),)
             feats.append(jnp.zeros(shape + (d,), jnp.float32))
             masks.append(jnp.ones(shape, bool))
-            params = self.model.init(rng, feats, masks)
+            if hasattr(type(self.model), "warmup"):
+                params = self.model.init(rng, feats, masks,
+                                         method="warmup")
+            else:
+                params = self.model.init(rng, feats, masks)
         from gigl_tpu.losses.count_min_sketch import cms_init
 
         cms = cms_init() if self.cfg.use_cms_correction else None

@@ -511,11 +511,14 @@ class StreamingNALPTrainer:
     def init_state(self, rng: jax.Array, batch_size: int) -> TrainState:
         batch = self.prepare_batch(
             np.zeros((batch_size,), np.int32), step=0)
-        params = self.model.init(
-            rng, [jnp.asarray(f) for f in batch.q.feats],
-            [jnp.asarray(m) for m in batch.q.masks], None,
+        init_kwargs = dict(
             hop_degrees=[jnp.asarray(d) for d in batch.q.degs],
             cached_agg=[jnp.asarray(c) for c in batch.q.cached])
+        if hasattr(type(self.model), "warmup"):
+            init_kwargs["method"] = "warmup"
+        params = self.model.init(
+            rng, [jnp.asarray(f) for f in batch.q.feats],
+            [jnp.asarray(m) for m in batch.q.masks], None, **init_kwargs)
         from gigl_tpu.losses.count_min_sketch import cms_init
 
         cms = cms_init() if self.cfg.use_cms_correction else None

@@ -126,7 +126,20 @@ def nalp_loss_from_embeddings(model, params, cfg, batch: NALPBatch,
     optional CMS sampled-softmax logQ correction and accidental-hit
     masking. Returns (mean loss, updated cms)."""
     B, P, D = pos.shape
-    decode = lambda a, b: model.apply(params, a, b, method="decode")
+
+    def decode(a, b, ef=None):
+        # ef passed positionally only when present: hetero models' decode
+        # has no edge-feature slot.
+        if ef is None:
+            return model.apply(params, a, b, method="decode")
+        return model.apply(params, a, b, ef, method="decode")
+    # Label-edge-feature score terms (ref nalp_data_loader.py:44-46):
+    # applied to the (anchor, positive) / (anchor, hard-negative) pairs
+    # that ARE supervision edges — never to random negatives.
+    has_scorer = getattr(model, "edge_scorer", None) is not None
+    use_pos_ef = has_scorer and batch.pos_edge_feats is not None
+    use_hard_ef = (has_scorer and hard is not None
+                   and batch.hard_neg_edge_feats is not None)
     if cfg.loss_type == "retrieval":
         q_rep = jnp.repeat(q, P, axis=0)                       # [B*P, D]
         pos_flat = pos.reshape(B * P, D)
@@ -146,6 +159,25 @@ def nalp_loss_from_embeddings(model, params, cfg, batch: NALPBatch,
         cand = jnp.concatenate(parts, axis=0)                  # [C, D]
         scores = model.apply(params, q_rep, cand,
                              method="decode_all_pairs")        # [B*P, C]
+        if use_pos_ef:
+            # Row r's own positive is candidate COLUMN r.
+            e_pos = model.apply(
+                params, batch.pos_edge_feats.reshape(B * P, -1),
+                method="edge_score")
+            scores = scores.at[jnp.arange(B * P),
+                               jnp.arange(B * P)].add(e_pos)
+        if use_hard_ef:
+            # Hard-neg candidate columns [B*P, B*P + B*H): anchor b's hard
+            # edge (b, j) scores against ALL of b's query rows.
+            H = batch.hard_neg.shape[1]
+            e_hard = model.apply(
+                params, batch.hard_neg_edge_feats.reshape(B * H, -1),
+                method="edge_score")
+            row_b = jnp.arange(B * P) // P
+            col_b = jnp.arange(B * H) // H
+            add = jnp.where(row_b[:, None] == col_b[None, :],
+                            e_hard[None, :], 0.0)
+            scores = scores.at[:, B * P: B * P + B * H].add(add)
         qids = jnp.repeat(batch.anchors, P, axis=0)
         cids = jnp.concatenate(id_parts, axis=0)
         cand_mask = jnp.concatenate(cmask_parts, axis=0)
@@ -165,13 +197,16 @@ def nalp_loss_from_embeddings(model, params, cfg, batch: NALPBatch,
             candidate_mask=cand_mask,
         )
     else:
-        pos_scores = decode(q[:, None, :], pos)                # [B, P]
+        pos_scores = decode(q[:, None, :], pos,
+                            batch.pos_edge_feats if use_pos_ef else None)
         rand_scores = model.apply(params, q, rand,
                                   method="decode_all_pairs")   # [B, R]
         neg_scores = rand_scores
         neg_mask = jnp.ones(rand_scores.shape, bool)
         if hard is not None:
-            hard_scores = decode(q[:, None, :], hard)          # [B, H]
+            hard_scores = decode(
+                q[:, None, :], hard,
+                batch.hard_neg_edge_feats if use_hard_ef else None)
             neg_scores = jnp.concatenate([hard_scores, rand_scores], -1)
             neg_mask = jnp.concatenate(
                 [batch.hard_neg_mask, neg_mask], -1)
@@ -250,6 +285,15 @@ class NALPTrainer:
         round-trip per op on a tunneled device)."""
         blocks = graph.sample_hop_blocks(anchors, self.cfg.fanouts)
         feats, masks, _ = graph.hydrate(blocks)
+        if hasattr(type(self.model), "warmup"):
+            # warmup touches decoder + edge-scorer params too (MLP decoder
+            # types have Denses the encoder-only __call__ never reaches).
+            lef = None
+            if graph.sup_edge_features is not None:
+                lef = jnp.zeros((1, graph.sup_edge_features.shape[-1]),
+                                jnp.float32)
+            return self.model.init(rng, feats, masks,
+                                   label_edge_feats=lef, method="warmup")
         return self.model.init(rng, feats, masks)
 
     def init_state(self, rng: jax.Array, batch_size: int,
@@ -389,8 +433,14 @@ class NALPTrainer:
         )
         q, pos, _, rand = self._scores(graph, params, batch, train=False)
         B, P, D = pos.shape
-        pos_scores = self.model.apply(
-            params, q[:, None, :], pos, method="decode")           # [B, P]
+        if (getattr(self.model, "edge_scorer", None) is not None
+                and batch.pos_edge_feats is not None):
+            pos_scores = self.model.apply(
+                params, q[:, None, :], pos, batch.pos_edge_feats,
+                method="decode")                                   # [B, P]
+        else:
+            pos_scores = self.model.apply(
+                params, q[:, None, :], pos, method="decode")       # [B, P]
         rand_scores = self.model.apply(
             params, q, rand, method="decode_all_pairs")            # [B, R]
         pos_flat = pos_scores.reshape(-1)
