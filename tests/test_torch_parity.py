@@ -182,3 +182,219 @@ class TestEncoderStackParity:
         h = torch.relu(sage(_t(x), p["conv_0"]))
         expect = sage(h, p["conv_1"])
         np.testing.assert_allclose(out, expect.numpy(), rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Edge-featured and heterogeneous convs (VERDICT r2 item 7): the reference
+# forks these layers (pyg/nn/conv/hgt_conv.py, simple_hgn_conv.py,
+# gin_conv.py, edge_attr_gat_conv.py); each is re-derived independently in
+# plain torch from its published math and checked against the flax layer's
+# own weights.
+# ---------------------------------------------------------------------------
+
+from gigl_tpu.models.convs import GINEConv  # noqa: E402
+from gigl_tpu.models.hetero_convs import (  # noqa: E402
+    HGTConv,
+    RGCNConv,
+    SimpleHGNConv,
+)
+
+DE = 5  # edge feature dim (projected to node dim by the encoder in situ)
+
+
+class TestEdgeFeaturedConvParity:
+    def test_gine_with_edge_attr(self):
+        """GINE: MLP((1+eps) x + sum_j relu(x_j + e_ij))."""
+        src, dst, x = _graph()
+        rng = np.random.default_rng(3)
+        ea = rng.normal(size=(E, DIN)).astype(np.float32)
+        conv = GINEConv(out_dim=DOUT)
+        params = conv.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jnp.asarray(src, jnp.int32),
+                           jnp.asarray(dst, jnp.int32), N,
+                           jnp.asarray(ea), method="coo")
+        out = np.asarray(conv.apply(
+            params, jnp.asarray(x), jnp.asarray(src, jnp.int32),
+            jnp.asarray(dst, jnp.int32), N, jnp.asarray(ea), method="coo"))
+        p = jax.tree_util.tree_map(np.asarray, params["params"])
+        xt = _t(x)
+        msgs = torch.relu(xt[src] + _t(ea))
+        agg = _scatter_sum(msgs, dst, N)
+        eps = float(p["eps"])
+        h = (1.0 + eps) * xt + agg
+        h = torch.relu(h @ _t(p["mlp"]["layers_0"]["kernel"])
+                       + _t(p["mlp"]["layers_0"]["bias"]))
+        expect = (h @ _t(p["mlp"]["layers_2"]["kernel"])
+                  + _t(p["mlp"]["layers_2"]["bias"]))
+        np.testing.assert_allclose(out, expect.numpy(), rtol=1e-4, atol=1e-4)
+
+    def test_edge_attr_gat(self):
+        """EdgeAttrGAT: v1 attention with W_e e_ij added to the source-side
+        transform in BOTH the logits and the messages
+        (pyg/nn/conv/edge_attr_gat_conv.py)."""
+        src, dst, x = _graph()
+        rng = np.random.default_rng(4)
+        ea = rng.normal(size=(E, DE)).astype(np.float32)
+        H = 2
+        conv = GATConv(out_dim=DOUT, heads=H, use_edge_attr=True)
+        params = conv.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           jnp.asarray(src, jnp.int32),
+                           jnp.asarray(dst, jnp.int32), N,
+                           jnp.asarray(ea), method="coo")
+        out = np.asarray(conv.apply(
+            params, jnp.asarray(x), jnp.asarray(src, jnp.int32),
+            jnp.asarray(dst, jnp.int32), N, jnp.asarray(ea), method="coo"))
+        p = jax.tree_util.tree_map(np.asarray, params["params"])
+        Dh = DOUT // H
+        xt = _t(x)
+        hs = (xt[src] @ _t(p["lin_src"]["kernel"])).reshape(E, H, Dh)
+        hs = hs + (_t(ea) @ _t(p["lin_edge"]["kernel"])).reshape(E, H, Dh)
+        hd = (xt[dst] @ _t(p["lin_dst"]["kernel"])).reshape(E, H, Dh)
+        logits = torch.nn.functional.leaky_relu(
+            (hs * _t(p["att_src"])).sum(-1) + (hd * _t(p["att_dst"])).sum(-1),
+            0.2)                                                # [E, H]
+        # per-dst softmax
+        mx = torch.full((N, H), -1e30)
+        for e in range(E):
+            mx[dst[e]] = torch.maximum(mx[dst[e]], logits[e])
+        expv = torch.exp(logits - mx[dst])
+        den = _scatter_sum(expv, dst, N).clamp(min=1e-30)
+        alpha = expv / den[dst]
+        msgs = (alpha[..., None] * hs).reshape(E, H * Dh)
+        expect = _scatter_sum(msgs, dst, N) + _t(p["bias"])
+        np.testing.assert_allclose(out, expect.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def _typed_children(seed=0, M=12, D=6):
+    """Two children blocks (different edge types / src node types)."""
+    rng = np.random.default_rng(seed)
+    x_dst = rng.normal(size=(M, D)).astype(np.float32)
+    ch = []
+    for i, (et, snt, K) in enumerate(
+            [("user:buys:item", "user", 4), ("item:rev:item", "item", 3)]):
+        xn = rng.normal(size=(M, K, D)).astype(np.float32)
+        mask = rng.random((M, K)) < 0.8
+        mask[:, 0] = True  # no fully-masked rows
+        ch.append((xn, mask, et, snt))
+    return x_dst, ch
+
+
+class TestHeteroConvParity:
+    NT = ("user", "item")
+    ET = ("user:buys:item", "item:rev:item")
+
+    def _apply(self, conv, x_dst, ch, dst_nt="item"):
+        jch = [(jnp.asarray(a), jnp.asarray(m), et, snt)
+               for a, m, et, snt in ch]
+        params = conv.init(jax.random.PRNGKey(0), jnp.asarray(x_dst),
+                           dst_nt, jch)
+        out = conv.apply(params, jnp.asarray(x_dst), dst_nt, jch)
+        return (np.asarray(out),
+                jax.tree_util.tree_map(np.asarray, params["params"]))
+
+    def test_hgt(self):
+        """HGT: typed K/Q/V, relation bilinear att/msg maps, relation
+        prior, softmax over all relations' slots, gelu+output proj, gated
+        skip (pyg/nn/conv/hgt_conv.py)."""
+        D, H = 8, 2
+        x_dst, ch = _typed_children(D=D)
+        conv = HGTConv(out_dim=D, node_types=self.NT, edge_types=self.ET,
+                       heads=H)
+        out, p = self._apply(conv, x_dst, ch)
+        dk = D // H
+        M = x_dst.shape[0]
+        q = (_t(x_dst) @ _t(p["q_item"]["kernel"])
+             + _t(p["q_item"]["bias"])).reshape(M, H, dk)
+        logits, msgs, masks = [], [], []
+        for xn, mask, et, snt in ch:
+            K = xn.shape[1]
+            k = (_t(xn) @ _t(p[f"k_{snt}"]["kernel"])
+                 + _t(p[f"k_{snt}"]["bias"])).reshape(M, K, H, dk)
+            v = (_t(xn) @ _t(p[f"v_{snt}"]["kernel"])
+                 + _t(p[f"v_{snt}"]["bias"])).reshape(M, K, H, dk)
+            watt = _t(p[f"watt_{et.replace(':', '_')}"])
+            wmsg = _t(p[f"wmsg_{et.replace(':', '_')}"])
+            prior = _t(p[f"prior_{et.replace(':', '_')}"])
+            kr = torch.einsum("mkhd,hde->mkhe", k, watt)
+            mr = torch.einsum("mkhd,hde->mkhe", v, wmsg)
+            lg = torch.einsum("mkhd,mhd->mkh", kr, q) * prior / np.sqrt(dk)
+            logits.append(lg)
+            msgs.append(mr)
+            masks.append(torch.tensor(mask))
+        lg = torch.cat(logits, 1)
+        mr = torch.cat(msgs, 1)
+        mk = torch.cat(masks, 1)
+        lg = lg.masked_fill(~mk[..., None], torch.finfo(torch.float32).min)
+        att = torch.softmax(lg, dim=1) * mk[..., None]
+        agg = torch.einsum("mkh,mkhd->mhd", att, mr).reshape(M, D)
+        act = torch.nn.functional.gelu(agg)
+        o = act @ _t(p["a_item"]["kernel"]) + _t(p["a_item"]["bias"])
+        alpha = torch.sigmoid(_t(p["skip_item"]))
+        expect = alpha * o + (1 - alpha) * _t(x_dst)
+        np.testing.assert_allclose(out, expect.numpy(), rtol=1e-4, atol=1e-4)
+
+    def test_simple_hgn(self):
+        """SimpleHGN: GAT logits + edge-type embedding term + residual
+        (pyg/nn/conv/simple_hgn_conv.py)."""
+        D, H = 8, 2
+        x_dst, ch = _typed_children(D=D)
+        conv = SimpleHGNConv(out_dim=D, node_types=self.NT,
+                             edge_types=self.ET, heads=H,
+                             edge_type_emb_dim=4)
+        out, p = self._apply(conv, x_dst, ch)
+        dk = D // H
+        M = x_dst.shape[0]
+        w = _t(p["w"]["kernel"])
+        wd = (_t(x_dst) @ w).reshape(M, 1, H, dk)
+        a_dst = (wd * _t(p["att_dst"])).sum(-1)
+        logits, vals, masks = [], [], []
+        for i, (xn, mask, et, snt) in enumerate(ch):
+            K = xn.shape[1]
+            wn = (_t(xn) @ w).reshape(M, K, H, dk)
+            rel = (_t(p["edge_emb"])[i] @ _t(p["w_rel"])).reshape(1, 1, H, dk)
+            a = ((wn * _t(p["att_src"])).sum(-1) + a_dst
+                 + (rel * _t(p["att_rel"])).sum(-1))
+            logits.append(torch.nn.functional.leaky_relu(a, 0.2))
+            vals.append(wn)
+            masks.append(torch.tensor(mask))
+        lg = torch.cat(logits, 1)
+        vl = torch.cat(vals, 1)
+        mk = torch.cat(masks, 1)
+        lg = lg.masked_fill(~mk[..., None], torch.finfo(torch.float32).min)
+        att = torch.softmax(lg, 1) * mk[..., None]
+        agg = torch.einsum("mkh,mkhd->mhd", att, vl).reshape(M, D)
+        expect = agg + _t(x_dst) @ _t(p["w_res"]["kernel"])
+        np.testing.assert_allclose(out, expect.numpy(), rtol=1e-4, atol=1e-4)
+
+    def test_rgcn_basis(self):
+        """RGCN with basis decomposition: h = W_self x + sum_r
+        (sum_b a_rb B_b)(mean_r x) (Schlichtkrull et al.)."""
+        D, B = 8, 3
+        x_dst, ch = _typed_children(D=D)
+        conv = RGCNConv(out_dim=D, node_types=self.NT, edge_types=self.ET,
+                        num_bases=B)
+        out, p = self._apply(conv, x_dst, ch)
+        expect = (_t(x_dst) @ _t(p["w_self"]["kernel"])
+                  + _t(p["w_self"]["bias"]))
+        for ri, (xn, mask, et, snt) in enumerate(ch):
+            m = torch.tensor(mask).float()[..., None]
+            mean_x = (_t(xn) * m).sum(1) / m.sum(1).clamp(min=1.0)
+            wr = sum(float(p["basis_coeff"][ri][b])
+                     * _t(p[f"basis_{b}"]["kernel"]) for b in range(B))
+            expect = expect + mean_x @ wr
+        np.testing.assert_allclose(out, expect.numpy(), rtol=1e-4, atol=1e-4)
+
+    def test_rgcn_full_rank(self):
+        D = 8
+        x_dst, ch = _typed_children(D=D)
+        conv = RGCNConv(out_dim=D, node_types=self.NT, edge_types=self.ET,
+                        num_bases=0)
+        out, p = self._apply(conv, x_dst, ch)
+        expect = (_t(x_dst) @ _t(p["w_self"]["kernel"])
+                  + _t(p["w_self"]["bias"]))
+        for xn, mask, et, snt in ch:
+            m = torch.tensor(mask).float()[..., None]
+            mean_x = (_t(xn) * m).sum(1) / m.sum(1).clamp(min=1.0)
+            expect = expect + mean_x @ _t(
+                p[f"w_{et.replace(':', '_')}"]["kernel"])
+        np.testing.assert_allclose(out, expect.numpy(), rtol=1e-4, atol=1e-4)
