@@ -113,10 +113,14 @@ def bench_routed_gather_us(dg, G=8192, D=129):
 
     def many(t, i):
         # 50 dependent gathers per program: amortizes dispatch.
+        # force_general: measure the GENERAL routing path (bucketing +
+        # collectives), not the num_shards==1 closed form the trainers
+        # take on one chip.
         acc = jnp.zeros((), jnp.float32)
         for j in range(50):
             v, _ok = routed_gather(t, i + j % 3, axis="data",
-                                   capacity_factor=2.0)
+                                   capacity_factor=2.0,
+                                   force_general=True)
             acc = acc + v[0, 0]
         return acc
 
@@ -194,7 +198,7 @@ def main():
     # driver records the final JSON line).
     us_call, ns_row = bench_routed_gather_us(dg)
     print(json.dumps({
-        "metric": "routed_gather_us_per_call_1chip",
+        "metric": "routed_gather_general_path_us_per_call_1chip",
         "value": round(us_call, 2),
         "unit": "us",
         "ns_per_row": round(ns_row, 3),

@@ -100,6 +100,30 @@ class TestRoutedGather:
         assert request_capacity(1024, 8, 2.0) >= 256
         assert request_capacity(3, 8) >= 8
 
+    def test_single_shard_closed_form_matches_general(self):
+        """num_shards == 1 takes a degenerate closed form (no bucketing);
+        it must be bit-identical to the general routing path."""
+        mesh = make_mesh(1, axes=(AXIS,))
+        n, d = 128, 4
+        table = np.arange(n * d, dtype=np.float32).reshape(n, d)
+        ids = np.random.default_rng(5).integers(0, n, 96).astype(np.int32)
+
+        def run(force):
+            fn = jax.jit(jax.shard_map(
+                lambda t, i: routed_gather(t, i, axis=AXIS,
+                                           force_general=force),
+                mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+                out_specs=(P(AXIS), P(AXIS)), check_vma=False))
+            v, ok = fn(jax.device_put(table, NamedSharding(mesh, P(AXIS))),
+                       jax.device_put(ids, NamedSharding(mesh, P(AXIS))))
+            return np.asarray(v), np.asarray(ok)
+
+        v_fast, ok_fast = run(False)
+        v_gen, ok_gen = run(True)
+        np.testing.assert_array_equal(v_fast, v_gen)
+        np.testing.assert_array_equal(ok_fast, ok_gen)
+        np.testing.assert_array_equal(v_fast, table[ids])
+
 
 class TestRoutedSampleNeighbors:
     def test_matches_single_chip_sampler(self):
