@@ -159,6 +159,61 @@ class Vocabulary(TransformOp):
         return 1
 
 
+class CustomFn(TransformOp):
+    """User-defined transform — the escape hatch matching the reference's
+    arbitrary ``preprocessing_fn`` (lib/data_preprocessor_config.py:27-55:
+    users hand TFT any python transform; the built-in op set here must not
+    be closed).
+
+    ``fn`` is resolved by NAME through ``register_custom_transform`` or by
+    dotted class path (``pkg.mod:fn`` / ``pkg.mod.fn``) — the reference's
+    class-path pattern — so a saved TransformSpec reloads it. Signature:
+    ``fn(stats: FeatureStats, col: np.ndarray) -> np.ndarray [N, D_out]``.
+    Analyzer statistics (mean/std/min/max) are accumulated as usual, so a
+    custom fn may standardize with them.
+    """
+
+    kind = "custom"
+
+    def __init__(self, input_name: str, fn_name: str,
+                 output_dim: Optional[int] = None):
+        super().__init__(input_name)
+        self.fn_name = fn_name
+        self.output_dim = output_dim
+
+    def _fn(self) -> Callable:
+        if self.fn_name in _CUSTOM_FNS:
+            return _CUSTOM_FNS[self.fn_name]
+        from gigl_tpu.utils.registry import import_obj
+
+        try:
+            return import_obj(self.fn_name)
+        except Exception as e:
+            raise KeyError(
+                f"custom transform {self.fn_name!r} is neither registered "
+                f"(register_custom_transform) nor importable as a dotted "
+                f"path") from e
+
+    def apply(self, stats, col):
+        out = np.asarray(self._fn()(stats, np.asarray(col)), np.float32)
+        return out.reshape(len(col), -1)
+
+    def out_dim(self, in_dim, stats):
+        return self.output_dim if self.output_dim is not None else in_dim
+
+
+_CUSTOM_FNS: Dict[str, Callable] = {}
+
+
+def register_custom_transform(name: str, fn: Optional[Callable] = None):
+    """Register (or use as a decorator) a named custom transform fn."""
+    def _reg(f):
+        _CUSTOM_FNS[name] = f
+        return f
+
+    return _reg if fn is None else _reg(fn)
+
+
 _OP_KINDS = {c.kind: c for c in
              (Identity, ScaleToZScore, ScaleTo01, Log1p, Vocabulary)}
 
@@ -200,12 +255,18 @@ class TransformSpec:
     def save_stats(self, stats: Mapping[str, FeatureStats], uri) -> None:
         from gigl_tpu.data.uri import UriFactory
 
+        def op_spec(op):
+            extra = {}
+            if isinstance(op, Vocabulary):
+                extra = {"top_k": op.top_k,
+                         "num_oov_buckets": op.num_oov_buckets}
+            elif isinstance(op, CustomFn):
+                extra = {"fn_name": op.fn_name,
+                         "output_dim": op.output_dim}
+            return {"kind": op.kind, "input": op.input_name, **extra}
+
         payload = {
-            "ops": {name: {"kind": op.kind, "input": op.input_name,
-                           **({"top_k": op.top_k,
-                               "num_oov_buckets": op.num_oov_buckets}
-                              if isinstance(op, Vocabulary) else {})}
-                    for name, op in self.ops.items()},
+            "ops": {name: op_spec(op) for name, op in self.ops.items()},
             "stats": {name: s.to_dict() for name, s in stats.items()},
         }
         UriFactory.create(uri).write_text(json.dumps(payload))
@@ -222,6 +283,9 @@ class TransformSpec:
                 ops[name] = Vocabulary(spec["input"], top_k=spec.get("top_k"),
                                        num_oov_buckets=spec.get(
                                            "num_oov_buckets", 1))
+            elif kind == "custom":
+                ops[name] = CustomFn(spec["input"], spec["fn_name"],
+                                     output_dim=spec.get("output_dim"))
             else:
                 ops[name] = _OP_KINDS[kind](spec["input"])
         stats = {name: FeatureStats.from_dict(d)

