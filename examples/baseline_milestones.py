@@ -27,6 +27,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # The axon plugin registers itself as the default platform even when
+    # JAX_PLATFORMS=cpu is exported; pin the platform explicitly (same
+    # recipe as tests/conftest.py).
+    jax.config.update("jax_platform_name", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -198,6 +205,29 @@ def main():
     print(f"m2 arxiv-style GAT acc:      {acc2:.3f} (expect > 0.5)")
     print(f"m3 products-style SSL MRR:   {mrr3:.3f} (expect > 0.3)")
     print(f"m4 MAG-style RGCN MRR:       {mrr4:.3f} (expect > 0.3)")
+    if "--publish" in sys.argv:
+        # Record the milestone metrics into BASELINE.json "published" so
+        # later rounds regress against them (perf rows come from bench.py
+        # runs on the real chip and are merged by scripts/publish_bench).
+        import json
+        from datetime import date
+
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BASELINE.json")
+        with open(path) as f:
+            doc = json.load(f)
+        pub = doc.setdefault("published", {})
+        pub["milestones"] = {
+            "date": str(date.today()),
+            "mode": "quick" if QUICK else "full",
+            "m1_cora_like_full_batch_accuracy": round(float(acc1), 4),
+            "m2_arxiv_style_gat_sampled_accuracy": round(float(acc2), 4),
+            "m3_products_style_ssl_mrr": round(float(mrr3), 4),
+            "m4_mag_style_rgcn_mrr": round(float(mrr4), 4),
+        }
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=2)
+        print(f"published milestone metrics -> {path}")
     print(f"m5 multi-device: run examples/sharded_full_graph.py")
     print(f"total {time.time() - t0:.1f}s")
 

@@ -150,6 +150,9 @@ def routed_sample_neighbors(
     hop: int = 1,
     capacity: Optional[int] = None,
     capacity_factor: float = 2.0,
+    method: str = "uniform",
+    local_weights: Optional[jnp.ndarray] = None,
+    weight_window: int = 128,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sample ``fanout`` neighbors per frontier node over a row-sharded CSR.
 
@@ -168,8 +171,26 @@ def routed_sample_neighbors(
     ok [G] bool). ``ok`` is False only for requests dropped by
     bucket-capacity overflow (their mask rows are all-False) — callers
     surface/psum it as an overflow counter (the RPC-timeout analog).
+
+    ``method`` "weighted" / "top_k" runs the owner-side bounded-window
+    weighted draw (neighbor_sampler.weighted_offsets) over
+    ``local_weights`` — this shard's CSR-slot-aligned edge weights.
+    Draws stay bit-identical to the replicated sampler (same counter-RNG
+    keying by global id, same local row slice content).
     """
-    from gigl_tpu.sampling.neighbor_sampler import uniform_offsets
+    from gigl_tpu.sampling.neighbor_sampler import (
+        uniform_offsets,
+        weighted_offsets,
+    )
+
+    if method != "uniform" and local_weights is None:
+        raise ValueError(f"method={method!r} requires local_weights")
+
+    def _draw(deg, node_ids, start):
+        if method == "uniform":
+            return uniform_offsets(deg, node_ids, seed, hop, fanout)
+        return weighted_offsets(local_weights, start, deg, node_ids, seed,
+                                hop, fanout, method, window=weight_window)
 
     num_shards = jax.lax.axis_size(axis)
     rows_per_shard = local_indptr.shape[0] - 1
@@ -184,7 +205,7 @@ def routed_sample_neighbors(
         local_rows = jnp.clip(recv - row_offset, 0, rows_per_shard - 1)
         start = local_indptr[local_rows]
         deg = local_indptr[local_rows + 1] - start
-        offsets, mask = uniform_offsets(deg, recv, seed, hop, fanout)
+        offsets, mask = _draw(deg, recv, start)
         slots = jnp.clip(start[..., None] + offsets, 0,
                          local_indices.shape[0] - 1)
         nbr = jnp.where(mask, local_indices[slots], 0)[0]
@@ -202,7 +223,7 @@ def routed_sample_neighbors(
     # local indptr.
     start = local_indptr[local_rows]
     deg = local_indptr[local_rows + 1] - start
-    offsets, mask = uniform_offsets(deg, recv, seed, hop, fanout)
+    offsets, mask = _draw(deg, recv, start)
     slots = jnp.clip(start[..., None] + offsets, 0,
                      local_indices.shape[0] - 1)
     nbr = jnp.where(mask, local_indices[slots], 0)  # [P, C, fanout] global

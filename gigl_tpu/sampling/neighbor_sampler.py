@@ -93,6 +93,47 @@ def uniform_offsets(
     return offsets, mask
 
 
+def weighted_offsets(
+    edge_weights: jnp.ndarray, start: jnp.ndarray, deg: jnp.ndarray,
+    node_ids: jnp.ndarray, seed, hop, fanout: int, method: str,
+    window: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shared weighted / top-k draw core over a bounded per-node window.
+
+    Considers the FIRST ``window`` CSR slots of each node; DeviceGraph
+    sorts every row by descending edge weight at build time
+    (dataset.py from_hetero), so the window holds the heaviest edges —
+    top-k is EXACT whenever fanout <= window, and Gumbel-top-k weighted
+    sampling covers the maximum-mass prefix. Used by both the replicated
+    sampler (sample_neighbors) and the owner side of the routed
+    distributed sampler — same counter-RNG keying by GLOBAL node id, so
+    draws are bit-identical across the two.
+    """
+    win_iota = jax.lax.broadcasted_iota(
+        jnp.int32, deg.shape + (window,), deg.ndim)
+    win_valid = win_iota < deg[..., None]
+    win_slots = start[..., None] + jnp.minimum(
+        win_iota, jnp.maximum(deg - 1, 0)[..., None])
+    win_slots = jnp.clip(win_slots, 0, edge_weights.shape[0] - 1)
+    w = edge_weights[win_slots]
+    neg = jnp.finfo(jnp.float32).min
+    logw = jnp.where(win_valid, jnp.log(jnp.maximum(w, 1e-30)), neg)
+    if method == "weighted":
+        bits = counter_rng_uniform(node_ids, seed, hop, window)
+        u = (bits.astype(jnp.float32) + 0.5) / 4294967296.0
+        scores = jnp.where(win_valid, logw - jnp.log(-jnp.log(u)), neg)
+    elif method == "top_k":
+        scores = logw
+    else:
+        raise ValueError(f"Unknown weighted method {method!r}")
+    _, top_idx = jax.lax.top_k(scores, fanout)  # [..., fanout] window offs
+    offsets = jnp.minimum(top_idx, jnp.maximum(deg - 1, 0)[..., None])
+    slot_iota = jax.lax.broadcasted_iota(
+        jnp.int32, deg.shape + (fanout,), deg.ndim)
+    mask = slot_iota < jnp.minimum(deg, fanout)[..., None]
+    return offsets, mask
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class DeviceCSR:
@@ -152,39 +193,20 @@ def sample_neighbors(
     """
     start = csr.indptr[frontier]  # [...]
     deg = csr.indptr[frontier + 1] - start
-    slot_iota = jax.lax.broadcasted_iota(
-        jnp.int32, frontier.shape + (fanout,), len(frontier.shape)
-    )
     if method == "uniform":
         offsets, mask = uniform_offsets(deg, frontier, seed, hop, fanout)
     elif method in ("weighted", "top_k"):
-        # Bounded-window weighted sampling: consider the first
-        # ``weight_window`` neighbors of each node; Gumbel-top-k (weighted)
-        # or plain top-k over edge weights. Degrees beyond the window are
-        # truncated (documented limitation; the reference's weighted sampling
-        # lives only in its GraphDB nGQL variant, NebulaHeteroKHopSampler).
+        # Bounded-window weighted sampling (weighted_offsets): the first
+        # ``weight_window`` CSR slots per node — DeviceGraph sorts rows by
+        # descending weight at build time, so the window holds the
+        # heaviest edges (top-k exact for fanout <= window). The
+        # reference's weighted sampling lives in its GraphDB nGQL variant
+        # (NebulaHeteroKHopSampler) and the RandomWeighted/TopK proto ops.
         if csr.edge_weights is None:
             raise ValueError(f"method={method!r} requires edge_weights")
-        win = weight_window
-        win_iota = jax.lax.broadcasted_iota(
-            jnp.int32, frontier.shape + (win,), len(frontier.shape)
-        )
-        win_valid = win_iota < deg[..., None]
-        win_slots = start[..., None] + jnp.minimum(
-            win_iota, jnp.maximum(deg - 1, 0)[..., None]
-        )
-        w = csr.edge_weights[win_slots]
-        neg = jnp.finfo(jnp.float32).min
-        logw = jnp.where(win_valid, jnp.log(jnp.maximum(w, 1e-30)), neg)
-        if method == "weighted":
-            bits = counter_rng_uniform(frontier, seed, hop, win)
-            u = (bits.astype(jnp.float32) + 0.5) / 4294967296.0
-            scores = jnp.where(win_valid, logw - jnp.log(-jnp.log(u)), neg)
-        else:
-            scores = logw
-        _, top_idx = jax.lax.top_k(scores, fanout)  # [..., fanout] window offsets
-        offsets = jnp.minimum(top_idx, jnp.maximum(deg - 1, 0)[..., None])
-        mask = slot_iota < jnp.minimum(deg, fanout)[..., None]
+        offsets, mask = weighted_offsets(
+            csr.edge_weights, start, deg, frontier, seed, hop, fanout,
+            method, window=weight_window)
     else:
         raise ValueError(f"Unknown sampling method {method!r}")
 

@@ -220,6 +220,25 @@ class DeviceGraph:
                     "sampling_weight_index requires edge features")
             sampling_weights = np.asarray(
                 edge_features[:, sampling_weight_index])
+            # Sort every CSR row by DESCENDING edge weight: the bounded
+            # weighted/top-k window (neighbor_sampler.weighted_offsets)
+            # then sees the heaviest edges first — top-k becomes EXACT for
+            # fanout <= window even on hubs whose degree exceeds the
+            # window, and Gumbel weighted sampling draws from the
+            # maximum-mass prefix. One-time host work; edge features and
+            # edge ids stay slot-aligned.
+            from gigl_tpu.graph.csr import CSR as _CSR
+
+            row_of = np.repeat(np.arange(len(csr.indptr) - 1),
+                               np.diff(csr.indptr))
+            order = np.lexsort((-sampling_weights, row_of))
+            csr = _CSR(indptr=csr.indptr,
+                       indices=np.asarray(csr.indices)[order],
+                       edge_ids=(np.asarray(csr.edge_ids)[order]
+                                 if csr.edge_ids is not None else None),
+                       num_neighbor_nodes=csr.num_neighbor_nodes)
+            edge_features = jnp.asarray(np.asarray(edge_features)[order])
+            sampling_weights = sampling_weights[order]
         return cls(
             message_csr=DeviceCSR.from_csr(csr, edge_weights=sampling_weights),
             node_features=feats_dev,

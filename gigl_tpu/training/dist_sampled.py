@@ -68,16 +68,18 @@ logger = get_logger(__name__)
 
 
 def _shard_csr(indptr: np.ndarray, indices: np.ndarray, num_shards: int,
-               rows_per_shard: int) -> Tuple[np.ndarray, np.ndarray]:
+               rows_per_shard: int, weights: Optional[np.ndarray] = None):
     """Split a global CSR into per-shard row-range blocks.
 
     Returns (local_indptr [P, rows+1] int32 rebased per shard,
-    local_indices [P, E_pad] int32 global neighbor ids, zero-padded).
-    The partition-book analog (ref partition_book.py) is implicit: global
-    row r lives on shard r // rows_per_shard.
+    local_indices [P, E_pad] int32 global neighbor ids, zero-padded) —
+    plus per-shard edge weights [P, E_pad] when ``weights`` (CSR
+    slot-aligned) is given. The partition-book analog
+    (ref partition_book.py) is implicit: global row r lives on shard
+    r // rows_per_shard.
     """
     n = indptr.shape[0] - 1
-    blocks_ip, blocks_ix = [], []
+    blocks_ip, blocks_ix, blocks_w = [], [], []
     for p in range(num_shards):
         lo = min(p * rows_per_shard, n)
         hi = min(lo + rows_per_shard, n)
@@ -89,11 +91,19 @@ def _shard_csr(indptr: np.ndarray, indices: np.ndarray, num_shards: int,
         ix = indices[indptr[lo]: indptr[hi]]
         blocks_ip.append((ip - ip[0]).astype(np.int32))
         blocks_ix.append(np.asarray(ix, np.int32))
+        if weights is not None:
+            blocks_w.append(np.asarray(weights[indptr[lo]: indptr[hi]],
+                                       np.float32))
     e_pad = max(max(len(b) for b in blocks_ix), 1)
     ix_arr = np.zeros((num_shards, e_pad), np.int32)
     for p, b in enumerate(blocks_ix):
         ix_arr[p, : len(b)] = b
-    return np.stack(blocks_ip), ix_arr
+    if weights is None:
+        return np.stack(blocks_ip), ix_arr
+    w_arr = np.zeros((num_shards, e_pad), np.float32)
+    for p, b in enumerate(blocks_w):
+        w_arr[p, : len(b)] = b
+    return np.stack(blocks_ip), ix_arr, w_arr
 
 
 @dataclass
@@ -140,6 +150,9 @@ class PartitionedGraph:
     # instead of an owner-side CSR draw.
     sample_tables: Optional[Tuple[jax.Array, ...]] = None
     table_fanouts: Optional[Tuple[int, ...]] = None
+    # Per-shard message-CSR edge weights [P, E_pad] fp32 (weighted/top-k
+    # neighbor sampling over the partitioned graph; None = uniform only).
+    msg_weights: Optional[jax.Array] = None
 
     @classmethod
     def build(cls, device_graph, mesh, axis: str = DATA_AXIS,
@@ -180,9 +193,17 @@ class PartitionedGraph:
             fd[:n, d] = deg
         row_sh = NamedSharding(mesh, P(axis))
         blk_sh = NamedSharding(mesh, P(axis, None))
-        msg_ip, msg_ix = _shard_csr(np.asarray(dg.message_csr.indptr),
-                                    np.asarray(dg.message_csr.indices),
-                                    num_shards, rows)
+        msg_w = None
+        if dg.message_csr.edge_weights is not None:
+            msg_ip, msg_ix, msg_w_np = _shard_csr(
+                np.asarray(dg.message_csr.indptr),
+                np.asarray(dg.message_csr.indices), num_shards, rows,
+                weights=np.asarray(dg.message_csr.edge_weights))
+            msg_w = jax.device_put(msg_w_np, blk_sh)
+        else:
+            msg_ip, msg_ix = _shard_csr(np.asarray(dg.message_csr.indptr),
+                                        np.asarray(dg.message_csr.indices),
+                                        num_shards, rows)
         sup_ip = sup_ix = hard_ip = hard_ix = None
         if dg.supervision_csr is not None:
             a, b = _shard_csr(np.asarray(dg.supervision_csr.indptr),
@@ -210,6 +231,7 @@ class PartitionedGraph:
             num_nodes=n, rows_per_shard=rows, feat_dim=d,
             quantized=quantize_features,
             labels=labels,
+            msg_weights=msg_w,
         )
 
     def decode_rows(self, rows: jnp.ndarray
@@ -256,6 +278,7 @@ class PartitionedGraph:
         axis: str = DATA_AXIS,
         capacity_factor: float = 4.0,
         chunk: int = 4096,
+        method: str = "uniform",
     ) -> "PartitionedGraph":
         """Return a copy with the v1 tabularized fast-path tables built
         SHARDED across the mesh — the partitioned analog of
@@ -284,8 +307,14 @@ class PartitionedGraph:
 
         from gigl_tpu.ops.fanout import masked_mean, masked_sum
         from gigl_tpu.ops.hopcache import CACHEABLE_AGGS
-        from gigl_tpu.sampling.neighbor_sampler import uniform_offsets
+        from gigl_tpu.sampling.neighbor_sampler import (
+            uniform_offsets,
+            weighted_offsets,
+        )
 
+        if method != "uniform" and self.msg_weights is None:
+            raise ValueError(f"method={method!r} needs a PartitionedGraph "
+                             f"built from a DeviceGraph with edge weights")
         if self.cache_dim:
             raise ValueError(
                 "already tabularized; rebuild (refresh) from the base "
@@ -305,20 +334,25 @@ class PartitionedGraph:
         n_chunks = -(-rows // chunk)
         rows_pad = n_chunks * chunk
 
-        def build_local(feat_deg_l, msg_ip, msg_ix, seed_arr):
-            msg_ip, msg_ix = msg_ip[0], msg_ix[0]
+        def build_local(feat_deg_l, msg_ip, msg_ix, msg_w, seed_arr):
+            msg_ip, msg_ix, msg_w = msg_ip[0], msg_ix[0], msg_w[0]
             base = jax.lax.axis_index(axis) * rows
             local_ids = jnp.minimum(
                 jnp.arange(rows_pad, dtype=jnp.int32).reshape(n_chunks,
                                                               chunk),
                 rows - 1)
 
+            def draw(degc, gid, start, hop_key_, k):
+                if method == "uniform":
+                    return uniform_offsets(degc, gid, seed_arr, hop_key_, k)
+                return weighted_offsets(msg_w, start, degc, gid, seed_arr,
+                                        hop_key_, k, method)
+
             def cache_chunk(lid):
                 gid = base + lid
                 start = msg_ip[lid]
                 degc = msg_ip[lid + 1] - start
-                offs, m = uniform_offsets(degc, gid, seed_arr, hop_key,
-                                          k_last)
+                offs, m = draw(degc, gid, start, hop_key, k_last)
                 slots = jnp.clip(start[:, None] + offs, 0,
                                  msg_ix.shape[0] - 1)
                 nbr = jnp.where(m, msg_ix[slots], 0)
@@ -346,7 +380,7 @@ class PartitionedGraph:
                     gid = base + lid
                     start = msg_ip[lid]
                     degc = msg_ip[lid + 1] - start
-                    offs, m = uniform_offsets(degc, gid, seed_arr, 1, k)
+                    offs, m = draw(degc, gid, start, 1, k)
                     slots = jnp.clip(start[:, None] + offs, 0,
                                      msg_ix.shape[0] - 1)
                     return jnp.where(m, msg_ix[slots], -1)
@@ -357,13 +391,19 @@ class PartitionedGraph:
             tabs = tuple(table_chunk_for(k) for k in tab_ks)
             return (cache, jax.lax.psum(ovf.sum(), axis)) + tabs
 
+        msg_w = self.msg_weights
+        if msg_w is None:
+            msg_w = jax.device_put(
+                np.zeros((num_shards, 1), np.float32),
+                NamedSharding(mesh, P(axis, None)))
         build = jax.jit(jax.shard_map(
             build_local, mesh=mesh,
-            in_specs=(P(axis), P(axis, None), P(axis, None), P()),
+            in_specs=(P(axis), P(axis, None), P(axis, None),
+                      P(axis, None), P()),
             out_specs=(P(axis), P()) + tuple(P(axis) for _ in tab_ks),
             check_vma=False))
         cache, ovf, *tabs = build(self.feat_deg, self.msg_indptr,
-                                  self.msg_indices,
+                                  self.msg_indices, msg_w,
                                   jnp.asarray(seed, jnp.int32))
         if int(ovf):
             raise RuntimeError(
@@ -452,7 +492,8 @@ class PartitionedNALPTrainer:
                 self.pg = pgraph.with_tabularized(
                     mesh, fanouts=config.fanouts, agg=self._cache_agg,
                     seed=config.seed, axis=axis,
-                    capacity_factor=capacity_factor)
+                    capacity_factor=capacity_factor,
+                    method=getattr(config, "sampling_method", "uniform"))
         else:
             self.pg = pgraph
         self._build_programs()
@@ -467,7 +508,8 @@ class PartitionedNALPTrainer:
         self.pg = self.pg_base.with_tabularized(
             self.mesh, fanouts=self.cfg.fanouts, agg=self._cache_agg,
             seed=self.cfg.seed + 1_299_709 * epoch, axis=self.axis,
-            capacity_factor=self.capacity_factor)
+            capacity_factor=self.capacity_factor,
+            method=getattr(self.cfg, "sampling_method", "uniform"))
 
     def _build_programs(self) -> None:
         from jax.sharding import PartitionSpec as P
@@ -476,10 +518,12 @@ class PartitionedNALPTrainer:
         self._P = P
         n_tab = len(self.pg.sample_tables or ())
         # The whole graph rides as ONE tuple argument (feature table, three
-        # CSR block pairs, frozen sample tables) with a matching spec tree.
+        # CSR block pairs, edge weights, frozen sample tables) with a
+        # matching spec tree.
         gspec = (P(axis), P(axis, None), P(axis, None),
                  P(axis, None), P(axis, None),
                  P(axis, None), P(axis, None),
+                 P(axis, None),
                  tuple(P(axis) for _ in range(n_tab)))
         self._tab_index = {
             int(k): i
@@ -535,15 +579,23 @@ class PartitionedNALPTrainer:
                          np.int32), sh)
             hard_ix = jax.device_put(
                 np.zeros((self.num_shards, 1), np.int32), sh)
+        msg_w = pg.msg_weights
+        if msg_w is None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            msg_w = jax.device_put(
+                np.zeros((self.num_shards, 1), np.float32),
+                NamedSharding(self.mesh, P(self.axis, None)))
         return (pg.feat_deg, pg.msg_indptr, pg.msg_indices, sup_ip, sup_ix,
-                hard_ip, hard_ix, tuple(pg.sample_tables or ()))
+                hard_ip, hard_ix, msg_w, tuple(pg.sample_tables or ()))
 
     @staticmethod
     def _unblock(g):
         """Strip the leading per-shard block dim off the CSR pairs."""
-        fd, msg_ip, msg_ix, sup_ip, sup_ix, hard_ip, hard_ix, tabs = g
+        (fd, msg_ip, msg_ix, sup_ip, sup_ix, hard_ip, hard_ix, msg_w,
+         tabs) = g
         return (fd, msg_ip[0], msg_ix[0], sup_ip[0], sup_ix[0],
-                hard_ip[0], hard_ix[0], tabs)
+                hard_ip[0], hard_ix[0], msg_w[0], tabs)
 
     def _sample_tree(self, g, roots, seed_offset):
         """Frontier expansion; returns (node_ids, masks, overflow_count).
@@ -555,7 +607,7 @@ class PartitionedNALPTrainer:
         DeviceGraph.sample_hop_blocks_tabularized — and the tree is one
         hop shallower (layer 1 consumes the fused aggregate cache)."""
         _fd, msg_ip, msg_ix = g[0], g[1], g[2]
-        tabs = g[7]
+        msg_w = g[7]
         node_ids: List[jnp.ndarray] = [roots.astype(jnp.int32)]
         masks: List[jnp.ndarray] = [jnp.ones(roots.shape, bool)]
         frontier, pmask = node_ids[0], masks[0]
@@ -577,12 +629,15 @@ class PartitionedNALPTrainer:
                 masks.append(m)
                 frontier, pmask = nbr, m
             return node_ids, masks, ovf
+        smethod = getattr(self.cfg, "sampling_method", "uniform")
         for hop, k in enumerate(self.cfg.fanouts, start=1):
             flat = frontier.reshape(-1)
             nbr, m, ok = routed_sample_neighbors(
                 msg_ip, msg_ix, flat, int(k), axis=self.axis,
                 seed=self.cfg.seed + seed_offset, hop=hop,
-                capacity_factor=self.capacity_factor)
+                capacity_factor=self.capacity_factor,
+                method=smethod,
+                local_weights=msg_w if smethod != "uniform" else None)
             ovf += jnp.sum(~ok, dtype=jnp.int32)
             nbr = nbr.reshape(frontier.shape + (int(k),))
             m = m.reshape(frontier.shape + (int(k),)) & pmask[..., None]
@@ -597,7 +652,7 @@ class PartitionedNALPTrainer:
         gather per hop (the frozen tables are seed-independent in-step, so
         group frontiers concatenate into a single request vector — 3x
         fewer routed round trips than per-group expansion)."""
-        tabs = g[7]
+        tabs = g[8]
         sizes0 = [int(np.prod(r.shape)) for (r, _off) in groups]
         frontier = jnp.concatenate(
             [r.reshape(-1) for (r, _off) in groups]).astype(jnp.int32)
@@ -1017,6 +1072,7 @@ class PartitionedNodeClassificationTrainer(PartitionedNALPTrainer):
         gspec = (P(axis), P(axis, None), P(axis, None),
                  P(axis, None), P(axis, None),
                  P(axis, None), P(axis, None),
+                 P(axis, None),
                  tuple(P(axis) for _ in range(n_tab)))
         self._tab_index = {
             int(k): i

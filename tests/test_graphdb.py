@@ -1,0 +1,127 @@
+"""GraphDB sampling client: nGQL query-shape contract (data/graphdb.py).
+
+Ref: NebulaGraphDBClient.scala:151-241 (client lifecycle/query protocol),
+NebulaHeteroKHopSampler.scala:195-222 (GO-query text), :39-140 (two-hop
+metapath assembly).
+"""
+
+import numpy as np
+import pytest
+
+from gigl_tpu.data.graphdb import (
+    GraphDBKHopSampler,
+    InMemoryGraphDBClient,
+    Metapath,
+    ResultSet,
+    first_hop_go_query,
+)
+from gigl_tpu.data.mocking import BIPARTITE_TOY_GRAPH_LP, get_mocked_graph
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return get_mocked_graph(BIPARTITE_TOY_GRAPH_LP)
+
+
+@pytest.fixture()
+def client(graph):
+    c = InMemoryGraphDBClient(graph, args={"space": "toy", "retries": "2"})
+    c.connect()
+    yield c
+    c.terminate()
+
+
+class TestQueryShape:
+    def test_matches_reference_go_query_text(self):
+        q = first_hop_go_query(42, "user-buys-item", 5)
+        # The reference's exact clause shape (NebulaHeteroKHopSampler:202-207)
+        assert q.startswith("GO 1 STEP FROM 42 OVER user-buys-item ")
+        assert "YIELD user-buys-item._src AS dst" in q
+        assert "user-buys-item._dst AS src" in q
+        assert "TYPE(EDGE) AS edge_type" in q
+        assert q.endswith("LIMIT [5]")
+        assert "REVERSELY" not in q
+        assert "REVERSELY" in first_hop_go_query(42, "e", 5, reversely=True)
+
+
+class TestInMemoryClient:
+    def test_lifecycle(self, graph):
+        c = InMemoryGraphDBClient(graph)
+        assert not c.is_connected()
+        c.connect()
+        assert c.is_connected()
+        c.terminate()
+        assert not c.is_connected()
+        assert not c.execute_query(
+            first_hop_go_query(0, "user-buys-item", 3)).is_succeeded()
+
+    def test_go_query_returns_true_neighbors(self, client, graph):
+        et = list(graph.edges)[0]
+        src = np.asarray(graph.edges[et][0])
+        dst = np.asarray(graph.edges[et][1])
+        u = int(src[0])
+        rs = client.execute_query(first_hop_go_query(u, str(et), 100))
+        assert rs.is_succeeded()
+        got = sorted(r.src for r in rs.rows)
+        want = sorted(int(d) for s, d in zip(src, dst) if s == u)
+        assert got == want
+        # rows carry the reference's dst/src aliasing
+        assert all(r.dst == u for r in rs.rows)
+        assert all(r.edge_type == str(et) for r in rs.rows)
+
+    def test_limit_truncates(self, client, graph):
+        et = str(list(graph.edges)[0])
+        rs = client.execute_query(first_hop_go_query(0, et, 2))
+        assert len(rs.rows) <= 2
+
+    def test_reversely_walks_incoming(self, client, graph):
+        et = list(graph.edges)[0]
+        dst = np.asarray(graph.edges[et][1])
+        item = int(dst[0])
+        rs = client.execute_query(
+            first_hop_go_query(item, str(et), 100, reversely=True))
+        src = np.asarray(graph.edges[et][0])
+        want = sorted(int(s) for s, d in zip(src, dst) if d == item)
+        assert sorted(r.src for r in rs.rows) == want
+
+    def test_unsupported_query_errors(self, client):
+        rs = client.execute_query("MATCH (n) RETURN n")
+        assert not rs.is_succeeded()
+        assert "GO-query" in rs.error
+
+    def test_batch_loops(self, client, graph):
+        et = str(list(graph.edges)[0])
+        qs = [first_hop_go_query(i, et, 3) for i in range(4)]
+        out = client.execute_query_batch(qs)
+        assert len(out) == 4
+        assert all(isinstance(r, ResultSet) for r in out)
+
+
+class TestKHopSampler:
+    def test_two_hop_metapath_assembly(self, client, graph):
+        ets = [str(e) for e in graph.edges]
+        mp = Metapath(path=(ets[0], ets[0]))
+        sampler = GraphDBKHopSampler(client, num_neighbors=(3, 2))
+        nodes, edges = sampler.k_hop_subgraph(0, [mp])
+        assert 0 in nodes
+        # first hop <= 3 edges from root, each expanding <= 2 more
+        first = [e for e in edges if e[1] == 0]
+        assert 1 <= len(first) <= 3
+        assert len(edges) <= 3 + 3 * 2
+
+    def test_isolated_root_returns_self_only(self, graph):
+        c = InMemoryGraphDBClient(graph)
+        c.connect()
+        ets = [str(e) for e in graph.edges]
+        sampler = GraphDBKHopSampler(c, num_neighbors=(3, 2))
+        # node id far outside the edge set: no rows, root-only neighborhood
+        nodes, edges = sampler.k_hop_subgraph(10 ** 6,
+                                              [Metapath((ets[0], ets[0]))])
+        assert nodes == [10 ** 6]
+        assert edges == []
+
+    def test_batch_of_roots(self, client, graph):
+        ets = [str(e) for e in graph.edges]
+        sampler = GraphDBKHopSampler(client, num_neighbors=(2, 2))
+        out = sampler.k_hop_subgraphs([0, 1, 2], [Metapath((ets[0], ets[0]))])
+        assert set(out) == {0, 1, 2}
