@@ -936,103 +936,19 @@ class PartitionedNALPTrainer:
     ) -> Tuple[TrainState, Dict[str, float]]:
         """Training loop with val cadence + early stopping on val MRR —
         the NALPTrainer.fit contract (ref modeling_task_spec:334+) over the
-        partitioned graph. Checkpoints save the full TrainState at every
-        validation point and auto-resume (training/checkpoint.py)."""
-        import time
+        partitioned graph; the loop body is SHARED with the replicated
+        trainer (training/fit_loop.py nalp_fit_loop, r2 VERDICT weak 5),
+        with num_shards driving batch divisibility + val padding."""
+        from gigl_tpu.training.fit_loop import nalp_fit_loop
 
-        from gigl_tpu.training.dataset import AnchorBatchIterator
-        from gigl_tpu.training.early_stop import EarlyStopper
-
-        if batch_size % self.num_shards:
-            raise ValueError(f"batch_size {batch_size} must divide the "
-                             f"{self.num_shards}-shard mesh axis")
-        if checkpoint_dir is not None:
-            from gigl_tpu.training.checkpoint import (
-                latest_step,
-                restore_train_state,
-            )
-
-            resume_step = latest_step(checkpoint_dir)
-            if resume_step is not None:
-                state = restore_train_state(checkpoint_dir, state)
-                logger.info("resumed from %s at step %d", checkpoint_dir,
-                            resume_step)
-        it = AnchorBatchIterator(train_anchors, batch_size,
-                                 seed=self.cfg.seed)
-        val_bs = max(self.num_shards,
-                     min(batch_size, len(val_anchors))
-                     // self.num_shards * self.num_shards)
-        val_it = AnchorBatchIterator(
-            np.resize(np.asarray(val_anchors), max(len(val_anchors),
-                                                   val_bs)),
-            val_bs, seed=self.cfg.seed + 1)
-        stopper = EarlyStopper(patience=early_stop_patience)
-        rng = jax.random.PRNGKey(self.cfg.seed)
-        global_step = 0
-        resume_past = int(state.step)
-        t0 = time.time()
-        stop = False
-        for epoch in range(num_epochs):
-            if self._cached and epoch > 0:
-                # Resample the frozen tabularized tables — the analog of
-                # re-running the reference's Subgraph Sampler.
-                self.refresh_cache(epoch)
-            batches = np.stack(list(it.epoch(epoch)))
-            for start in range(0, len(batches), val_every_n_batches):
-                chunk = batches[start: start + val_every_n_batches]
-                rng, chunk_rng = jax.random.split(rng)
-                if global_step + len(chunk) <= resume_past:
-                    global_step += len(chunk)
-                    continue
-                state, losses = self.train_steps(state, chunk, chunk_rng)
-                global_step += len(chunk)
-                if log_every:
-                    logger.info(
-                        "epoch %d step %d loss %.4f (%.1f steps/s)",
-                        epoch, global_step, float(losses[-1]),
-                        len(chunk) / max(time.time() - t0, 1e-9))
-                    t0 = time.time()
-                if scalar_logger is not None:
-                    scalar_logger.log(global_step, loss=float(losses[-1]))
-                if len(chunk) == val_every_n_batches:
-                    val_batches = []
-                    for i, b in enumerate(val_it.epoch(global_step)):
-                        if i >= num_val_batches:
-                            break
-                        val_batches.append(b)
-                    metrics = self.evaluate(state.params, val_batches,
-                                            step=global_step)
-                    logger.info("eval @%d: %s", global_step, metrics)
-                    if scalar_logger is not None:
-                        scalar_logger.log(global_step, **metrics)
-                    if checkpoint_dir is not None:
-                        from gigl_tpu.training.checkpoint import (
-                            save_train_state,
-                        )
-
-                        snap_full = jax.tree_util.tree_map(
-                            lambda x: (jnp.copy(x)
-                                       if hasattr(x, "dtype") else x),
-                            state)
-                        save_train_state(checkpoint_dir, snap_full,
-                                         step=global_step)
-                    # state buffers are donated into the next chunk.
-                    snap = jax.tree_util.tree_map(jnp.copy, state.params)
-                    if stopper.update(metrics["mrr"], snap):
-                        logger.info("early stop at step %d (best mrr %.4f)",
-                                    global_step, stopper.best_value)
-                        stop = True
-                        break
-            if stop:
-                break
-        if stopper.best_state is not None:
-            state = state._replace(params=stopper.best_state)
-        final_batches = []
-        for i, b in enumerate(val_it.epoch(10 ** 6)):
-            if i >= num_val_batches:
-                break
-            final_batches.append(b)
-        return state, self.evaluate(state.params, final_batches)
+        return nalp_fit_loop(
+            self, state, train_anchors, val_anchors,
+            batch_size=batch_size, num_epochs=num_epochs,
+            val_every_n_batches=val_every_n_batches,
+            num_val_batches=num_val_batches,
+            early_stop_patience=early_stop_patience, log_every=log_every,
+            scalar_logger=scalar_logger, checkpoint_dir=checkpoint_dir,
+            num_shards=self.num_shards)
 
 
 class PartitionedNodeClassificationTrainer(PartitionedNALPTrainer):

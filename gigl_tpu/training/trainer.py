@@ -508,98 +508,20 @@ class NALPTrainer:
         ``checkpoint_dir``: when set, the FULL train state is checkpointed at
         every validation point and, if a checkpoint already exists there,
         training auto-resumes from it (preemption recovery — beyond the
-        reference's end-of-run params-only save; training/checkpoint.py)."""
-        if checkpoint_dir is not None:
-            from gigl_tpu.training.checkpoint import (
-                latest_step,
-                restore_train_state,
-            )
+        reference's end-of-run params-only save; training/checkpoint.py).
 
-            resume_step = latest_step(checkpoint_dir)
-            if resume_step is not None:
-                state = restore_train_state(checkpoint_dir, state)
-                logger.info("resumed from %s at step %d", checkpoint_dir,
-                            resume_step)
-        it = AnchorBatchIterator(train_anchors, batch_size, seed=self.cfg.seed)
-        # Val batches must exist even when the val split is smaller than the
-        # train batch size (pad-free: shrink the eval batch instead).
-        val_bs = max(1, min(batch_size, len(val_anchors)))
-        val_it = AnchorBatchIterator(val_anchors, val_bs,
-                                     seed=self.cfg.seed + 1)
-        stopper = EarlyStopper(patience=early_stop_patience)
-        rng = jax.random.PRNGKey(self.cfg.seed)
-        global_step = 0
-        resume_past = int(state.step)  # 0 on a fresh state
-        t0 = time.time()
-        stop = False
-        for epoch in range(num_epochs):
-            if self.cfg.cached_hop and epoch > 0:
-                # Resample the frozen deepest-hop neighborhoods — the
-                # analog of re-running the reference's Subgraph Sampler.
-                self.refresh_cache(epoch)
-            batches = np.stack(list(it.epoch(epoch)))
-            # Steps run in scan chunks of the validation cadence: one device
-            # program per chunk (dispatch amortized), eval at chunk ends.
-            for start in range(0, len(batches), val_every_n_batches):
-                chunk = batches[start: start + val_every_n_batches]
-                rng, chunk_rng = jax.random.split(rng)
-                if global_step + len(chunk) <= resume_past:
-                    # Already covered by the restored checkpoint (checkpoints
-                    # land on chunk boundaries, so skipping is exact).
-                    global_step += len(chunk)
-                    continue
-                state, losses = self.train_steps(state, chunk, chunk_rng)
-                global_step += len(chunk)
-                if log_every:
-                    logger.info(
-                        "epoch %d step %d loss %.4f (%.1f steps/s)",
-                        epoch, global_step, float(losses[-1]),
-                        len(chunk) / max(time.time() - t0, 1e-9))
-                    t0 = time.time()
-                if scalar_logger is not None:
-                    scalar_logger.log(global_step, loss=float(losses[-1]))
-                if len(chunk) == val_every_n_batches:
-                    metrics = self.evaluate(
-                        state.params,
-                        list(_take(val_it.epoch(global_step), num_val_batches)),
-                        step=global_step)
-                    logger.info("eval @%d: %s", global_step, metrics)
-                    if scalar_logger is not None:
-                        scalar_logger.log(global_step, **metrics)
-                    if checkpoint_dir is not None:
-                        from gigl_tpu.training.checkpoint import (
-                            save_train_state,
-                        )
+        The loop body is shared with PartitionedNALPTrainer
+        (training/fit_loop.py nalp_fit_loop)."""
+        from gigl_tpu.training.fit_loop import nalp_fit_loop
 
-                        full_snap = jax.tree_util.tree_map(
-                            lambda x: (jnp.copy(x)
-                                       if hasattr(x, "dtype") else x),
-                            state)
-                        save_train_state(checkpoint_dir, full_snap,
-                                         step=global_step)
-                    # Snapshot (on-device copy): state buffers are donated
-                    # into the next scan chunk, so a bare reference would
-                    # point at freed buffers.
-                    snap = jax.tree_util.tree_map(jnp.copy, state.params)
-                    if stopper.update(metrics["mrr"], snap):
-                        logger.info("early stop at step %d (best mrr %.4f)",
-                                    global_step, stopper.best_value)
-                        stop = True
-                        break
-            if stop:
-                break
-        if stopper.best_state is not None:
-            state = state._replace(params=stopper.best_state)
-        final = self.evaluate(
-            state.params, list(_take(val_it.epoch(10**6), num_val_batches)))
-        return state, final
-
-
-def _take(gen, n):
-    for i, x in enumerate(gen):
-        if i >= n:
-            return
-        yield x
+        return nalp_fit_loop(
+            self, state, train_anchors, val_anchors,
+            batch_size=batch_size, num_epochs=num_epochs,
+            val_every_n_batches=val_every_n_batches,
+            num_val_batches=num_val_batches,
+            early_stop_patience=early_stop_patience, log_every=log_every,
+            scalar_logger=scalar_logger, checkpoint_dir=checkpoint_dir,
+            num_shards=1)
 
 
 # ---------------------------------------------------------------------------
