@@ -73,6 +73,58 @@ class PartitionedHeteroGraph:
     rows: Dict[str, int]
     feat_dims: Dict[str, int]
     anchor_node_type: str
+    # Frozen per-node sample tables "csr_key#fanout" -> [P*rows_anchor, k]
+    # int32 row-sharded (-1 = invalid slot): the typed tabularized fast
+    # path over the partitioned graph (with_sample_tables).
+    sample_tables: Optional[Dict[str, jax.Array]] = None
+
+    def with_sample_tables(
+        self,
+        hdg: HeteroDeviceGraph,
+        paths: Dict[str, Tuple[OpSpec, ...]],
+        mesh,
+        *,
+        seed: int = 0,
+        axis: str = DATA_AXIS,
+    ) -> "PartitionedHeteroGraph":
+        """Freeze one packed per-node sample table per (csr, fanout,
+        method) used by ``paths`` and ROW-SHARD it by the op's anchor
+        node type — the partitioned analog of
+        HeteroDeviceGraph.with_sample_tables. Tables are drawn by the
+        SAME replicated builder (build_sample_table: counter RNG keyed by
+        global anchor id), so partitioned-tabularized draws are
+        bit-identical to the replicated hetero tabularized path.
+        ``hdg`` supplies the full CSRs at build time (this builder is
+        host-side one-time work, like PartitionedHeteroGraph.build
+        itself). Rebuild with a new seed = Subgraph Sampler re-run."""
+        import dataclasses
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gigl_tpu.ops.hopcache import build_sample_table
+
+        row_sh = NamedSharding(mesh, P(axis))
+        num_shards = int(mesh.shape[axis])
+        anchor_of: Dict[str, str] = {}
+        for ops in paths.values():
+            for op in ops:
+                anchor_of[op.csr_key] = str(op.frontier_node_type)
+        tables: Dict[str, jax.Array] = dict(self.sample_tables or {})
+        for ops in paths.values():
+            for op in ops:
+                key = f"{op.csr_key}#{op.fanout}"
+                if key in tables:
+                    continue
+                ids_t, mask_t = build_sample_table(
+                    hdg.csrs[op.csr_key], fanout=int(op.fanout), seed=seed,
+                    hop_key=1, method=op.method)
+                packed = np.asarray(jnp.where(mask_t, ids_t, -1))
+                nt = anchor_of[op.csr_key]
+                pad = np.full((num_shards * self.rows[nt], packed.shape[1]),
+                              -1, np.int32)
+                pad[: packed.shape[0]] = packed
+                tables[key] = jax.device_put(pad, row_sh)
+        return dataclasses.replace(self, sample_tables=tables)
 
     @classmethod
     def build(
@@ -147,19 +199,25 @@ class PartitionedHeteroNALPTrainer:
         axis: str = DATA_AXIS,
         capacity_factor: float = 4.0,
     ):
-        if config.tabularized:
-            raise ValueError("tabularized tables are a replicated-graph "
-                             "optimization; the partitioned trainer samples "
-                             "live via routed lookups")
+        if config.tabularized and pgraph.sample_tables is None:
+            raise ValueError(
+                "tabularized=True needs frozen tables: build the graph "
+                "with pgraph.with_sample_tables(hdg, paths, mesh) first")
         for nt in (config.anchor_node_type, config.candidate_node_type):
             if str(nt) not in paths:
                 raise ValueError(f"no sampling path for node type {nt!r}")
-        for ops in paths.values():
-            for op in ops:
-                if op.method != "uniform":
-                    raise ValueError(
-                        "partitioned hetero sampling supports uniform ops "
-                        f"only (op {op.name!r} uses {op.method!r})")
+        if not config.tabularized:
+            # The tabularized path supports any op method (tables are
+            # frozen by the replicated builder); the LIVE routed path is
+            # uniform-only (hetero CSR blocks carry no sharded weights yet).
+            for ops in paths.values():
+                for op in ops:
+                    if op.method != "uniform":
+                        raise ValueError(
+                            "partitioned hetero LIVE sampling supports "
+                            f"uniform ops only (op {op.name!r} uses "
+                            f"{op.method!r}); use tabularized=True for "
+                            "weighted/top-k op trees")
         if config.num_random_negs % int(mesh.shape[axis]):
             raise ValueError("num_random_negs must divide the mesh axis size")
         self.model = model
@@ -175,13 +233,14 @@ class PartitionedHeteroNALPTrainer:
 
         graph_specs = (P(axis), P(axis, None), P(axis, None),
                        P(axis, None), P(axis, None),
-                       P(axis, None), P(axis, None))
+                       P(axis, None), P(axis, None),
+                       {k: P(axis) for k in (pgraph.sample_tables or {})})
         self._train_steps = jax.jit(jax.shard_map(
             self._steps_local, mesh=mesh,
             in_specs=graph_specs + (P(), P(None, axis), P()),
             out_specs=(P(), P()),
             check_vma=False,
-        ), donate_argnums=(7,))
+        ), donate_argnums=(8,))
         self._eval_step = jax.jit(jax.shard_map(
             self._eval_local, mesh=mesh,
             in_specs=graph_specs + (P(), P(axis), P()),
@@ -214,19 +273,38 @@ class PartitionedHeteroNALPTrainer:
         if hard_ip is None:
             hard_ip, hard_ix = dummy_csr(a_nt)
         return (pg.feats, pg.csr_ip, pg.csr_ix, sup_ip, sup_ix,
-                hard_ip, hard_ix)
+                hard_ip, hard_ix, dict(pg.sample_tables or {}))
 
     @staticmethod
     def _squeeze_csr(d):
         return {k: v[0] for k, v in d.items()}
 
     # -- SPMD bodies -------------------------------------------------------
-    def _sample_tree(self, ip_l, ix_l, roots, root_nt: str,
+    def _sample_tree(self, ip_l, ix_l, tabs, roots, root_nt: str,
                      spec: Tuple[OpSpec, ...], seed: int):
-        """Op-tree expansion via owner-routed sampling; RNG keying matches
-        sample_typed_blocks (hop = depth * 1_000_003 + op index)."""
+        """Op-tree expansion; live mode = owner-routed sampling (RNG keying
+        matches sample_typed_blocks: hop = depth * 1_000_003 + op index);
+        tabularized mode = one routed gather per op over the frozen
+        row-sharded table (draws bit-identical to the replicated
+        sample_tabularized — same builder)."""
         node_ids: List[jnp.ndarray] = [roots.astype(jnp.int32)]
         masks: List[jnp.ndarray] = [jnp.ones(roots.shape, bool)]
+        if self.cfg.tabularized:
+            for op in spec:
+                key = f"{op.csr_key}#{op.fanout}"
+                frontier = node_ids[op.parent + 1]
+                pmask = masks[op.parent + 1]
+                row, ok = routed_gather(
+                    tabs[key], frontier.reshape(-1), axis=self.axis,
+                    capacity_factor=self.capacity_factor)
+                row = row.reshape(frontier.shape + (op.fanout,))
+                okr = ok.reshape(frontier.shape)
+                m = (row >= 0) & pmask[..., None] & okr[..., None]
+                node_ids.append(jnp.where(m, row, 0))
+                masks.append(m)
+            return TypedBlocks(root_node_type=root_nt, spec=spec,
+                               node_ids=node_ids, masks=masks,
+                               edge_slots=[None] * (len(spec) + 1))
         for i, op in enumerate(spec):
             frontier = node_ids[op.parent + 1]
             pmask = masks[op.parent + 1]
@@ -243,15 +321,15 @@ class PartitionedHeteroNALPTrainer:
                            node_ids=node_ids, masks=masks,
                            edge_slots=[None] * (len(spec) + 1))
 
-    def _encode_groups(self, feats_l, ip_l, ix_l, params, groups,
+    def _encode_groups(self, feats_l, ip_l, ix_l, tabs, params, groups,
                        train: bool, rng=None):
         """groups: [(node_ids, node_type, seed_offset)]. One routed gather
         PER NODE TYPE over the union of that type's tree levels."""
         trees = []
         for (ids, nt, off) in groups:
             blocks = self._sample_tree(
-                ip_l, ix_l, ids.reshape(-1), str(nt), self.paths[str(nt)],
-                self.cfg.seed + off)
+                ip_l, ix_l, tabs, ids.reshape(-1), str(nt),
+                self.paths[str(nt)], self.cfg.seed + off)
             trees.append(blocks)
         # Level (tree_i, level_i) -> node type; bucket by type.
         by_type: Dict[str, List[Tuple[int, int]]] = {}
@@ -309,7 +387,7 @@ class PartitionedHeteroNALPTrainer:
                          hard_neg_mask=hard_mask, random_neg=rand)
 
     def _loss_local(self, feats_l, ip_l, ix_l, sup_ip, sup_ix,
-                    hard_ip, hard_ix, params, anchors, step, rng):
+                    hard_ip, hard_ix, tabs, params, anchors, step, rng):
         cfg = self.cfg
         batch = self._make_batch(sup_ip, sup_ix, hard_ip, hard_ix,
                                  anchors, step)
@@ -322,8 +400,8 @@ class PartitionedHeteroNALPTrainer:
                   (rand_local, c_nt, 2)]
         if cfg.num_hard_negs > 0:
             groups.append((batch.hard_neg, c_nt, 3))
-        embs = self._encode_groups(feats_l, ip_l, ix_l, params, groups,
-                                   train=True, rng=rng)
+        embs = self._encode_groups(feats_l, ip_l, ix_l, tabs, params,
+                                   groups, train=True, rng=rng)
         q, pos, rand_l = embs[0], embs[1], embs[2]
         hard = embs[3] if cfg.num_hard_negs > 0 else None
         rand = jax.lax.all_gather(rand_l, self.axis, axis=0, tiled=True)
@@ -332,10 +410,11 @@ class PartitionedHeteroNALPTrainer:
         return loss
 
     def _step_local(self, feats_l, ip_l, ix_l, sup_ip, sup_ix,
-                    hard_ip, hard_ix, state: TrainState, anchors, rng):
+                    hard_ip, hard_ix, tabs, state: TrainState, anchors,
+                    rng):
         loss, grads = jax.value_and_grad(
             lambda p: self._loss_local(feats_l, ip_l, ix_l, sup_ip, sup_ix,
-                                       hard_ip, hard_ix, p, anchors,
+                                       hard_ip, hard_ix, tabs, p, anchors,
                                        state.step, rng))(state.params)
         grads = jax.lax.pmean(grads, self.axis)
         loss = jax.lax.pmean(loss, self.axis)
@@ -346,7 +425,7 @@ class PartitionedHeteroNALPTrainer:
                           step=state.step + 1, cms=state.cms), loss
 
     def _steps_local(self, feats_l, ip_l, ix_l, sup_ip, sup_ix,
-                     hard_ip, hard_ix, state, anchors_kb, rngs):
+                     hard_ip, hard_ix, tabs, state, anchors_kb, rngs):
         ip_l = self._squeeze_csr(ip_l)
         ix_l = self._squeeze_csr(ix_l)
         sup_ip, sup_ix = sup_ip[0], sup_ix[0]
@@ -355,12 +434,12 @@ class PartitionedHeteroNALPTrainer:
         def body(st, xs):
             a, r = xs
             return self._step_local(feats_l, ip_l, ix_l, sup_ip, sup_ix,
-                                    hard_ip, hard_ix, st, a, r)
+                                    hard_ip, hard_ix, tabs, st, a, r)
 
         return jax.lax.scan(body, state, (anchors_kb, rngs))
 
     def _eval_local(self, feats_l, ip_l, ix_l, sup_ip, sup_ix,
-                    hard_ip, hard_ix, params, anchors, step):
+                    hard_ip, hard_ix, tabs, params, anchors, step):
         from gigl_tpu.losses.metrics import hits_at_k, mean_reciprocal_rank
 
         ip_l = self._squeeze_csr(ip_l)
@@ -376,7 +455,7 @@ class PartitionedHeteroNALPTrainer:
             batch.random_neg, shard * r_per, r_per)
         a_nt, c_nt = cfg.anchor_node_type, cfg.candidate_node_type
         q, pos, rand_l = self._encode_groups(
-            feats_l, ip_l, ix_l, params,
+            feats_l, ip_l, ix_l, tabs, params,
             [(batch.anchors, a_nt, 0), (batch.pos, c_nt, 1),
              (rand_local, c_nt, 2)], train=False)
         rand = jax.lax.all_gather(rand_l, self.axis, axis=0, tiled=True)
@@ -398,11 +477,11 @@ class PartitionedHeteroNALPTrainer:
                 jax.lax.psum(hits_arr, self.axis),
                 jax.lax.psum(rr_cnt, self.axis))
 
-    def _encode_local(self, feats_l, ip_l, ix_l, params, node_ids, *,
-                      node_type: str):
+    def _encode_local(self, feats_l, ip_l, ix_l, tabs, params, node_ids,
+                      *, node_type: str):
         ip_l = self._squeeze_csr(ip_l)
         ix_l = self._squeeze_csr(ix_l)
-        (emb,) = self._encode_groups(feats_l, ip_l, ix_l, params,
+        (emb,) = self._encode_groups(feats_l, ip_l, ix_l, tabs, params,
                                      [(node_ids, node_type, 0)],
                                      train=False)
         return emb
@@ -416,13 +495,28 @@ class PartitionedHeteroNALPTrainer:
             self._encode_fns[node_type] = jax.jit(jax.shard_map(
                 partial(self._encode_local, node_type=node_type),
                 mesh=self.mesh,
-                in_specs=self._graph_specs[:3] + (P(), P(self.axis)),
+                in_specs=self._graph_specs[:3]
+                + (self._graph_specs[7], P(), P(self.axis)),
                 out_specs=P(self.axis),
                 check_vma=False,
             ))
         return self._encode_fns[node_type]
 
     # -- public API --------------------------------------------------------
+    def refresh_tables(self, hdg: HeteroDeviceGraph, epoch: int = 0) -> None:
+        """Re-freeze the sharded sample tables with a new seed (the
+        Subgraph Sampler re-run analog; mirrors HeteroNALPTrainer
+        .refresh_tables). Needs the source HeteroDeviceGraph."""
+        if not self.cfg.tabularized:
+            return
+        import dataclasses
+
+        self.pg = dataclasses.replace(
+            self.pg, sample_tables=None
+        ).with_sample_tables(hdg, self.paths, self.mesh,
+                             seed=self.cfg.seed + 1_299_709 * epoch,
+                             axis=self.axis)
+
     def init_state(self, rng: jax.Array, batch_size: int,
                    params: Optional[Any] = None) -> TrainState:
         """Initialize params by tracing every distinct root path + decoder
@@ -504,6 +598,7 @@ class PartitionedHeteroNALPTrainer:
         m = node_ids.shape[0]
         m_pad = -(-m // self.num_shards) * self.num_shards
         out = self._get_encode_fn(nt)(
-            pg.feats, pg.csr_ip, pg.csr_ix, params,
+            pg.feats, pg.csr_ip, pg.csr_ix,
+            dict(pg.sample_tables or {}), params,
             jnp.pad(node_ids, (0, m_pad - m)))
         return out[:m]

@@ -144,7 +144,7 @@ class TestPartitionedHeteroTrainer:
         assert u.shape == (16, 16) and it.shape == (16, 16)
         assert np.isfinite(np.asarray(u)).all()
 
-    def test_rejects_tabularized(self):
+    def test_tabularized_requires_prebuilt_tables(self):
         mesh = make_mesh(8)
         g = get_mocked_graph(BIPARTITE_TOY_GRAPH_LP)
         paths = _bipartite_paths()
@@ -157,5 +157,98 @@ class TestPartitionedHeteroTrainer:
         cfg = HeteroNALPTrainerConfig(
             anchor_node_type="user", candidate_node_type="item",
             num_random_negs=32, tabularized=True)
-        with pytest.raises(ValueError):
+        with pytest.raises(ValueError, match="with_sample_tables"):
             PartitionedHeteroNALPTrainer(None, pg, paths, cfg, mesh)
+
+
+class TestPartitionedHeteroTabularized:
+    """The typed tabularized fast path over the PARTITIONED graph:
+    sharded frozen sample tables, one routed gather per op; draws
+    bit-identical to the replicated hetero tabularized path (same
+    builder)."""
+
+    def _setup_tab(self):
+        mesh = make_mesh(8)
+        g = get_mocked_graph(BIPARTITE_TOY_GRAPH_LP)
+        paths = _bipartite_paths()
+        buys = EdgeType("user", "buys", "item")
+        hdg = HeteroDeviceGraph.from_hetero(
+            g, paths, supervision_edge_type=buys,
+            supervision_edges=g.edges[buys], supervision_anchor="src")
+        enc = HeteroGNNEncoder(
+            hid_dim=32, out_dim=16, num_layers=2, conv="hgt",
+            node_types=("user", "item"),
+            edge_types=("user-buys-item", "item-rev_buys-user"), heads=2)
+        model = HeteroLinkPredictionGNN(encoder=enc,
+                                        decoder=LinkPredictionDecoder())
+        cfg = HeteroNALPTrainerConfig(
+            anchor_node_type="user", candidate_node_type="item",
+            num_random_negs=32, loss_type="retrieval", temperature=0.1,
+            tabularized=True)
+        pg = PartitionedHeteroGraph.build(
+            hdg, paths, mesh, anchor_node_type="user"
+        ).with_sample_tables(hdg, paths, mesh, seed=cfg.seed)
+        trainer = PartitionedHeteroNALPTrainer(
+            model, pg, paths, cfg, mesh, capacity_factor=8.0,
+            optimizer_args={"learning_rate": "0.01"})
+        return mesh, g, hdg, paths, model, cfg, trainer
+
+    @pytest.mark.slow
+    def test_loss_parity_with_replicated_tabularized(self):
+        mesh, g, hdg, paths, model, cfg, trainer = self._setup_tab()
+        B = 32
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=B)
+        params0 = jax.tree_util.tree_map(np.asarray, state.params)
+        n_users = g.num_nodes["user"]
+        anchors = (np.arange(B, dtype=np.int32) * 5) % n_users
+
+        ref = HeteroNALPTrainer(model, hdg, paths, cfg)  # freezes tables
+        from gigl_tpu.training.trainer import nalp_loss_from_embeddings
+
+        b = B // 8
+        per_shard = []
+        for s in range(8):
+            a = jnp.asarray(anchors[s * b: (s + 1) * b])
+            batch = ref._sample_batch(ref.graph, a, num_hard_negs=0,
+                                      seed=cfg.seed, step=0)
+            q = ref._encode_impl(ref.graph, params0, batch.anchors, "user",
+                                 0, False)
+            pos = ref._encode_impl(ref.graph, params0, batch.pos, "item",
+                                   1, False)
+            rand = ref._encode_impl(ref.graph, params0, batch.random_neg,
+                                    "item", 2, False)
+            loss, _ = nalp_loss_from_embeddings(
+                model, params0, cfg, batch, q, pos, None, rand)
+            per_shard.append(float(loss))
+        state, losses = trainer.train_steps(state, anchors[None, :],
+                                            jax.random.PRNGKey(1))
+        assert float(losses[0]) == pytest.approx(np.mean(per_shard),
+                                                 rel=1e-4)
+
+    def test_tables_match_replicated_and_refresh(self):
+        mesh, g, hdg, paths, model, cfg, trainer = self._setup_tab()
+        hdg_tab = hdg.with_sample_tables(paths, seed=cfg.seed)
+        for key, rep in hdg_tab.sample_tables.items():
+            part = np.asarray(trainer.pg.sample_tables[key])
+            np.testing.assert_array_equal(np.asarray(rep),
+                                          part[: rep.shape[0]])
+        t0 = {k: np.asarray(v) for k, v in trainer.pg.sample_tables.items()}
+        trainer.refresh_tables(hdg, epoch=1)
+        changed = any((t0[k] != np.asarray(v)).any()
+                      for k, v in trainer.pg.sample_tables.items())
+        assert changed
+
+    def test_trains_and_evaluates(self):
+        mesh, g, hdg, paths, model, cfg, trainer = self._setup_tab()
+        B, K = 32, 10
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=B)
+        n_users = g.num_nodes["user"]
+        anchors = np.stack([np.arange(B) % n_users] * K).astype(np.int32)
+        state, losses = trainer.train_steps(state, anchors,
+                                            jax.random.PRNGKey(1))
+        losses = np.asarray(losses)
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+        metrics = trainer.evaluate(
+            state.params, [np.arange(B, dtype=np.int32) % n_users])
+        assert 0.0 <= metrics["mrr"] <= 1.0
