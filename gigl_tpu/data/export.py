@@ -108,3 +108,24 @@ def load_embeddings_to_table(
             table_writer(ids, embs)
         total += len(ids)
     return total
+
+
+def warehouse_embedding_writer(warehouse, bq_table_path: str,
+                               embedding_dim: int):
+    """Build a ``table_writer`` that loads shards into a warehouse table
+    (data/warehouse.py — the reference's load_embeddings_to_bigquery
+    target, bq.py load_rows_to_bq). Creates/empties the table with the
+    reference's (node_id INTEGER, emb_0..emb_{D-1} FLOAT) row shape."""
+    schema = [("node_id", "INTEGER")] + [
+        (f"emb_{i}", "FLOAT") for i in range(embedding_dim)]
+    warehouse.create_or_empty_bq_table(bq_table_path, schema)
+
+    def write(node_ids, embeddings):
+        rows = [
+            {"node_id": int(n),
+             **{f"emb_{i}": float(v) for i, v in enumerate(e)}}
+            for n, e in zip(node_ids, embeddings)
+        ]
+        warehouse.load_rows_to_bq(bq_table_path, rows)
+
+    return write
