@@ -207,6 +207,242 @@ class DataPreprocessor:
         logger.info("preprocessed metadata written to %s", meta_uri)
         return meta
 
+    # -- rank-sharded (multi-worker) pipeline ---------------------------------
+    #
+    # The Dataflow/Beam-parallelism analog (ref data_preprocessor.py runs
+    # the TFT analyze+transform as an autoscaled Beam job): W independent
+    # worker processes each handle the batch slice {i : i % W == rank} of
+    # every source, in the same two phases TFT uses —
+    #   1. run_analyze_shard(rank, W): local sufficient statistics + local
+    #      node-id sets  ->  shard artifacts under _shards/,
+    #   2. merge_analysis(W): coordinator merges the (fully mergeable)
+    #      stats + id sets into the frozen enumeration + transform stats
+    #      (the transform_fn asset analog),
+    #   3. run_transform_shard(rank, W): workers apply the FROZEN merged
+    #      stats to their slice, writing per-shard feature/edge chunks,
+    #   4. finalize(W): coordinator assembles chunks into the canonical
+    #      outputs + metadata.
+    # Node feature rows land keyed by dense id, so the assembled outputs
+    # equal the single-process run()'s (edge ROW order is shard-major
+    # within a source; the graph is order-invariant — CSR construction
+    # sorts by anchor and edge features stay row-aligned).
+
+    def _shard_dir(self):
+        return self.output_dir.join("_shards")
+
+    @staticmethod
+    def _sliced(batches, rank: int, world_size: int):
+        for i, b in enumerate(batches):
+            if i % world_size == rank:
+                yield b
+
+    def _specs(self):
+        """Deterministic per-source TransformSpecs (same on every rank)."""
+        node_specs, edge_specs = [], []
+        for src in self.config.node_sources():
+            spec = self.config.node_transform(src.node_type)
+            if spec is None:
+                first = next(iter(src.batches()), None)
+                feat_cols = [c for c in (first or {})
+                             if c not in (src.id_column, src.label_column)]
+                from gigl_tpu.data.transform import Identity
+
+                spec = TransformSpec(
+                    ops={c: Identity(c) for c in sorted(feat_cols)})
+            node_specs.append(spec)
+        for src in self.config.edge_sources():
+            edge_specs.append(self.config.edge_transform(src.edge_type))
+        return node_specs, edge_specs
+
+    def run_analyze_shard(self, rank: int, world_size: int) -> None:
+        self.config.prepare_for_pipeline()
+        node_specs, edge_specs = self._specs()
+        sd = self._shard_dir()
+        ids_arrays = {}
+        for si, src in enumerate(self.config.node_sources()):
+            chunks = [np.asarray(b[src.id_column]) for b in
+                      self._sliced(src.batches(), rank, world_size)]
+            key = f"src{si}_{src.node_type}"
+            ids_arrays[key] = (np.concatenate(chunks) if chunks
+                               else np.empty(0, np.int64))
+            stats = node_specs[si].analyze(
+                self._sliced(src.batches(), rank, world_size))
+            node_specs[si].save_stats(
+                stats, sd.join(f"analyze_node{si}_r{rank}.json"))
+        for si, src in enumerate(self.config.edge_sources()):
+            if edge_specs[si] is not None:
+                stats = edge_specs[si].analyze(
+                    self._sliced(src.batches(), rank, world_size))
+                edge_specs[si].save_stats(
+                    stats, sd.join(f"analyze_edge{si}_r{rank}.json"))
+        _write_npz(sd.join(f"ids_r{rank}.npz"), **ids_arrays)
+
+    def merge_analysis(self, world_size: int) -> None:
+        node_specs, edge_specs = self._specs()
+        sd = self._shard_dir()
+        # ids: union across shards, per node type (Enumerator sorts, so
+        # the dense mapping is independent of shard composition).
+        ids_by_type: Dict[NodeType, List[np.ndarray]] = {}
+        for r in range(world_size):
+            arrays = read_npz(sd.join(f"ids_r{r}.npz"))
+            for key, ids in arrays.items():
+                nt = NodeType(key.split("_", 1)[1])
+                ids_by_type.setdefault(nt, []).append(ids)
+        enumerator = Enumerator()
+        enumerator.enumerate_nodes(
+            {nt: np.concatenate(c) for nt, c in ids_by_type.items()})
+        enumerator.save(self.output_dir.join("enumeration.npz"))
+
+        def merge_kind(kind, si, spec):
+            merged = None
+            for r in range(world_size):
+                _, stats = TransformSpec.load_stats(
+                    sd.join(f"analyze_{kind}{si}_r{r}.json"))
+                if merged is None:
+                    merged = stats
+                else:
+                    for name, s in stats.items():
+                        merged[name].merge(s)
+            spec.save_stats(merged,
+                            sd.join(f"merged_{kind}{si}.json"))
+
+        for si, spec in enumerate(node_specs):
+            merge_kind("node", si, spec)
+        for si, spec in enumerate(edge_specs):
+            if spec is not None:
+                merge_kind("edge", si, spec)
+
+    def run_transform_shard(self, rank: int, world_size: int) -> None:
+        sd = self._shard_dir()
+        enumerator = Enumerator.load(self.output_dir.join("enumeration.npz"))
+        for si, src in enumerate(self.config.node_sources()):
+            spec, stats = TransformSpec.load_stats(
+                sd.join(f"merged_node{si}.json"))
+            dense_l, x_l, lab_l = [], [], []
+            for batch in self._sliced(src.batches(), rank, world_size):
+                dense_l.append(
+                    enumerator.maps[src.node_type].to_dense(
+                        batch[src.id_column]))
+                x_l.append(spec.apply(stats, batch) if spec.ops
+                           else np.zeros((len(dense_l[-1]), 0), np.float32))
+                if src.label_column and src.label_column in batch:
+                    lab_l.append(np.asarray(batch[src.label_column],
+                                            np.int64).reshape(-1))
+            arrays = {
+                "dense": (np.concatenate(dense_l) if dense_l
+                          else np.empty(0, np.int64)),
+                "x": (np.concatenate(x_l) if x_l
+                      else np.empty((0, 0), np.float32)),
+            }
+            if lab_l:
+                arrays["labels"] = np.concatenate(lab_l)
+            _write_npz(sd.join(f"tf_node{si}_r{rank}.npz"), **arrays)
+        for si, src in enumerate(self.config.edge_sources()):
+            spec = stats = None
+            merged_uri = sd.join(f"merged_edge{si}.json")
+            if merged_uri.exists():
+                spec, stats = TransformSpec.load_stats(merged_uri)
+            s_l, d_l, f_l = [], [], []
+            for batch in self._sliced(src.batches(), rank, world_size):
+                coo = enumerator.enumerate_edges(
+                    src.edge_type, batch[src.src_column],
+                    batch[src.dst_column])
+                s_l.append(coo[0])
+                d_l.append(coo[1])
+                if spec is not None:
+                    f_l.append(spec.apply(stats, batch))
+            arrays = {
+                "src": (np.concatenate(s_l) if s_l
+                        else np.empty(0, np.int64)),
+                "dst": (np.concatenate(d_l) if d_l
+                        else np.empty(0, np.int64)),
+            }
+            if f_l:
+                arrays["ef"] = np.concatenate(f_l)
+            _write_npz(sd.join(f"tf_edge{si}_r{rank}.npz"), **arrays)
+
+    def finalize(self, world_size: int) -> PreprocessedMetadata:
+        sd = self._shard_dir()
+        enumerator = Enumerator.load(self.output_dir.join("enumeration.npz"))
+        meta = PreprocessedMetadata()
+        meta.enumerator_uri = str(self.output_dir.join("enumeration.npz"))
+        for si, src in enumerate(self.config.node_sources()):
+            nt = src.node_type
+            emap = enumerator.maps[nt]
+            spec, stats = TransformSpec.load_stats(
+                sd.join(f"merged_node{si}.json"))
+            feats = None
+            labels = None
+            dim = 0
+            for r in range(world_size):
+                a = read_npz(sd.join(f"tf_node{si}_r{r}.npz"))
+                dense, x = a["dense"], a["x"]
+                if feats is None:
+                    dim = x.shape[1] if x.ndim == 2 else 0
+                    feats = np.zeros((emap.num_nodes, dim), np.float32)
+                if len(dense):
+                    feats[dense] = x
+                if "labels" in a:
+                    if labels is None:
+                        labels = np.full(emap.num_nodes, -1, np.int64)
+                    labels[dense] = a["labels"]
+            feat_uri = self.output_dir.join(f"node_features_{nt}.npz")
+            _write_npz(feat_uri, features=feats if feats is not None
+                       else np.zeros((emap.num_nodes, 0), np.float32))
+            meta.num_nodes[nt] = emap.num_nodes
+            meta.node_feature_dim[nt] = int(dim)
+            meta.node_feature_uris[nt] = str(feat_uri)
+            if labels is not None:
+                lab_uri = self.output_dir.join(f"node_labels_{nt}.npz")
+                _write_npz(lab_uri, labels=labels)
+                meta.node_label_uris[nt] = str(lab_uri)
+            stats_uri = self.output_dir.join(
+                f"transform_stats_node_{nt}.json")
+            spec.save_stats(stats, stats_uri)
+            meta.transform_stats_uris[f"node/{nt}"] = str(stats_uri)
+        for si, src in enumerate(self.config.edge_sources()):
+            et = src.edge_type
+            s_l, d_l, f_l = [], [], []
+            for r in range(world_size):
+                a = read_npz(sd.join(f"tf_edge{si}_r{r}.npz"))
+                s_l.append(a["src"])
+                d_l.append(a["dst"])
+                if "ef" in a:
+                    f_l.append(a["ef"])
+            edges = np.stack([np.concatenate(s_l), np.concatenate(d_l)])
+            uri = self.output_dir.join(f"edges_{et}.npz")
+            arrays = {"edges": edges}
+            dim = 0
+            if f_l:
+                ef = np.concatenate(f_l)
+                arrays["edge_features"] = ef
+                dim = ef.shape[1]
+            _write_npz(uri, **arrays)
+            meta.edge_uris[str(et)] = str(uri)
+            meta.edge_feature_dim[str(et)] = dim
+            merged_uri = sd.join(f"merged_edge{si}.json")
+            if merged_uri.exists():
+                spec, stats = TransformSpec.load_stats(merged_uri)
+                stats_uri = self.output_dir.join(
+                    f"transform_stats_edge_{et}.json")
+                spec.save_stats(stats, stats_uri)
+                meta.transform_stats_uris[f"edge/{et}"] = str(stats_uri)
+        meta_uri = self.output_dir.join("preprocessed_metadata.yaml")
+        meta.save(meta_uri)
+        return meta
+
+    def run_sharded(self, world_size: int) -> PreprocessedMetadata:
+        """Single-host convenience driver for the 4-phase sharded pipeline
+        (workers run as loop iterations; in production each phase-1/3 call
+        is its own worker process/pod)."""
+        self.config.prepare_for_pipeline()
+        for r in range(world_size):
+            self.run_analyze_shard(r, world_size)
+        self.merge_analysis(world_size)
+        for r in range(world_size):
+            self.run_transform_shard(r, world_size)
+        return self.finalize(world_size)
+
     # -- per-entity jobs -------------------------------------------------------
     def _process_node_source(self, src: NodeDataSource,
                              enumerator: Enumerator,

@@ -60,6 +60,20 @@ class FeatureStats:
         s.vocab = Counter(d.get("vocab", {}))
         return s
 
+    def merge(self, other: "FeatureStats") -> "FeatureStats":
+        """Combine sufficient statistics from another shard — every
+        accumulator here is mergeable (count/sum/sumsq additive, min/max
+        associative, vocab counters additive), which is what makes the
+        rank-sharded analyze pass (DataPreprocessor.run_analyze_shard)
+        equivalent to the single-process one."""
+        self.count += other.count
+        self.sum += other.sum
+        self.sumsq += other.sumsq
+        self.min = min(self.min, other.min)
+        self.max = max(self.max, other.max)
+        self.vocab.update(other.vocab)
+        return self
+
 
 class TransformOp:
     """One output feature: how to transform an input column."""

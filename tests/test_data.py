@@ -247,3 +247,92 @@ def _custom_scale(stats, col):
     import numpy as np
 
     return np.asarray(col, np.float32).reshape(len(col), -1) * 10.0
+
+
+class _ShardedToyConfig(DataPreprocessorConfig):
+    """Multi-batch sources (small batch_size) so W>1 sharding is real."""
+
+    def __init__(self, seed=0):
+        rng = np.random.default_rng(seed)
+        self.N = 90
+        self.ids = np.array([f"n{i}" for i in rng.permutation(self.N)])
+        self.age = rng.random(self.N).astype(np.float32)
+        self.labels = rng.integers(0, 3, self.N)
+        self.src = self.ids[rng.integers(0, self.N, 400)]
+        self.dst = self.ids[rng.integers(0, self.N, 400)]
+        self.ef = rng.random((400, 2)).astype(np.float32)
+
+    def node_sources(self):
+        return [NodeDataSource.from_arrays(
+            "default", self.ids, {"age": self.age}, labels=self.labels,
+            batch_size=17)]
+
+    def edge_sources(self):
+        return [EdgeDataSource.from_arrays(
+            DEFAULT_HOMOGENEOUS_EDGE_TYPE, self.src, self.dst,
+            features={"w": self.ef}, batch_size=33)]
+
+    def node_transform(self, nt):
+        return TransformSpec(ops={"age_z": ScaleToZScore("age")})
+
+    def edge_transform(self, et):
+        return TransformSpec(ops={"w01": ScaleTo01("w")})
+
+
+class TestShardedPreprocessing:
+    """Rank-sharded analyze/transform (the Dataflow-parallelism analog):
+    W workers over batch slices must produce the SAME outputs as the
+    single-process pass (mergeable sufficient statistics + dense-id-keyed
+    feature rows)."""
+
+    def test_w3_equals_single_process(self, tmp_path):
+        cfg = _ShardedToyConfig()
+        meta_1 = DataPreprocessor(cfg, str(tmp_path / "single")).run()
+        meta_w = DataPreprocessor(cfg, str(tmp_path / "sharded")
+                                  ).run_sharded(world_size=3)
+        g1 = load_graph_from_metadata(meta_1, GraphMetadata.homogeneous())
+        gw = load_graph_from_metadata(meta_w, GraphMetadata.homogeneous())
+        # node features / labels keyed by dense id -> exact
+        np.testing.assert_allclose(g1.node_features["default"],
+                                   gw.node_features["default"],
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(g1.node_labels["default"],
+                                      gw.node_labels["default"])
+        # edges: same multiset (row order is shard-major); features aligned
+        et = str(DEFAULT_HOMOGENEOUS_EDGE_TYPE)
+
+        def canon(g):
+            e = np.asarray(g.default_edges)
+            f = np.asarray(g.edge_features[et])
+            order = np.lexsort((f[:, 0], e[1], e[0]))
+            return e[:, order], f[order]
+
+        e1, f1 = canon(g1)
+        ew, fw = canon(gw)
+        np.testing.assert_array_equal(e1, ew)
+        np.testing.assert_allclose(f1, fw, rtol=1e-6, atol=1e-6)
+
+    def test_merged_stats_match_single_pass(self, tmp_path):
+        cfg = _ShardedToyConfig()
+        DataPreprocessor(cfg, str(tmp_path / "a")).run()
+        DataPreprocessor(cfg, str(tmp_path / "b")).run_sharded(world_size=4)
+        _, s1 = TransformSpec.load_stats(
+            str(tmp_path / "a" / "transform_stats_node_default.json"))
+        _, sw = TransformSpec.load_stats(
+            str(tmp_path / "b" / "transform_stats_node_default.json"))
+        assert s1["age_z"].count == sw["age_z"].count
+        np.testing.assert_allclose(s1["age_z"].mean, sw["age_z"].mean,
+                                   rtol=1e-9)
+        np.testing.assert_allclose(s1["age_z"].std, sw["age_z"].std,
+                                   rtol=1e-6)
+
+    def test_world_size_one_equals_run(self, tmp_path):
+        cfg = _ShardedToyConfig()
+        m1 = DataPreprocessor(cfg, str(tmp_path / "r")).run()
+        mw = DataPreprocessor(cfg, str(tmp_path / "w")).run_sharded(1)
+        g1 = load_graph_from_metadata(m1, GraphMetadata.homogeneous())
+        gw = load_graph_from_metadata(mw, GraphMetadata.homogeneous())
+        np.testing.assert_array_equal(np.asarray(g1.default_edges),
+                                      np.asarray(gw.default_edges))
+        np.testing.assert_allclose(g1.node_features["default"],
+                                   gw.node_features["default"])
