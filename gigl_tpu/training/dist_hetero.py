@@ -228,6 +228,9 @@ class PartitionedHeteroNALPTrainer:
         self.axis = axis
         self.num_shards = int(mesh.shape[axis])
         self.capacity_factor = capacity_factor
+        # Cumulative routed-lookup requests dropped by capacity overflow
+        # (surfaced per chunk; same contract as PartitionedNALPTrainer).
+        self.overflow_total = 0
         self.tx = make_optimizer(optimizer_args or {})
         from jax.sharding import PartitionSpec as P
 
@@ -238,13 +241,13 @@ class PartitionedHeteroNALPTrainer:
         self._train_steps = jax.jit(jax.shard_map(
             self._steps_local, mesh=mesh,
             in_specs=graph_specs + (P(), P(None, axis), P()),
-            out_specs=(P(), P()),
+            out_specs=(P(), P(), P()),
             check_vma=False,
         ), donate_argnums=(8,))
         self._eval_step = jax.jit(jax.shard_map(
             self._eval_local, mesh=mesh,
             in_specs=graph_specs + (P(), P(axis), P()),
-            out_specs=(P(), P(), P()),
+            out_specs=(P(), P(), P(), P()),
             check_vma=False,
         ))
         # Per-node-type encode programs (node type is a static trace-time
@@ -289,6 +292,7 @@ class PartitionedHeteroNALPTrainer:
         sample_tabularized — same builder)."""
         node_ids: List[jnp.ndarray] = [roots.astype(jnp.int32)]
         masks: List[jnp.ndarray] = [jnp.ones(roots.shape, bool)]
+        ovf = jnp.zeros((), jnp.int32)
         if self.cfg.tabularized:
             for op in spec:
                 key = f"{op.csr_key}#{op.fanout}"
@@ -297,6 +301,7 @@ class PartitionedHeteroNALPTrainer:
                 row, ok = routed_gather(
                     tabs[key], frontier.reshape(-1), axis=self.axis,
                     capacity_factor=self.capacity_factor)
+                ovf += jnp.sum(~ok, dtype=jnp.int32)
                 row = row.reshape(frontier.shape + (op.fanout,))
                 okr = ok.reshape(frontier.shape)
                 m = (row >= 0) & pmask[..., None] & okr[..., None]
@@ -304,33 +309,36 @@ class PartitionedHeteroNALPTrainer:
                 masks.append(m)
             return TypedBlocks(root_node_type=root_nt, spec=spec,
                                node_ids=node_ids, masks=masks,
-                               edge_slots=[None] * (len(spec) + 1))
+                               edge_slots=[None] * (len(spec) + 1)), ovf
         for i, op in enumerate(spec):
             frontier = node_ids[op.parent + 1]
             pmask = masks[op.parent + 1]
-            nbr, m, _ok = routed_sample_neighbors(
+            nbr, m, ok = routed_sample_neighbors(
                 ip_l[op.csr_key], ix_l[op.csr_key],
                 frontier.reshape(-1), op.fanout, axis=self.axis,
                 seed=seed, hop=op.depth * 1_000_003 + i,
                 capacity_factor=self.capacity_factor)
+            ovf += jnp.sum(~ok, dtype=jnp.int32)
             nbr = nbr.reshape(frontier.shape + (op.fanout,))
             m = m.reshape(frontier.shape + (op.fanout,)) & pmask[..., None]
             node_ids.append(jnp.where(m, nbr, 0))
             masks.append(m)
         return TypedBlocks(root_node_type=root_nt, spec=spec,
                            node_ids=node_ids, masks=masks,
-                           edge_slots=[None] * (len(spec) + 1))
+                           edge_slots=[None] * (len(spec) + 1)), ovf
 
     def _encode_groups(self, feats_l, ip_l, ix_l, tabs, params, groups,
                        train: bool, rng=None):
         """groups: [(node_ids, node_type, seed_offset)]. One routed gather
         PER NODE TYPE over the union of that type's tree levels."""
         trees = []
+        ovf = jnp.zeros((), jnp.int32)
         for (ids, nt, off) in groups:
-            blocks = self._sample_tree(
+            blocks, o = self._sample_tree(
                 ip_l, ix_l, tabs, ids.reshape(-1), str(nt),
                 self.paths[str(nt)], self.cfg.seed + off)
             trees.append(blocks)
+            ovf += o
         # Level (tree_i, level_i) -> node type; bucket by type.
         by_type: Dict[str, List[Tuple[int, int]]] = {}
         for t_i, blocks in enumerate(trees):
@@ -342,9 +350,10 @@ class PartitionedHeteroNALPTrainer:
         for nt, levels in sorted(by_type.items()):
             flat = jnp.concatenate(
                 [trees[t].node_ids[l].reshape(-1) for (t, l) in levels])
-            rows, _ok = routed_gather(
+            rows, ok = routed_gather(
                 feats_l[nt], flat, axis=self.axis,
                 capacity_factor=self.capacity_factor)
+            ovf += jnp.sum(~ok, dtype=jnp.int32)
             off = 0
             d = self.pg.feat_dims[nt]
             for (t, l) in levels:
@@ -360,11 +369,11 @@ class PartitionedHeteroNALPTrainer:
             emb = self.model.apply(params, blocks, feats, train=train,
                                    rngs=rngs)
             outs.append(emb.reshape(ids.shape + (emb.shape[-1],)))
-        return outs
+        return outs, ovf
 
     def _make_batch(self, sup_ip, sup_ix, hard_ip, hard_ix, anchors, step):
         cfg = self.cfg
-        pos, pos_mask, _okp = routed_sample_neighbors(
+        pos, pos_mask, ok_p = routed_sample_neighbors(
             sup_ip, sup_ix, anchors, cfg.num_positives, axis=self.axis,
             seed=cfg.seed, hop=1_000_003 + step,
             capacity_factor=self.capacity_factor)
@@ -375,22 +384,25 @@ class PartitionedHeteroNALPTrainer:
         rand = (bits % jnp.uint32(n_cand)).astype(jnp.int32)
         h = cfg.num_hard_negs
         if h > 0:
-            hard, hard_mask, _okh = routed_sample_neighbors(
+            hard, hard_mask, ok_h = routed_sample_neighbors(
                 hard_ip, hard_ix, anchors, h, axis=self.axis,
                 seed=cfg.seed, hop=2_000_003 + step,
                 capacity_factor=self.capacity_factor)
         else:
             hard = jnp.zeros(anchors.shape + (h,), jnp.int32)
             hard_mask = jnp.zeros(anchors.shape + (h,), bool)
+        ovf = jnp.sum(~ok_p, dtype=jnp.int32)
+        if h > 0:
+            ovf += jnp.sum(~ok_h, dtype=jnp.int32)
         return NALPBatch(anchors=anchors.astype(jnp.int32), pos=pos,
                          pos_mask=pos_mask, hard_neg=hard,
-                         hard_neg_mask=hard_mask, random_neg=rand)
+                         hard_neg_mask=hard_mask, random_neg=rand), ovf
 
     def _loss_local(self, feats_l, ip_l, ix_l, sup_ip, sup_ix,
                     hard_ip, hard_ix, tabs, params, anchors, step, rng):
         cfg = self.cfg
-        batch = self._make_batch(sup_ip, sup_ix, hard_ip, hard_ix,
-                                 anchors, step)
+        batch, ovf = self._make_batch(sup_ip, sup_ix, hard_ip, hard_ix,
+                                      anchors, step)
         r_per = cfg.num_random_negs // self.num_shards
         shard = jax.lax.axis_index(self.axis)
         rand_local = jax.lax.dynamic_slice_in_dim(
@@ -400,29 +412,31 @@ class PartitionedHeteroNALPTrainer:
                   (rand_local, c_nt, 2)]
         if cfg.num_hard_negs > 0:
             groups.append((batch.hard_neg, c_nt, 3))
-        embs = self._encode_groups(feats_l, ip_l, ix_l, tabs, params,
-                                   groups, train=True, rng=rng)
+        embs, ovf2 = self._encode_groups(feats_l, ip_l, ix_l, tabs, params,
+                                         groups, train=True, rng=rng)
+        ovf += ovf2
         q, pos, rand_l = embs[0], embs[1], embs[2]
         hard = embs[3] if cfg.num_hard_negs > 0 else None
         rand = jax.lax.all_gather(rand_l, self.axis, axis=0, tiled=True)
         loss, _ = nalp_loss_from_embeddings(
             self.model, params, cfg, batch, q, pos, hard, rand, None)
-        return loss
+        return loss, ovf
 
     def _step_local(self, feats_l, ip_l, ix_l, sup_ip, sup_ix,
                     hard_ip, hard_ix, tabs, state: TrainState, anchors,
                     rng):
-        loss, grads = jax.value_and_grad(
+        (loss, ovf), grads = jax.value_and_grad(
             lambda p: self._loss_local(feats_l, ip_l, ix_l, sup_ip, sup_ix,
                                        hard_ip, hard_ix, tabs, p, anchors,
-                                       state.step, rng))(state.params)
+                                       state.step, rng),
+            has_aux=True)(state.params)
         grads = jax.lax.pmean(grads, self.axis)
         loss = jax.lax.pmean(loss, self.axis)
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1, cms=state.cms), loss
+                          step=state.step + 1, cms=state.cms), (loss, ovf)
 
     def _steps_local(self, feats_l, ip_l, ix_l, sup_ip, sup_ix,
                      hard_ip, hard_ix, tabs, state, anchors_kb, rngs):
@@ -436,7 +450,9 @@ class PartitionedHeteroNALPTrainer:
             return self._step_local(feats_l, ip_l, ix_l, sup_ip, sup_ix,
                                     hard_ip, hard_ix, tabs, st, a, r)
 
-        return jax.lax.scan(body, state, (anchors_kb, rngs))
+        state, (losses, ovfs) = jax.lax.scan(body, state,
+                                             (anchors_kb, rngs))
+        return state, losses, jax.lax.psum(ovfs, self.axis)
 
     def _eval_local(self, feats_l, ip_l, ix_l, sup_ip, sup_ix,
                     hard_ip, hard_ix, tabs, params, anchors, step):
@@ -447,17 +463,18 @@ class PartitionedHeteroNALPTrainer:
         sup_ip, sup_ix = sup_ip[0], sup_ix[0]
         hard_ip, hard_ix = hard_ip[0], hard_ix[0]
         cfg = self.cfg
-        batch = self._make_batch(sup_ip, sup_ix, hard_ip, hard_ix,
-                                 anchors, step)
+        batch, ovf = self._make_batch(sup_ip, sup_ix, hard_ip, hard_ix,
+                                      anchors, step)
         r_per = cfg.num_random_negs // self.num_shards
         shard = jax.lax.axis_index(self.axis)
         rand_local = jax.lax.dynamic_slice_in_dim(
             batch.random_neg, shard * r_per, r_per)
         a_nt, c_nt = cfg.anchor_node_type, cfg.candidate_node_type
-        q, pos, rand_l = self._encode_groups(
+        (q, pos, rand_l), ovf2 = self._encode_groups(
             feats_l, ip_l, ix_l, tabs, params,
             [(batch.anchors, a_nt, 0), (batch.pos, c_nt, 1),
              (rand_local, c_nt, 2)], train=False)
+        ovf += ovf2
         rand = jax.lax.all_gather(rand_l, self.axis, axis=0, tiled=True)
         b, p_, d_ = pos.shape
         pos_scores = self.model.apply(params, q[:, None, :], pos,
@@ -475,15 +492,17 @@ class PartitionedHeteroNALPTrainer:
         hits_arr = jnp.stack([hits[int(k)] for k in cfg.eval_ks])
         return (jax.lax.psum(rr_sum, self.axis),
                 jax.lax.psum(hits_arr, self.axis),
-                jax.lax.psum(rr_cnt, self.axis))
+                jax.lax.psum(rr_cnt, self.axis),
+                jax.lax.psum(ovf, self.axis))
 
     def _encode_local(self, feats_l, ip_l, ix_l, tabs, params, node_ids,
                       *, node_type: str):
         ip_l = self._squeeze_csr(ip_l)
         ix_l = self._squeeze_csr(ix_l)
-        (emb,) = self._encode_groups(feats_l, ip_l, ix_l, tabs, params,
-                                     [(node_ids, node_type, 0)],
-                                     train=False)
+        (emb,), _ovf = self._encode_groups(feats_l, ip_l, ix_l, tabs,
+                                           params,
+                                           [(node_ids, node_type, 0)],
+                                           train=False)
         return emb
 
     def _get_encode_fn(self, node_type: str):
@@ -564,8 +583,16 @@ class PartitionedHeteroNALPTrainer:
                 f"batch size {anchors_kb.shape[1]} not divisible by "
                 f"{self.num_shards} shards")
         rngs = jax.random.split(rng, anchors_kb.shape[0])
-        return self._train_steps(*self._graph_args(), state, anchors_kb,
-                                 rngs)
+        state, losses, ovfs = self._train_steps(*self._graph_args(), state,
+                                                anchors_kb, rngs)
+        ovf = int(np.asarray(ovfs).sum())
+        if ovf:
+            self.overflow_total += ovf
+            logger.warning(
+                "hetero routed lookups dropped %d requests this chunk "
+                "(bucket capacity overflow); raise capacity_factor above "
+                "%s", ovf, self.capacity_factor)
+        return state, losses
 
     def evaluate(self, params, anchor_batches, step: int = 0
                  ) -> Dict[str, float]:
@@ -575,9 +602,10 @@ class PartitionedHeteroNALPTrainer:
             a = a[: len(a) // self.num_shards * self.num_shards]
             if len(a) == 0:
                 continue
-            rr, hits, cnt = self._eval_step(
+            rr, hits, cnt, ovf = self._eval_step(
                 *self._graph_args(), params, jnp.asarray(a, jnp.int32),
                 jnp.asarray(step + i, jnp.int32))
+            self.overflow_total += int(ovf)
             rr_t += float(rr)
             cnt_t += float(cnt)
             h = np.asarray(hits)

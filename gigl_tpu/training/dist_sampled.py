@@ -462,8 +462,9 @@ class PartitionedNALPTrainer:
                              "not supported in the partitioned trainer")
         if getattr(config, "num_random_negs", 0) % int(mesh.shape[axis]):
             raise ValueError("num_random_negs must divide the mesh axis size")
-        if overflow_policy not in ("warn", "raise", "silent"):
-            raise ValueError("overflow_policy must be warn | raise | silent")
+        if overflow_policy not in ("warn", "raise", "silent", "grow"):
+            raise ValueError(
+                "overflow_policy must be warn | raise | silent | grow")
         self.model = model
         self.mesh = mesh
         self.axis = axis
@@ -559,6 +560,16 @@ class PartitionedNALPTrainer:
                f"raise capacity_factor above {self.capacity_factor}")
         if self.overflow_policy == "raise":
             raise RuntimeError(msg)
+        if self.overflow_policy == "grow":
+            # Auto-remediate: double the bucket capacity and rebuild the
+            # SPMD programs (recompile on the next chunk). The dropped
+            # requests of THIS chunk are already masked out of the loss;
+            # subsequent chunks run at the larger capacity.
+            self.capacity_factor *= 2.0
+            logger.warning("%s — growing capacity_factor to %.1f and "
+                           "recompiling", msg, self.capacity_factor)
+            self._build_programs()
+            return
         if self.overflow_policy == "warn":
             logger.warning(msg)
 

@@ -475,6 +475,25 @@ class TestOverflowSurfacing:
         with pytest.raises(RuntimeError, match="capacity"):
             trainer.train_steps(state, anchors, jax.random.PRNGKey(1))
 
+    def test_grow_policy_doubles_capacity(self):
+        trainer = self._skewed_setup("grow")
+        f0 = trainer.capacity_factor
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=64)
+        anchors = np.zeros((1, 64), np.int32)
+        state, _ = trainer.train_steps(state, anchors, jax.random.PRNGKey(1))
+        assert trainer.capacity_factor == f0 * 2
+        # the grown capacity (8x balanced load with all-to-one skew across
+        # 8 shards) eliminates the drops on the next chunk
+        before = trainer.overflow_total
+        for i in range(3):
+            state, _ = trainer.train_steps(state, anchors,
+                                           jax.random.PRNGKey(2 + i))
+            if trainer.overflow_total == before:
+                break
+            before = trainer.overflow_total
+        assert trainer.capacity_factor >= 8.0 or \
+            trainer.overflow_total == before
+
     def test_no_overflow_under_uniform_access(self):
         mesh = _mesh()
         dg = _toy()
