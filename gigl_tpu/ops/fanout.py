@@ -65,7 +65,7 @@ def fanout_aggregate(
 
     x: [M, D]; nbr_idx/mask: [N, K] (+ optional edge_weight [N, K]) → [N, D].
     XLA fuses the gather with the reduction; the Pallas variant
-    (ops.pallas_kernels.gather_reduce) additionally avoids the [N, K, D]
+    (a fused gather-reduce) additionally avoids the [N, K, D]
     HBM intermediate for large D.
     """
     feats = gather_neighbors(x, nbr_idx)

@@ -2,7 +2,7 @@
 
 The COO/CSR compute core for full-graph message passing: gather source-node
 features per edge, reduce into destination segments. These are the XLA
-baselines the Pallas kernels (gigl_tpu.ops.pallas_kernels) are benchmarked
+baselines the fused/quantized gather paths (gigl_tpu.ops.quantized) are benchmarked
 against (SURVEY.md §7.2 step 4: "Benchmark vs XLA segment_sum baselines").
 
 All ops take **static** ``num_segments`` — required for jit/TPU.

@@ -148,7 +148,7 @@ class DeviceGraph:
         hard_neg_edge_features: Optional[np.ndarray] = None,     # [Eh, De]
     ) -> "DeviceGraph":
         """``quantize_features``: store node features as an int8
-        per-row-scaled QuantizedTable (ops/pallas_kernels.py) — 4x less
+        per-row-scaled QuantizedTable (ops/quantized.py, int32-packed rows) — 4x less
         HBM; gathers dequantize on the fly. Throughput is unchanged
         (gathers are row-count bound, docs/performance.md); this is a
         CAPACITY lever for the MAG240M regime.
@@ -208,7 +208,7 @@ class DeviceGraph:
         labels = graph.node_labels.get(nt)
         deg = np.diff(csr.indptr).astype(np.float32)
         if quantize_features:
-            from gigl_tpu.ops.pallas_kernels import QuantizedTable
+            from gigl_tpu.ops.quantized import QuantizedTable
 
             feats_dev = QuantizedTable.quantize(np.asarray(feats))
         else:
@@ -356,7 +356,7 @@ class DeviceGraph:
             fanout=fanout, seed=seed, hop_key=hop_key, agg=agg,
             degrees=self.degrees, method=method)
         if quantize:
-            from gigl_tpu.ops.pallas_kernels import QuantizedTable
+            from gigl_tpu.ops.quantized import QuantizedTable
 
             cache = QuantizedTable.quantize(np.asarray(cache))
         tables = None

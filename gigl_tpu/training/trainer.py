@@ -104,7 +104,7 @@ class NALPTrainerConfig:
     # Matches the reference v1 semantics of frozen precomputed samples;
     # refresh_cache(epoch) is the analog of re-running the Subgraph Sampler.
     cached_hop: bool = False
-    # Store the hop cache int8-quantized (4x less HBM; ops/pallas_kernels
+    # Store the hop cache int8-quantized (4x less HBM; ops/quantized
     # QuantizedTable). Features are quantized at DeviceGraph construction
     # (from_hetero(quantize_features=True)).
     quantize_cache: bool = False

@@ -187,7 +187,7 @@ class TestQuantizedTables:
     def test_quantized_features_train_close_to_fp32(self):
         """int8 features/cache (4x HBM capacity) track the fp32 path."""
         from gigl_tpu.graph.csr import HeteroGraph
-        from gigl_tpu.ops.pallas_kernels import QuantizedTable
+        from gigl_tpu.ops.quantized import QuantizedTable
 
         rng = np.random.default_rng(0)
         n, e = 500, 4000
