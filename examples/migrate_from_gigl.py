@@ -27,6 +27,13 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # The axon plugin registers itself as the default platform even when
+    # JAX_PLATFORMS=cpu is exported; pin explicitly (as tests/conftest.py).
+    import jax
+
+    jax.config.update("jax_platform_name", "cpu")
+
 import numpy as np
 import yaml
 

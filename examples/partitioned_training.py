@@ -14,9 +14,19 @@ Run on any device count (single host with 8 virtual CPU devices shown):
         python examples/partitioned_training.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # The axon plugin registers itself as the default platform even when
+    # JAX_PLATFORMS=cpu is exported; pin explicitly (as tests/conftest.py).
+    jax.config.update("jax_platform_name", "cpu")
 
 from gigl_tpu.graph.csr import HeteroGraph
 from gigl_tpu.graph.splitters import HashedNodeAnchorLinkSplitter
@@ -57,9 +67,14 @@ def main():
         encoder=GNNEncoder(hid_dim=128, out_dim=64, num_layers=2,
                            conv="graphsage"),
         decoder=LinkPredictionDecoder())
+    # cached_hop composes the v1 tabularized FAST path with the v2
+    # partitioned SCALE path (the reference offers one or the other):
+    # sharded frozen sample tables + a deepest-hop aggregate cache fused
+    # into the feature columns — 66% of the replicated fast path's
+    # edges/s on one chip (docs/performance.md).
     cfg = NALPTrainerConfig(fanouts=(10, 5), num_positives=1,
                             num_random_negs=16 * n_dev,
-                            loss_type="retrieval")
+                            loss_type="retrieval", cached_hop=True)
     trainer = PartitionedNALPTrainer(model, pg, mesh, cfg,
                                      optimizer_args={"learning_rate": "1e-3"})
 
