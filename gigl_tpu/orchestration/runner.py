@@ -118,17 +118,23 @@ class Runner:
 
     # -- stages ----------------------------------------------------------------
     def run_data_preprocessor(self, frozen: TaskConfig) -> None:
+        args = dict(frozen.dataset.data_preprocessor_args)
+        # "num_workers" > 1 routes through the rank-sharded pipeline (the
+        # Dataflow-parallelism analog; DataPreprocessor.run_sharded) —
+        # output-equal to run(). Popped before the config class sees the
+        # kwargs (it is a pipeline knob, not a preprocessor arg).
+        workers = int(args.pop("num_workers", "1"))
         cfg = self.pipeline.data_preprocessor_config
         if cfg is None:
             cls_path = frozen.dataset.data_preprocessor_config_cls_path
             if not cls_path:
                 raise ValueError(
                     "No data_preprocessor_config (instance or class path)")
-            cfg = import_obj(cls_path)(
-                **frozen.dataset.data_preprocessor_args)
+            cfg = import_obj(cls_path)(**args)
         out_dir = UriFactory.create(
             frozen.shared.preprocessed_metadata_uri).uri.rsplit("/", 1)[0]
-        meta = DataPreprocessor(cfg, out_dir).run()
+        pre = DataPreprocessor(cfg, out_dir)
+        meta = pre.run_sharded(workers) if workers > 1 else pre.run()
         meta.save(frozen.shared.preprocessed_metadata_uri)
 
     def run_subgraph_sampler(self, frozen: TaskConfig) -> None:

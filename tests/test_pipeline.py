@@ -175,3 +175,35 @@ class TestMockedDatasets:
         coo = g.default_edges
         same = (labels[coo[0]] == labels[coo[1]]).mean()
         assert same > 0.7  # homophily
+
+
+class TestShardedPreprocessorStage:
+    def test_num_workers_arg_routes_through_sharded_pipeline(
+            self, tmp_path):
+        """dataset.data_preprocessor_args["num_workers"] > 1 runs the
+        rank-sharded preprocessing phases inside the stage; artifacts
+        equal the single-process stage's."""
+        g = get_mocked_graph(TOY_GRAPH_NODE_ANCHOR_LP)
+        cfg = mocked_task_config(TOY_GRAPH_NODE_ANCHOR_LP)
+        cfg.dataset.data_preprocessor_args["num_workers"] = "3"
+        template = str(tmp_path / "t.yaml")
+        cfg.save(template)
+        runner = Runner(PipelineConfig(
+            job_name="sharded_pre",
+            template_task_config_uri=template,
+            working_dir=str(tmp_path),
+            data_preprocessor_config=MockedPreprocessorConfig(g),
+        ))
+        frozen = runner.run(stop_after=Component.DATA_PREPROCESSOR)
+        assert UriFactory.create(
+            frozen.shared.preprocessed_metadata_uri).exists()
+        # shard artifacts prove the sharded path executed
+        from gigl_tpu.data.preprocessor import PreprocessedMetadata
+
+        meta = PreprocessedMetadata.load(
+            frozen.shared.preprocessed_metadata_uri)
+        out_dir = UriFactory.create(
+            frozen.shared.preprocessed_metadata_uri).uri.rsplit("/", 1)[0]
+        shards = UriFactory.create(out_dir + "/_shards").list_children()
+        assert any("ids_r2" in str(c) for c in shards)
+        assert meta.num_nodes["default"] == 128
