@@ -153,7 +153,8 @@ def routed_sample_neighbors(
     method: str = "uniform",
     local_weights: Optional[jnp.ndarray] = None,
     weight_window: int = 128,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    local_edge_feats: Optional[jnp.ndarray] = None,
+):
     """Sample ``fanout`` neighbors per frontier node over a row-sharded CSR.
 
     The adjacency is partitioned by anchor-node range: shard p holds the CSR
@@ -177,6 +178,12 @@ def routed_sample_neighbors(
     ``local_weights`` — this shard's CSR-slot-aligned edge weights.
     Draws stay bit-identical to the replicated sampler (same counter-RNG
     keying by global id, same local row slice content).
+
+    ``local_edge_feats`` [E_p, De] (CSR slot order): when given, the owner
+    ALSO returns each sampled edge's feature row and the result is a
+    4-tuple (nbr, mask, ok, edge_feats [G, fanout, De]) — the label-edge-
+    feature hydration of the reference's supervision-edge contract riding
+    the same routed round trip (one extra all_to_all payload).
     """
     from gigl_tpu.sampling.neighbor_sampler import (
         uniform_offsets,
@@ -209,7 +216,10 @@ def routed_sample_neighbors(
         slots = jnp.clip(start[..., None] + offsets, 0,
                          local_indices.shape[0] - 1)
         nbr = jnp.where(mask, local_indices[slots], 0)[0]
-        return nbr.astype(jnp.int32), mask[0], jnp.ones((g,), bool)
+        if local_edge_feats is None:
+            return nbr.astype(jnp.int32), mask[0], jnp.ones((g,), bool)
+        ef = jnp.where(mask[0][..., None], local_edge_feats[slots[0]], 0.0)
+        return nbr.astype(jnp.int32), mask[0], jnp.ones((g,), bool), ef
     if capacity is None:
         capacity = request_capacity(g, num_shards, capacity_factor)
     capacity = min(capacity, g) if g > 0 else capacity
@@ -231,5 +241,11 @@ def routed_sample_neighbors(
     back = jax.lax.all_to_all(packed, axis, 0, 0, tiled=True)
     out, ok_req = _unroute(back, owner, pos, ok)
     out_mask = (out >= 0) & ok_req[:, None]
-    return (jnp.where(out_mask, out, 0).astype(jnp.int32), out_mask,
-            ok_req)
+    nbr_out = jnp.where(out_mask, out, 0).astype(jnp.int32)
+    if local_edge_feats is None:
+        return nbr_out, out_mask, ok_req
+    ef = jnp.where(mask[..., None], local_edge_feats[slots], 0.0)
+    back_ef = jax.lax.all_to_all(ef, axis, 0, 0, tiled=True)
+    ef_out, _ = _unroute(back_ef, owner, pos, ok)
+    ef_out = jnp.where(out_mask[..., None], ef_out, 0.0)
+    return nbr_out, out_mask, ok_req, ef_out

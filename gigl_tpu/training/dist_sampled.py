@@ -100,7 +100,7 @@ def _shard_csr(indptr: np.ndarray, indices: np.ndarray, num_shards: int,
         ix_arr[p, : len(b)] = b
     if weights is None:
         return np.stack(blocks_ip), ix_arr
-    w_arr = np.zeros((num_shards, e_pad), np.float32)
+    w_arr = np.zeros((num_shards, e_pad) + weights.shape[1:], np.float32)
     for p, b in enumerate(blocks_w):
         w_arr[p, : len(b)] = b
     return np.stack(blocks_ip), ix_arr, w_arr
@@ -153,6 +153,12 @@ class PartitionedGraph:
     # Per-shard message-CSR edge weights [P, E_pad] fp32 (weighted/top-k
     # neighbor sampling over the partitioned graph; None = uniform only).
     msg_weights: Optional[jax.Array] = None
+    # Per-shard supervision / hard-negative LABEL edge features
+    # [P, E_pad, De] in CSR slot order (the reference's
+    # label_edge_features contract over the partitioned graph — hydrated
+    # owner-side in the same routed round trip as the positive draw).
+    sup_edge_feats: Optional[jax.Array] = None
+    hard_edge_feats: Optional[jax.Array] = None
 
     @classmethod
     def build(cls, device_graph, mesh, axis: str = DATA_AXIS,
@@ -161,12 +167,6 @@ class PartitionedGraph:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         dg = device_graph
-        if getattr(dg, "sup_edge_features", None) is not None:
-            logger.warning(
-                "PartitionedGraph does not carry supervision (label) edge "
-                "features yet; the partitioned trainer will score "
-                "positives without them (replicated NALPTrainer supports "
-                "them)")
         num_shards = int(mesh.shape[axis])
         n = dg.num_nodes
         rows = -(-n // num_shards)  # ceil
@@ -205,16 +205,33 @@ class PartitionedGraph:
                                         np.asarray(dg.message_csr.indices),
                                         num_shards, rows)
         sup_ip = sup_ix = hard_ip = hard_ix = None
+        sup_ef = hard_ef = None
         if dg.supervision_csr is not None:
-            a, b = _shard_csr(np.asarray(dg.supervision_csr.indptr),
-                              np.asarray(dg.supervision_csr.indices),
-                              num_shards, rows)
+            if dg.sup_edge_features is not None:
+                a, b, ef = _shard_csr(
+                    np.asarray(dg.supervision_csr.indptr),
+                    np.asarray(dg.supervision_csr.indices),
+                    num_shards, rows,
+                    weights=np.asarray(dg.sup_edge_features))
+                sup_ef = jax.device_put(ef, blk_sh)
+            else:
+                a, b = _shard_csr(np.asarray(dg.supervision_csr.indptr),
+                                  np.asarray(dg.supervision_csr.indices),
+                                  num_shards, rows)
             sup_ip = jax.device_put(a, blk_sh)
             sup_ix = jax.device_put(b, blk_sh)
         if dg.hard_neg_csr is not None:
-            a, b = _shard_csr(np.asarray(dg.hard_neg_csr.indptr),
-                              np.asarray(dg.hard_neg_csr.indices),
-                              num_shards, rows)
+            if dg.hard_neg_edge_features is not None:
+                a, b, ef = _shard_csr(
+                    np.asarray(dg.hard_neg_csr.indptr),
+                    np.asarray(dg.hard_neg_csr.indices),
+                    num_shards, rows,
+                    weights=np.asarray(dg.hard_neg_edge_features))
+                hard_ef = jax.device_put(ef, blk_sh)
+            else:
+                a, b = _shard_csr(np.asarray(dg.hard_neg_csr.indptr),
+                                  np.asarray(dg.hard_neg_csr.indices),
+                                  num_shards, rows)
             hard_ip = jax.device_put(a, blk_sh)
             hard_ix = jax.device_put(b, blk_sh)
         labels = None
@@ -232,6 +249,8 @@ class PartitionedGraph:
             quantized=quantize_features,
             labels=labels,
             msg_weights=msg_w,
+            sup_edge_feats=sup_ef,
+            hard_edge_feats=hard_ef,
         )
 
     def decode_rows(self, rows: jnp.ndarray
@@ -480,6 +499,8 @@ class PartitionedNALPTrainer:
         # Tabularized fast path over the PARTITIONED graph: keep the base
         # graph for refreshes, build sharded cache + sample tables.
         self.pg_base = pgraph
+        self._has_sup_ef = pgraph.sup_edge_feats is not None
+        self._has_hard_ef = pgraph.hard_edge_feats is not None
         self._cached = bool(getattr(config, "cached_hop", False))
         if self._cached:
             from gigl_tpu.models.encoders import cached_agg_kind
@@ -524,7 +545,7 @@ class PartitionedNALPTrainer:
         gspec = (P(axis), P(axis, None), P(axis, None),
                  P(axis, None), P(axis, None),
                  P(axis, None), P(axis, None),
-                 P(axis, None),
+                 P(axis, None), P(axis, None), P(axis, None),
                  tuple(P(axis) for _ in range(n_tab)))
         self._tab_index = {
             int(k): i
@@ -590,23 +611,33 @@ class PartitionedNALPTrainer:
                          np.int32), sh)
             hard_ix = jax.device_put(
                 np.zeros((self.num_shards, 1), np.int32), sh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        blk = NamedSharding(self.mesh, P(self.axis, None))
         msg_w = pg.msg_weights
         if msg_w is None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
             msg_w = jax.device_put(
-                np.zeros((self.num_shards, 1), np.float32),
-                NamedSharding(self.mesh, P(self.axis, None)))
+                np.zeros((self.num_shards, 1), np.float32), blk)
+        sup_ef = pg.sup_edge_feats
+        if sup_ef is None:
+            sup_ef = jax.device_put(
+                np.zeros((self.num_shards, 1, 1), np.float32), blk)
+        hard_ef = pg.hard_edge_feats
+        if hard_ef is None:
+            hard_ef = jax.device_put(
+                np.zeros((self.num_shards, 1, 1), np.float32), blk)
         return (pg.feat_deg, pg.msg_indptr, pg.msg_indices, sup_ip, sup_ix,
-                hard_ip, hard_ix, msg_w, tuple(pg.sample_tables or ()))
+                hard_ip, hard_ix, msg_w, sup_ef, hard_ef,
+                tuple(pg.sample_tables or ()))
 
     @staticmethod
     def _unblock(g):
         """Strip the leading per-shard block dim off the CSR pairs."""
         (fd, msg_ip, msg_ix, sup_ip, sup_ix, hard_ip, hard_ix, msg_w,
-         tabs) = g
+         sup_ef, hard_ef, tabs) = g
         return (fd, msg_ip[0], msg_ix[0], sup_ip[0], sup_ix[0],
-                hard_ip[0], hard_ix[0], msg_w[0], tabs)
+                hard_ip[0], hard_ix[0], msg_w[0], sup_ef[0], hard_ef[0],
+                tabs)
 
     def _sample_tree(self, g, roots, seed_offset):
         """Frontier expansion; returns (node_ids, masks, overflow_count).
@@ -663,7 +694,7 @@ class PartitionedNALPTrainer:
         gather per hop (the frozen tables are seed-independent in-step, so
         group frontiers concatenate into a single request vector — 3x
         fewer routed round trips than per-group expansion)."""
-        tabs = g[8]
+        tabs = g[10]
         sizes0 = [int(np.prod(r.shape)) for (r, _off) in groups]
         frontier = jnp.concatenate(
             [r.reshape(-1) for (r, _off) in groups]).astype(jnp.int32)
@@ -746,10 +777,21 @@ class PartitionedNALPTrainer:
     def _make_batch(self, g, anchors, step):
         cfg = self.cfg
         sup_ip, sup_ix, hard_ip, hard_ix = g[3], g[4], g[5], g[6]
-        pos, pos_mask, ok_p = routed_sample_neighbors(
-            sup_ip, sup_ix, anchors, cfg.num_positives, axis=self.axis,
-            seed=cfg.seed, hop=1_000_003 + step,
-            capacity_factor=self.capacity_factor)
+        sup_ef_l, hard_ef_l = g[8], g[9]
+        pos_ef = hard_ef = None
+        if self._has_sup_ef:
+            # Owner-side label-edge-feature hydration rides the same
+            # routed positive draw (ref nalp_data_loader.py:44-46).
+            pos, pos_mask, ok_p, pos_ef = routed_sample_neighbors(
+                sup_ip, sup_ix, anchors, cfg.num_positives, axis=self.axis,
+                seed=cfg.seed, hop=1_000_003 + step,
+                capacity_factor=self.capacity_factor,
+                local_edge_feats=sup_ef_l)
+        else:
+            pos, pos_mask, ok_p = routed_sample_neighbors(
+                sup_ip, sup_ix, anchors, cfg.num_positives, axis=self.axis,
+                seed=cfg.seed, hop=1_000_003 + step,
+                capacity_factor=self.capacity_factor)
         ovf = jnp.sum(~ok_p, dtype=jnp.int32)
         # Shared random negatives: the SAME global draw on every shard
         # (counter RNG keyed by step only) — batch-shared negatives across
@@ -760,17 +802,26 @@ class PartitionedNALPTrainer:
         rand = (bits % jnp.uint32(self.pg.num_nodes)).astype(jnp.int32)
         h = cfg.num_hard_negs
         if h > 0:
-            hard, hard_mask, ok_h = routed_sample_neighbors(
-                hard_ip, hard_ix, anchors, h, axis=self.axis,
-                seed=cfg.seed, hop=2_000_003 + step,
-                capacity_factor=self.capacity_factor)
+            if self._has_hard_ef:
+                hard, hard_mask, ok_h, hard_ef = routed_sample_neighbors(
+                    hard_ip, hard_ix, anchors, h, axis=self.axis,
+                    seed=cfg.seed, hop=2_000_003 + step,
+                    capacity_factor=self.capacity_factor,
+                    local_edge_feats=hard_ef_l)
+            else:
+                hard, hard_mask, ok_h = routed_sample_neighbors(
+                    hard_ip, hard_ix, anchors, h, axis=self.axis,
+                    seed=cfg.seed, hop=2_000_003 + step,
+                    capacity_factor=self.capacity_factor)
             ovf += jnp.sum(~ok_h, dtype=jnp.int32)
         else:
             hard = jnp.zeros(anchors.shape + (h,), jnp.int32)
             hard_mask = jnp.zeros(anchors.shape + (h,), bool)
         return NALPBatch(anchors=anchors.astype(jnp.int32), pos=pos,
                          pos_mask=pos_mask, hard_neg=hard,
-                         hard_neg_mask=hard_mask, random_neg=rand), ovf
+                         hard_neg_mask=hard_mask, random_neg=rand,
+                         pos_edge_feats=pos_ef,
+                         hard_neg_edge_feats=hard_ef), ovf
 
     def _loss_local(self, g, params, cms, anchors, step, rng):
         batch, ovf = self._make_batch(g, anchors, step)
@@ -871,7 +922,12 @@ class PartitionedNALPTrainer:
             feats.append(jnp.zeros(shape + (d,), jnp.float32))
             masks.append(jnp.ones(shape, bool))
             if hasattr(type(self.model), "warmup"):
+                lef = None
+                if self.pg.sup_edge_feats is not None:
+                    lef = jnp.zeros(
+                        (1, self.pg.sup_edge_feats.shape[-1]), jnp.float32)
                 params = self.model.init(rng, feats, masks,
+                                         label_edge_feats=lef,
                                          method="warmup")
             else:
                 params = self.model.init(rng, feats, masks)
@@ -999,7 +1055,7 @@ class PartitionedNodeClassificationTrainer(PartitionedNALPTrainer):
         gspec = (P(axis), P(axis, None), P(axis, None),
                  P(axis, None), P(axis, None),
                  P(axis, None), P(axis, None),
-                 P(axis, None),
+                 P(axis, None), P(axis, None), P(axis, None),
                  tuple(P(axis) for _ in range(n_tab)))
         self._tab_index = {
             int(k): i

@@ -225,6 +225,7 @@ class TestPartitionedHeteroTabularized:
         assert float(losses[0]) == pytest.approx(np.mean(per_shard),
                                                  rel=1e-4)
 
+    @pytest.mark.slow
     def test_tables_match_replicated_and_refresh(self):
         mesh, g, hdg, paths, model, cfg, trainer = self._setup_tab()
         hdg_tab = hdg.with_sample_tables(paths, seed=cfg.seed)
@@ -238,6 +239,7 @@ class TestPartitionedHeteroTabularized:
                       for k, v in trainer.pg.sample_tables.items())
         assert changed
 
+    @pytest.mark.slow
     def test_trains_and_evaluates(self):
         mesh, g, hdg, paths, model, cfg, trainer = self._setup_tab()
         B, K = 32, 10

@@ -304,6 +304,7 @@ class TestPartitionedWeightedSampling:
         np.testing.assert_array_equal(np.asarray(mask), np.asarray(ref_mask))
         np.testing.assert_array_equal(np.asarray(nbr), np.asarray(ref_nbr))
 
+    @pytest.mark.slow
     def test_weighted_trainer_step_and_tabularized_tables(self):
         mesh = _mesh()
         dg = self._weighted_toy()
@@ -475,6 +476,7 @@ class TestOverflowSurfacing:
         with pytest.raises(RuntimeError, match="capacity"):
             trainer.train_steps(state, anchors, jax.random.PRNGKey(1))
 
+    @pytest.mark.slow
     def test_grow_policy_doubles_capacity(self):
         trainer = self._skewed_setup("grow")
         f0 = trainer.capacity_factor
@@ -655,3 +657,110 @@ class TestPartitionedNodeClassification:
         with pytest.raises(ValueError, match="labels"):
             PartitionedNodeClassificationTrainer(
                 enc, pg, mesh, NodeClassificationTrainerConfig())
+
+
+class TestPartitionedLabelEdgeFeatures:
+    """Supervision (label) edge features over the PARTITIONED graph:
+    hydrated owner-side in the routed positive/hard-neg draw and scored
+    by the edge scorer — loss parity with the replicated trainer."""
+
+    def _setup(self):
+        from gigl_tpu.models.link_prediction import EdgeFeatureScorer
+
+        n, e, d, de = 256, 2048, 16, 3
+        rng = np.random.default_rng(11)
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+        g = HeteroGraph.homogeneous(
+            src=src, dst=dst, num_nodes=n,
+            node_features=rng.normal(size=(n, d)).astype(np.float32))
+        sup_ef = rng.normal(size=(e, de)).astype(np.float32)
+        hard = np.stack([dst, src])
+        hard_ef = rng.normal(size=(e, de)).astype(np.float32)
+        dg = DeviceGraph.from_hetero(
+            g, supervision_edges=np.stack([src, dst]),
+            hard_neg_edges=hard,
+            supervision_edge_features=sup_ef,
+            hard_neg_edge_features=hard_ef)
+        enc = GNNEncoder(hid_dim=32, out_dim=16, num_layers=2,
+                         conv="graphsage", dropout=0.0)
+        model = LinkPredictionGNN(
+            encoder=enc, decoder=LinkPredictionDecoder(),
+            edge_scorer=EdgeFeatureScorer(hidden_dim=8))
+        cfg = NALPTrainerConfig(fanouts=(5, 3), num_positives=2,
+                                num_hard_negs=2, num_random_negs=64,
+                                loss_type="retrieval")
+        return dg, model, cfg
+
+    def test_hydration_matches_replicated_batch(self):
+        mesh = _mesh()
+        dg, model, cfg = self._setup()
+        pg = PartitionedGraph.build(dg, mesh)
+        assert pg.sup_edge_feats is not None
+        trainer = PartitionedNALPTrainer(model, pg, mesh, cfg,
+                                         capacity_factor=8.0)
+        # run the batch maker under shard_map and compare to the
+        # replicated sample_nalp_batch for the same anchors/step
+        from jax.sharding import PartitionSpec as SP
+
+        anchors = (np.arange(64, dtype=np.int32) * 5) % dg.num_nodes
+
+        def body(g, a):
+            batch, _ = trainer._make_batch(trainer._unblock(g), a, 3)
+            return batch.pos, batch.pos_mask, batch.pos_edge_feats
+
+        fn = jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(trainer._train_steps.__wrapped__ and None or None,)
+            if False else ((SP(AXIS), SP(AXIS, None), SP(AXIS, None),
+                            SP(AXIS, None), SP(AXIS, None),
+                            SP(AXIS, None), SP(AXIS, None),
+                            SP(AXIS, None), SP(AXIS, None), SP(AXIS, None),
+                            ()), SP(AXIS)),
+            out_specs=(SP(AXIS), SP(AXIS), SP(AXIS)), check_vma=False))
+        pos, mask, ef = fn(trainer._graph_args(),
+                           jnp.asarray(anchors, jnp.int32))
+        ref = dg.sample_nalp_batch(jnp.asarray(anchors), num_positives=2,
+                                   num_hard_negs=2, num_random_negs=64,
+                                   seed=cfg.seed, step=3)
+        np.testing.assert_array_equal(np.asarray(pos), np.asarray(ref.pos))
+        np.testing.assert_array_equal(np.asarray(mask),
+                                      np.asarray(ref.pos_mask))
+        # masked slots differ by design (routed zero-fills; replicated
+        # hydrates the slot-0 junk row, masked downstream): compare valid.
+        m = np.asarray(ref.pos_mask)
+        np.testing.assert_allclose(np.asarray(ef)[m],
+                                   np.asarray(ref.pos_edge_feats)[m],
+                                   rtol=1e-6, atol=1e-6)
+        assert (np.asarray(ef)[~m] == 0).all()
+
+    @pytest.mark.slow
+    def test_loss_parity_with_replicated(self):
+        mesh = _mesh()
+        dg, model, cfg = self._setup()
+        pg = PartitionedGraph.build(dg, mesh)
+        trainer = PartitionedNALPTrainer(model, pg, mesh, cfg,
+                                         capacity_factor=8.0)
+        B = 64
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=B)
+        anchors = np.arange(B, dtype=np.int32) * 3 % dg.num_nodes
+        params0 = jax.tree_util.tree_map(np.asarray, state.params)
+        ref = NALPTrainer(model, dg, cfg)
+        b = B // 8
+        per_shard = []
+        for s in range(8):
+            a = jnp.asarray(anchors[s * b: (s + 1) * b])
+            batch = dg.sample_nalp_batch(
+                a, num_positives=2, num_hard_negs=2, num_random_negs=64,
+                seed=cfg.seed, step=0)
+            q = ref._encode_impl(dg, params0, batch.anchors, 0, False)
+            pos = ref._encode_impl(dg, params0, batch.pos, 1, False)
+            rand = ref._encode_impl(dg, params0, batch.random_neg, 2, False)
+            hard = ref._encode_impl(dg, params0, batch.hard_neg, 3, False)
+            loss, _ = nalp_loss_from_embeddings(
+                model, params0, cfg, batch, q, pos, hard, rand)
+            per_shard.append(float(loss))
+        _, losses = trainer.train_steps(state, anchors[None, :],
+                                        jax.random.PRNGKey(1))
+        assert float(losses[0]) == pytest.approx(np.mean(per_shard),
+                                                 rel=1e-4)

@@ -158,6 +158,7 @@ def cora():
 
 
 class TestNALPQualityParity:
+    @pytest.mark.slow
     def test_final_val_mrr_matches_torch(self, cora):
         g, edges, _labels = cora
         n = g.num_nodes[g.metadata.node_types[0]]

@@ -66,6 +66,7 @@ class TestEllGraphStructure:
 class TestEllVsCooParity:
     @pytest.mark.parametrize("conv", [
         "graphsage", "gcn", "gin", "gat", "gatv2", "transformer"])
+    @pytest.mark.slow
     def test_encode_matches_coo(self, conv):
         src, dst, feats, n = _graph()
         csr = build_csr(src, dst, num_anchor_nodes=n, anchor="dst")

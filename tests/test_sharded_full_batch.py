@@ -77,6 +77,7 @@ def test_train_step_reduces_loss_and_stays_sharded():
     assert "accuracy" in metrics and "test_accuracy" in metrics
 
 
+@pytest.mark.slow
 def test_learns_separable_labels():
     # Labels correlated with features: accuracy should beat chance solidly.
     rng = np.random.default_rng(3)

@@ -131,6 +131,7 @@ class TestSSLTrainer:
         coo = g.default_edges
         return DeviceGraph.from_hetero(g, supervision_edges=np.asarray(coo))
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("task", list(SSL_TASKS))
     def test_each_task_trains(self, task):
         dg = self._graph()

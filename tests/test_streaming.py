@@ -155,6 +155,7 @@ class TestStreamedParity:
         _, lbf = stream_bf.run_steps(st_bf, anchors, jax.random.PRNGKey(1))
         np.testing.assert_allclose(l32, lbf, rtol=0.05, atol=0.05)
 
+    @pytest.mark.slow
     def test_mesh_streaming_matches_single_chip(self):
         """Streamed training over an 8-device data-parallel mesh (batch
         arrays sharded on the root dim, params replicated, XLA-inserted
