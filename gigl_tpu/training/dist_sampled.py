@@ -475,10 +475,6 @@ class PartitionedNALPTrainer:
                  axis: str = DATA_AXIS,
                  capacity_factor: float = 4.0,
                  overflow_policy: str = "warn"):
-        # getattr: the NC config dataclass has no NALP-only fields.
-        if getattr(config, "use_cms_correction", False):
-            raise ValueError("CMS correction keeps per-shard sketch state; "
-                             "not supported in the partitioned trainer")
         if getattr(config, "num_random_negs", 0) % int(mesh.shape[axis]):
             raise ValueError("num_random_negs must divide the mesh axis size")
         if overflow_policy not in ("warn", "raise", "silent", "grow"):
@@ -840,7 +836,9 @@ class PartitionedNALPTrainer:
         # Candidate embeddings shared across the global batch.
         rand = jax.lax.all_gather(rand_l, self.axis, axis=0, tiled=True)
         loss, cms = nalp_loss_from_embeddings(
-            self.model, params, self.cfg, batch, q, pos, hard, rand, cms)
+            self.model, params, self.cfg, batch, q, pos, hard, rand, cms,
+            cms_reduce=(lambda x: jax.lax.psum(x, self.axis))
+            if cms is not None else None)
         return loss, (cms, ovf)
 
     def _step_local(self, g, state: TrainState, anchors, rng):
@@ -933,7 +931,8 @@ class PartitionedNALPTrainer:
                 params = self.model.init(rng, feats, masks)
         from gigl_tpu.losses.count_min_sketch import cms_init
 
-        cms = cms_init() if self.cfg.use_cms_correction else None
+        cms = (cms_init()
+               if getattr(self.cfg, "use_cms_correction", False) else None)
         return TrainState(params=params, opt_state=self.tx.init(params),
                           step=jnp.zeros((), jnp.int32), cms=cms)
 

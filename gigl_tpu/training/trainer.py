@@ -117,14 +117,23 @@ class NALPTrainerConfig:
 
 
 def nalp_loss_from_embeddings(model, params, cfg, batch: NALPBatch,
-                              q, pos, hard, rand, cms=None):
+                              q, pos, hard, rand, cms=None,
+                              cms_reduce=None):
     """NALP loss from already-encoded group embeddings (shared by the
     device-resident NALPTrainer and the host-streamed trainer).
 
     Appendix A.2 contract for the retrieval loss: queries repeated once per
     positive; candidates = positives ++ random negatives; labels diagonal;
     optional CMS sampled-softmax logQ correction and accidental-hit
-    masking. Returns (mean loss, updated cms)."""
+    masking. Returns (mean loss, updated cms).
+
+    ``cms_reduce`` (partitioned trainers): a cross-shard sum (lax.psum)
+    applied to the CMS count delta of the SHARD-LOCAL candidate ids
+    (positives + hard negatives); the batch-shared random negatives —
+    identical draw on every shard — are counted once locally. The updated
+    sketch then holds exactly the GLOBAL batch's candidate counts, so the
+    logQ correction matches a replicated full-batch run and every shard's
+    sketch state stays bit-identical."""
     B, P, D = pos.shape
 
     def decode(a, b, ef=None):
@@ -184,7 +193,20 @@ def nalp_loss_from_embeddings(model, params, cfg, batch: NALPBatch,
         qmask = batch.pos_mask.reshape(-1)
         prob = None
         if cms is not None:
-            cms = cms_add(cms, cids)
+            if cms_reduce is None:
+                cms = cms_add(cms, cids)
+            else:
+                zero = CountMinSketch(jnp.zeros_like(cms.table),
+                                      jnp.zeros_like(cms.total))
+                # local (per-shard) candidates: everything but the shared
+                # random negatives (id_parts[-1]).
+                own = cms_add(zero, jnp.concatenate(id_parts[:-1]))
+                shared = cms_add(zero, id_parts[-1])
+                cms = CountMinSketch(
+                    table=(cms.table + cms_reduce(own.table)
+                           + shared.table),
+                    total=(cms.total + cms_reduce(own.total)
+                           + shared.total))
             prob = cms_sampling_probability(cms, cids)
         loss_sum, count = retrieval_loss(
             scores,

@@ -764,3 +764,40 @@ class TestPartitionedLabelEdgeFeatures:
                                         jax.random.PRNGKey(1))
         assert float(losses[0]) == pytest.approx(np.mean(per_shard),
                                                  rel=1e-4)
+
+
+class TestPartitionedCmsCorrection:
+    """Retrieval logQ correction over the partitioned graph: per-shard CMS
+    count deltas are psum-reduced (shared random negatives counted once),
+    so the sketch state equals the replicated full-batch trainer's
+    bit-for-bit and every shard stays in sync."""
+
+    def test_sketch_state_matches_replicated(self):
+        mesh = _mesh()
+        dg = _toy()
+        model = _model()
+        cfg = NALPTrainerConfig(fanouts=(5, 3), num_positives=2,
+                                num_random_negs=64, loss_type="retrieval",
+                                use_cms_correction=True)
+        trainer = PartitionedNALPTrainer(model, pg := PartitionedGraph.build(
+            dg, mesh), mesh, cfg, capacity_factor=8.0)
+        B, K = 64, 3
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=B)
+        params0 = jax.tree_util.tree_map(np.asarray, state.params)
+        anchors = ((np.arange(K * B).reshape(K, B) * 7) %
+                   dg.num_nodes).astype(np.int32)
+        state, losses = trainer.train_steps(state, anchors,
+                                            jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(losses)).all()
+
+        rep = NALPTrainer(model, dg, cfg)
+        st_r = rep.init_state(jax.random.PRNGKey(0), batch_size=B,
+                              params=jax.tree_util.tree_map(
+                                  jnp.asarray, params0))
+        st_r, _ = rep.train_steps(st_r, anchors, jax.random.PRNGKey(1))
+        # Same candidate multiset added per step -> identical sketches.
+        np.testing.assert_array_equal(np.asarray(state.cms.table),
+                                      np.asarray(st_r.cms.table))
+        assert int(state.cms.total) == int(st_r.cms.total)
+        expected = K * (B * cfg.num_positives + cfg.num_random_negs)
+        assert int(state.cms.total) == expected
