@@ -554,6 +554,12 @@ class NALPTrainer:
 class NodeClassificationTrainerConfig:
     fanouts: Tuple[int, ...] = (10, 5)
     seed: int = 0
+    # Tabularized fast path over the PARTITIONED NC backend (the same
+    # frozen-table semantics as NALPTrainerConfig.cached_hop; consumed by
+    # PartitionedNodeClassificationTrainer — the replicated NC trainer
+    # samples live).
+    cached_hop: bool = False
+    sampling_method: str = "uniform"
 
 
 class NodeClassificationTrainer:

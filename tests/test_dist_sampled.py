@@ -801,3 +801,48 @@ class TestPartitionedCmsCorrection:
         assert int(state.cms.total) == int(st_r.cms.total)
         expected = K * (B * cfg.num_positives + cfg.num_random_negs)
         assert int(state.cms.total) == expected
+
+
+class TestPartitionedNodeClassificationTabularized:
+    def test_nc_tabularized_trains_and_matches_tables(self):
+        """cached_hop on the partitioned NC backend: frozen sharded tables
+        + fused aggregate cache drive the encode; logits stay finite and
+        the tables equal the replicated builders'."""
+        from gigl_tpu.training.dist_sampled import (
+            PartitionedNodeClassificationTrainer,
+        )
+        from gigl_tpu.training.trainer import (
+            NodeClassificationTrainerConfig,
+        )
+
+        mesh = _mesh()
+        n, e, d, classes = 256, 2048, 16, 4
+        rng = np.random.default_rng(9)
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+        g = HeteroGraph.homogeneous(
+            src=src, dst=dst, num_nodes=n,
+            node_features=rng.normal(size=(n, d)).astype(np.float32),
+            node_labels=(np.arange(n) % classes))
+        dg = DeviceGraph.from_hetero(g)
+        pg = PartitionedGraph.build(dg, mesh)
+        enc = GNNEncoder(hid_dim=32, out_dim=classes, num_layers=2,
+                         conv="graphsage", dropout=0.0)
+        cfg = NodeClassificationTrainerConfig(fanouts=(5, 3),
+                                              cached_hop=True)
+        tr = PartitionedNodeClassificationTrainer(
+            enc, pg, mesh, cfg, capacity_factor=8.0,
+            optimizer_args={"learning_rate": "0.01"})
+        assert tr.pg.sample_tables is not None
+        dg_tab = dg.with_neighbor_cache(fanout=3, seed=0, hop_key=2,
+                                        agg="mean", table_fanouts=(5,))
+        np.testing.assert_array_equal(
+            np.asarray(dg_tab.sample_tables[5]),
+            np.asarray(tr.pg.sample_tables[0])[:n])
+        state = tr.init_state(jax.random.PRNGKey(0), batch_size=64)
+        nodes = ((np.arange(3 * 64).reshape(3, 64) * 5) % n).astype(
+            np.int32)
+        state, losses = tr.train_steps(state, nodes, jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(losses)).all()
+        acc = tr.evaluate(state.params, [np.arange(64, dtype=np.int32)])
+        assert 0.0 <= acc <= 1.0
