@@ -85,7 +85,7 @@ def np_counter_rng_uniform(node_ids: np.ndarray, seed: int, hop: int,
 
 def np_sample_fanout(indptr: np.ndarray, indices: np.ndarray,
                      roots: np.ndarray, fanout: int, *, seed: int,
-                     hop: int) -> Tuple[np.ndarray, np.ndarray]:
+                     hop: int, return_slots: bool = False):
     """numpy mirror of the device uniform sampler (neighbor_sampler.
     sample_neighbors, method="uniform"); used when the C++ engine is
     unavailable. Returns (neighbor_ids [R, fanout], mask [R, fanout])."""
@@ -105,6 +105,8 @@ def np_sample_fanout(indptr: np.ndarray, indices: np.ndarray,
     mask = np.where(take_all, slot_iota < deg[:, None], (deg > 0)[:, None])
     slots = np.clip(start[:, None] + offsets, 0, max(len(indices) - 1, 0))
     nbr = indices[slots] if len(indices) else np.zeros_like(slots, np.int32)
+    if return_slots:
+        return np.where(mask, nbr, 0).astype(np.int32), mask, slots
     return np.where(mask, nbr, 0).astype(np.int32), mask
 
 
@@ -149,6 +151,11 @@ class HostGraphStore:
     # training_samples_schema.proto hard_neg edges).
     hard_neg_indptr: Optional[np.ndarray] = None
     hard_neg_indices: Optional[np.ndarray] = None
+    # Supervision / hard-negative LABEL edge features in CSR slot order
+    # (ref nalp_data_loader.py:44-46 label_edge_features): hydrated per
+    # sampled positive/hard negative into the streamed batch.
+    sup_edge_features: Optional[np.ndarray] = None
+    hard_neg_edge_features: Optional[np.ndarray] = None
 
     @classmethod
     def build(
@@ -162,6 +169,8 @@ class HostGraphStore:
         seed: int = 0,
         agg: str = "mean",
         hard_neg_edges: Optional[np.ndarray] = None,  # [2, Eh]
+        supervision_edge_features: Optional[np.ndarray] = None,  # [Es, De]
+        hard_neg_edge_features: Optional[np.ndarray] = None,     # [Eh, De]
     ) -> "HostGraphStore":
         from gigl_tpu.graph.csr import build_csr
 
@@ -171,17 +180,31 @@ class HostGraphStore:
         sup = build_csr(supervision_edges[0], supervision_edges[1],
                         num_anchor_nodes=num_nodes,
                         num_neighbor_nodes=num_nodes, anchor="dst")
+        sup_ef = None
+        if supervision_edge_features is not None:
+            sup_ef = np.ascontiguousarray(
+                np.asarray(supervision_edge_features, np.float32)[
+                    sup.edge_ids])
         hn_ip = hn_ix = None
+        hn_ef = None
         if hard_neg_edges is not None:
             hn = build_csr(hard_neg_edges[0], hard_neg_edges[1],
                            num_anchor_nodes=num_nodes,
                            num_neighbor_nodes=num_nodes, anchor="dst")
             hn_ip = hn.indptr.astype(np.int64)
             hn_ix = hn.indices.astype(np.int32)
+            if hard_neg_edge_features is not None:
+                hn_ef = np.ascontiguousarray(
+                    np.asarray(hard_neg_edge_features, np.float32)[
+                        hn.edge_ids])
+        elif hard_neg_edge_features is not None:
+            raise ValueError("hard_neg_edge_features needs hard_neg_edges")
         degrees = np.diff(msg.indptr).astype(np.float32)
         store = cls(
             hard_neg_indptr=hn_ip,
             hard_neg_indices=hn_ix,
+            sup_edge_features=sup_ef,
+            hard_neg_edge_features=hn_ef,
             message_indptr=msg.indptr.astype(np.int64),
             message_indices=msg.indices.astype(np.int32),
             supervision_indptr=sup.indptr.astype(np.int64),
@@ -344,7 +367,12 @@ class StreamingNALPTrainer:
             hard_neg_mask=put(ids.hard_neg_mask) if h.shape[-1]
             else jax.device_put(np.asarray(ids.hard_neg_mask),
                                 self._repl_sh),
-            random_neg=put(ids.random_neg))
+            random_neg=put(ids.random_neg),
+            pos_edge_feats=(put(ids.pos_edge_feats)
+                            if ids.pos_edge_feats is not None else None),
+            hard_neg_edge_feats=(put(ids.hard_neg_edge_feats)
+                                 if ids.hard_neg_edge_feats is not None
+                                 else None))
         return StreamedBatch(ids=ids, q=put_group(batch.q),
                              pos=put_group(batch.pos),
                              rand=put_group(batch.rand),
@@ -411,33 +439,45 @@ class StreamingNALPTrainer:
         cfg = self.cfg
         anchors = np.asarray(anchors, np.int32)
         if native.available():
-            pos, pos_mask, _ = native.sample_fanout_native(
+            pos, pos_mask, pos_slots = native.sample_fanout_native(
                 self.store.supervision_indptr, self.store.supervision_indices,
                 anchors, cfg.num_positives,
                 seed=cfg.seed, hop=1_000_003 + step)
         else:
-            pos, pos_mask = np_sample_fanout(
+            pos, pos_mask, pos_slots = np_sample_fanout(
                 self.store.supervision_indptr, self.store.supervision_indices,
                 anchors, cfg.num_positives,
-                seed=cfg.seed, hop=1_000_003 + step)
+                seed=cfg.seed, hop=1_000_003 + step, return_slots=True)
+        pos_ef = None
+        if self.store.sup_edge_features is not None:
+            pos_ef = np.where(
+                pos_mask[..., None],
+                self.store.sup_edge_features[pos_slots], 0.0
+            ).astype(self._stream_np_dtype, copy=False)
         bits = np_counter_rng_uniform(
             np.arange(cfg.num_random_negs, dtype=np.int32),
             cfg.seed, 3_000_017 + step, 1)[:, 0]
         rand = (bits % np.uint32(self.store.num_nodes)).astype(np.int32)
         hard_tree = None
+        hard_ef = None
         if cfg.num_hard_negs > 0:
             # Device-parity draw (dataset.py sample_batch: hop 2_000_003+step
             # on the hard-negative CSR).
             if native.available():
-                h, h_mask, _ = native.sample_fanout_native(
+                h, h_mask, h_slots = native.sample_fanout_native(
                     self.store.hard_neg_indptr, self.store.hard_neg_indices,
                     anchors, cfg.num_hard_negs,
                     seed=cfg.seed, hop=2_000_003 + step)
             else:
-                h, h_mask = np_sample_fanout(
+                h, h_mask, h_slots = np_sample_fanout(
                     self.store.hard_neg_indptr, self.store.hard_neg_indices,
                     anchors, cfg.num_hard_negs,
-                    seed=cfg.seed, hop=2_000_003 + step)
+                    seed=cfg.seed, hop=2_000_003 + step, return_slots=True)
+            if self.store.hard_neg_edge_features is not None:
+                hard_ef = np.where(
+                    h_mask[..., None],
+                    self.store.hard_neg_edge_features[h_slots], 0.0
+                ).astype(self._stream_np_dtype, copy=False)
             h = np.where(h_mask, h, 0)
             hard_tree = self._tree(h)
         else:
@@ -445,7 +485,8 @@ class StreamingNALPTrainer:
             h_mask = h.astype(bool)
         ids = NALPBatch(anchors=anchors, pos=pos, pos_mask=pos_mask,
                         hard_neg=h, hard_neg_mask=h_mask,
-                        random_neg=rand)
+                        random_neg=rand, pos_edge_feats=pos_ef,
+                        hard_neg_edge_feats=hard_ef)
         return StreamedBatch(ids=ids, q=self._tree(anchors),
                              pos=self._tree(pos), rand=self._tree(rand),
                              hard=hard_tree)
@@ -516,6 +557,10 @@ class StreamingNALPTrainer:
             cached_agg=[jnp.asarray(c) for c in batch.q.cached])
         if hasattr(type(self.model), "warmup"):
             init_kwargs["method"] = "warmup"
+            if self.store.sup_edge_features is not None:
+                init_kwargs["label_edge_feats"] = jnp.zeros(
+                    (1, self.store.sup_edge_features.shape[-1]),
+                    jnp.float32)
         params = self.model.init(
             rng, [jnp.asarray(f) for f in batch.q.feats],
             [jnp.asarray(m) for m in batch.q.masks], None, **init_kwargs)

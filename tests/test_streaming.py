@@ -295,3 +295,46 @@ class TestFusedNativeAssembly:
         with pytest.raises(ValueError, match="out of range"):
             native.expand_gather(np.array([9], np.int32), None, None, None,
                                  feats, feats, np.zeros(4, np.float32))
+
+
+class TestStreamedLabelEdgeFeatures:
+    def test_losses_match_device_resident_with_edge_scorer(self):
+        """Streamed label-edge hydration (host CSR slot lookup) + edge
+        scorer == the device-resident trainer's losses exactly."""
+        from gigl_tpu.models.link_prediction import EdgeFeatureScorer
+
+        src, dst, feats, n = _graph_arrays()
+        edges = np.stack([src, dst])
+        rng = np.random.default_rng(4)
+        sup_ef = rng.normal(size=(edges.shape[1], 3)).astype(np.float32)
+        g = HeteroGraph.homogeneous(src=src, dst=dst, num_nodes=n,
+                                    node_features=feats)
+        dg = DeviceGraph.from_hetero(g, supervision_edges=edges,
+                                     supervision_edge_features=sup_ef)
+        enc = GNNEncoder(hid_dim=16, out_dim=8, num_layers=2,
+                         conv="graphsage")
+        model = LinkPredictionGNN(
+            encoder=enc, decoder=LinkPredictionDecoder(),
+            edge_scorer=EdgeFeatureScorer(hidden_dim=8))
+        cfg = NALPTrainerConfig(fanouts=(5, 4), num_random_negs=64,
+                                loss_type="retrieval", cached_hop=True)
+        dev = NALPTrainer(model, dg, cfg,
+                          optimizer_args={"learning_rate": "1e-2"})
+        store = HostGraphStore.build(
+            message_edges=edges, supervision_edges=edges, features=feats,
+            num_nodes=n, fanouts=(5, 4), seed=cfg.seed,
+            supervision_edge_features=sup_ef)
+        stream = StreamingNALPTrainer(model, store, cfg,
+                                      optimizer_args={"learning_rate":
+                                                      "1e-2"})
+        B, K = 16, 4
+        st_s = stream.init_state(jax.random.PRNGKey(0), batch_size=B)
+        st_d = dev.init_state(jax.random.PRNGKey(0), batch_size=B,
+                              params=jax.tree_util.tree_map(
+                                  jnp.copy, st_s.params))
+        anchors = (np.arange(B * K).reshape(K, B) % n).astype(np.int32)
+        _, dev_losses = dev.train_steps(st_d, anchors, jax.random.PRNGKey(7))
+        _, stream_losses = stream.run_steps(st_s, anchors,
+                                            jax.random.PRNGKey(7))
+        np.testing.assert_allclose(np.asarray(dev_losses), stream_losses,
+                                   rtol=2e-4, atol=2e-4)
