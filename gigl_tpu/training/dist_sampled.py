@@ -833,6 +833,10 @@ class PartitionedNALPTrainer:
         ovf += ovf2
         q, pos, rand_l = embs[0], embs[1], embs[2]
         hard = embs[3] if self.cfg.num_hard_negs > 0 else None
+        if getattr(self.cfg, "global_candidate_pool", False):
+            loss, cms = self._ring_loss_local(params, batch, q, pos, hard,
+                                              rand_l, cms)
+            return loss, (cms, ovf)
         # Candidate embeddings shared across the global batch.
         rand = jax.lax.all_gather(rand_l, self.axis, axis=0, tiled=True)
         loss, cms = nalp_loss_from_embeddings(
@@ -840,6 +844,78 @@ class PartitionedNALPTrainer:
             cms_reduce=(lambda x: jax.lax.psum(x, self.axis))
             if cms is not None else None)
         return loss, (cms, ovf)
+
+    def _ring_loss_local(self, params, batch, q, pos, hard, rand_emb_l,
+                         cms):
+        """Global-candidate-pool retrieval loss: candidates stay SHARDED
+        (this shard's positives/hard negs + its R/P shared-negative
+        slice); the ring/streaming-logsumexp softmax scores every query
+        against ALL shards' candidates — the reference full-batch
+        contract at O(C/P) logits per shard (losses/sharded_retrieval)."""
+        from gigl_tpu.losses.count_min_sketch import (
+            CountMinSketch,
+            cms_add,
+            cms_sampling_probability,
+        )
+        from gigl_tpu.losses.sharded_retrieval import ring_retrieval_loss
+
+        cfg = self.cfg
+        b, p_, d = pos.shape
+        r_per = cfg.num_random_negs // self.num_shards
+        shard = jax.lax.axis_index(self.axis)
+        rand_ids_local = jax.lax.dynamic_slice_in_dim(
+            batch.random_neg, shard * r_per, r_per)
+        q_rows = jnp.repeat(q, p_, axis=0)                 # [b*p, D]
+        parts = [pos.reshape(b * p_, d)]
+        cand_ids = [batch.pos.reshape(-1)]
+        cmask = [batch.pos_mask.reshape(-1)]
+        pos_qids = [jnp.repeat(batch.anchors, p_, axis=0)]
+        if hard is not None and hard.shape[1] > 0:
+            h = hard.shape[1]
+            parts.append(hard.reshape(b * h, d))
+            cand_ids.append(batch.hard_neg.reshape(-1))
+            cmask.append(batch.hard_neg_mask.reshape(-1))
+            pos_qids.append(jnp.full((b * h,), -1, jnp.int32))
+        parts.append(rand_emb_l)
+        cand_ids.append(rand_ids_local)
+        cmask.append(jnp.ones(rand_emb_l.shape[0], bool))
+        pos_qids.append(jnp.full((rand_emb_l.shape[0],), -1, jnp.int32))
+        cand_local = jnp.concatenate(parts, axis=0)
+        cand_ids = jnp.concatenate(cand_ids)
+        cmask = jnp.concatenate(cmask)
+        pos_qids = jnp.concatenate(pos_qids)
+        log_q = None
+        if cms is not None:
+            # Global counts: every shard's local candidates appear exactly
+            # once in the global pool -> one psum over ALL local ids.
+            zero = CountMinSketch(jnp.zeros_like(cms.table),
+                                  jnp.zeros_like(cms.total))
+            delta = cms_add(zero, cand_ids)
+            cms = CountMinSketch(
+                table=cms.table + jax.lax.psum(delta.table, self.axis),
+                total=cms.total + jax.lax.psum(delta.total, self.axis))
+            log_q = jnp.log(jnp.clip(
+                cms_sampling_probability(cms, cand_ids), 1e-10, None)
+            ).astype(jnp.float32)
+        ce_sum, count = ring_retrieval_loss(
+            q_rows, cand_local, axis=self.axis,
+            temperature=cfg.temperature,
+            decode_all_pairs=lambda a, c: self.model.apply(
+                params, a, c, method="decode_all_pairs"),
+            label_local_cols=jnp.arange(b * p_, dtype=jnp.int32),
+            query_ids=jnp.repeat(batch.anchors, p_, axis=0),
+            own_pos_ids=batch.pos.reshape(-1),
+            candidate_ids=cand_ids,
+            pos_col_query_ids=pos_qids,
+            candidate_mask=cmask,
+            candidate_log_q=log_q,
+            query_mask=batch.pos_mask.reshape(-1),
+            remove_accidental_hits=cfg.remove_accidental_hits)
+        total = jax.lax.psum(count, self.axis).astype(jnp.float32)
+        # pmean(grads/loss) in _step_local turns this per-shard term into
+        # exactly psum(ce)/psum(count) — the global mean.
+        loss = ce_sum * self.num_shards / jnp.maximum(total, 1.0)
+        return loss, cms
 
     def _step_local(self, g, state: TrainState, anchors, rng):
         (loss, (cms, ovf)), grads = jax.value_and_grad(

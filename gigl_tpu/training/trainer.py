@@ -114,6 +114,13 @@ class NALPTrainerConfig:
     # one extra [N, D] copy of the features in HBM; incompatible with
     # quantize_cache.
     fused_cache: bool = False
+    # PartitionedNALPTrainer only: score every query against the GLOBAL
+    # candidate pool (all shards' positives/hard negatives + the full
+    # shared-negative set) via the ring/streaming-logsumexp retrieval loss
+    # (losses/sharded_retrieval.py) — the reference's full-batch contract
+    # with O(C/P) logits per shard. Default False = the per-shard pool
+    # documented in training/dist_sampled.py.
+    global_candidate_pool: bool = False
 
 
 def nalp_loss_from_embeddings(model, params, cfg, batch: NALPBatch,

@@ -846,3 +846,64 @@ class TestPartitionedNodeClassificationTabularized:
         assert np.isfinite(np.asarray(losses)).all()
         acc = tr.evaluate(state.params, [np.arange(64, dtype=np.int32)])
         assert 0.0 <= acc <= 1.0
+
+
+class TestGlobalCandidatePool:
+    """global_candidate_pool=True: the ring/streaming-logsumexp retrieval
+    loss scores every query against ALL shards' candidates — the first
+    partitioned step must EQUAL the replicated trainer's loss over the
+    full batch (same draws, same global pool), unlike the per-shard-pool
+    default which only matches per-shard replicated computations."""
+
+    def test_first_step_equals_replicated_full_batch(self):
+        mesh = _mesh()
+        dg = _toy()
+        model = _model()
+        cfg = NALPTrainerConfig(fanouts=(5, 3), num_positives=2,
+                                num_random_negs=64, loss_type="retrieval",
+                                global_candidate_pool=True)
+        pg = PartitionedGraph.build(dg, mesh)
+        trainer = PartitionedNALPTrainer(model, pg, mesh, cfg,
+                                         capacity_factor=8.0)
+        B = 64
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=B)
+        params0 = jax.tree_util.tree_map(np.asarray, state.params)
+        anchors = (np.arange(B, dtype=np.int32) * 3) % dg.num_nodes
+
+        rep = NALPTrainer(model, dg, cfg)
+        st_r = rep.init_state(jax.random.PRNGKey(0), batch_size=B,
+                              params=jax.tree_util.tree_map(
+                                  jnp.asarray, params0))
+        _, loss_rep = rep.train_step(st_r, anchors, jax.random.PRNGKey(1))
+
+        _, losses = trainer.train_steps(state, anchors[None, :],
+                                        jax.random.PRNGKey(1))
+        assert float(losses[0]) == pytest.approx(float(loss_rep), rel=1e-4)
+
+    def test_with_cms_and_hard_negatives_trains(self):
+        mesh = _mesh()
+        n, e, d = 256, 2048, 16
+        rng = np.random.default_rng(3)
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+        g = HeteroGraph.homogeneous(
+            src=src, dst=dst, num_nodes=n,
+            node_features=rng.normal(size=(n, d)).astype(np.float32))
+        dg = DeviceGraph.from_hetero(g, supervision_edges=np.stack([src, dst]),
+                                     hard_neg_edges=np.stack([dst, src]))
+        cfg = NALPTrainerConfig(fanouts=(5, 3), num_positives=1,
+                                num_hard_negs=2, num_random_negs=64,
+                                loss_type="retrieval",
+                                use_cms_correction=True,
+                                global_candidate_pool=True)
+        trainer = PartitionedNALPTrainer(
+            _model(), PartitionedGraph.build(dg, mesh), mesh, cfg,
+            capacity_factor=8.0)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=64)
+        anchors = ((np.arange(15 * 64).reshape(15, 64) * 7) % n).astype(
+            np.int32)
+        state, losses = trainer.train_steps(state, anchors,
+                                            jax.random.PRNGKey(1))
+        losses = np.asarray(losses)
+        assert np.isfinite(losses).all()
+        assert losses[-5:].mean() < losses[:5].mean()
