@@ -477,6 +477,11 @@ class PartitionedNALPTrainer:
                  overflow_policy: str = "warn"):
         if getattr(config, "num_random_negs", 0) % int(mesh.shape[axis]):
             raise ValueError("num_random_negs must divide the mesh axis size")
+        if (getattr(config, "global_candidate_pool", False)
+                and getattr(config, "loss_type", "retrieval") != "retrieval"):
+            raise ValueError("global_candidate_pool is a retrieval-loss "
+                             "contract (ring sampled softmax); margin/"
+                             "softmax losses use the per-shard pool")
         if overflow_policy not in ("warn", "raise", "silent", "grow"):
             raise ValueError(
                 "overflow_policy must be warn | raise | silent | grow")

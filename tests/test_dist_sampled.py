@@ -907,3 +907,14 @@ class TestGlobalCandidatePool:
         losses = np.asarray(losses)
         assert np.isfinite(losses).all()
         assert losses[-5:].mean() < losses[:5].mean()
+
+    def test_rejects_non_retrieval_loss(self):
+        mesh = _mesh()
+        dg = _toy()
+        pg = PartitionedGraph.build(dg, mesh)
+        with pytest.raises(ValueError, match="retrieval-loss"):
+            PartitionedNALPTrainer(
+                _model(), pg, mesh,
+                NALPTrainerConfig(fanouts=(5, 3), num_random_negs=64,
+                                  loss_type="margin",
+                                  global_candidate_pool=True))
