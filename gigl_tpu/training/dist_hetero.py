@@ -417,10 +417,60 @@ class PartitionedHeteroNALPTrainer:
         ovf += ovf2
         q, pos, rand_l = embs[0], embs[1], embs[2]
         hard = embs[3] if cfg.num_hard_negs > 0 else None
+        if getattr(cfg, "global_candidate_pool", False):
+            loss = self._ring_loss_local(params, batch, q, pos, hard,
+                                         rand_l)
+            return loss, ovf
         rand = jax.lax.all_gather(rand_l, self.axis, axis=0, tiled=True)
         loss, _ = nalp_loss_from_embeddings(
             self.model, params, cfg, batch, q, pos, hard, rand, None)
         return loss, ovf
+
+    def _ring_loss_local(self, params, batch, q, pos, hard, rand_emb_l):
+        """Global-candidate-pool retrieval loss over sharded candidates
+        (losses/sharded_retrieval.py) — the typed analog of
+        PartitionedNALPTrainer._ring_loss_local: every anchor scores
+        against ALL shards' positives/hard negatives (candidate node
+        type) + the full shared-negative set, with O(C/P) logits per
+        shard."""
+        from gigl_tpu.losses.sharded_retrieval import ring_retrieval_loss
+
+        cfg = self.cfg
+        b, p_, d = pos.shape
+        r_per = cfg.num_random_negs // self.num_shards
+        shard = jax.lax.axis_index(self.axis)
+        rand_ids_local = jax.lax.dynamic_slice_in_dim(
+            batch.random_neg, shard * r_per, r_per)
+        q_rows = jnp.repeat(q, p_, axis=0)
+        parts = [pos.reshape(b * p_, d)]
+        cand_ids = [batch.pos.reshape(-1)]
+        cmask = [batch.pos_mask.reshape(-1)]
+        pos_qids = [jnp.repeat(batch.anchors, p_, axis=0)]
+        if hard is not None and hard.shape[1] > 0:
+            h = hard.shape[1]
+            parts.append(hard.reshape(b * h, d))
+            cand_ids.append(batch.hard_neg.reshape(-1))
+            cmask.append(batch.hard_neg_mask.reshape(-1))
+            pos_qids.append(jnp.full((b * h,), -1, jnp.int32))
+        parts.append(rand_emb_l)
+        cand_ids.append(rand_ids_local)
+        cmask.append(jnp.ones(rand_emb_l.shape[0], bool))
+        pos_qids.append(jnp.full((rand_emb_l.shape[0],), -1, jnp.int32))
+        ce_sum, count = ring_retrieval_loss(
+            q_rows, jnp.concatenate(parts, axis=0), axis=self.axis,
+            temperature=cfg.temperature,
+            decode_all_pairs=lambda a, c: self.model.apply(
+                params, a, c, method="decode_all_pairs"),
+            label_local_cols=jnp.arange(b * p_, dtype=jnp.int32),
+            query_ids=jnp.repeat(batch.anchors, p_, axis=0),
+            own_pos_ids=batch.pos.reshape(-1),
+            candidate_ids=jnp.concatenate(cand_ids),
+            pos_col_query_ids=jnp.concatenate(pos_qids),
+            candidate_mask=jnp.concatenate(cmask),
+            query_mask=batch.pos_mask.reshape(-1),
+            remove_accidental_hits=cfg.remove_accidental_hits)
+        total = jax.lax.psum(count, self.axis).astype(jnp.float32)
+        return ce_sum * self.num_shards / jnp.maximum(total, 1.0)
 
     def _step_local(self, feats_l, ip_l, ix_l, sup_ip, sup_ix,
                     hard_ip, hard_ix, tabs, state: TrainState, anchors,

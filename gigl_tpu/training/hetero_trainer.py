@@ -54,6 +54,11 @@ class HeteroNALPTrainerConfig:
     # (8x sampling throughput, docs/performance.md; the v1 frozen-sample
     # regime). refresh_tables(epoch) is the Subgraph Sampler re-run analog.
     tabularized: bool = False
+    # PartitionedHeteroNALPTrainer only: ring/streaming-logsumexp retrieval
+    # loss over the GLOBAL candidate pool with candidates kept sharded
+    # (losses/sharded_retrieval.py; see NALPTrainerConfig
+    # .global_candidate_pool).
+    global_candidate_pool: bool = False
 
 
 class HeteroNALPTrainer:

@@ -254,3 +254,34 @@ class TestPartitionedHeteroTabularized:
         metrics = trainer.evaluate(
             state.params, [np.arange(B, dtype=np.int32) % n_users])
         assert 0.0 <= metrics["mrr"] <= 1.0
+
+
+class TestHeteroGlobalCandidatePool:
+    def test_first_step_equals_replicated_full_batch(self):
+        """global_candidate_pool over the typed partitioned trainer: the
+        first step equals the replicated hetero trainer's full-batch loss
+        (same draws, global candidate pool via the ppermute ring)."""
+        import dataclasses
+
+        mesh, g, hdg, paths, model, cfg, _ = _setup()
+        cfg = dataclasses.replace(cfg, global_candidate_pool=True)
+        pg = PartitionedHeteroGraph.build(hdg, paths, mesh,
+                                          anchor_node_type="user")
+        trainer = PartitionedHeteroNALPTrainer(
+            model, pg, paths, cfg, mesh, capacity_factor=8.0,
+            optimizer_args={"learning_rate": "0.01"})
+        B = 32
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=B)
+        params0 = jax.tree_util.tree_map(np.asarray, state.params)
+        n_users = g.num_nodes["user"]
+        anchors = (np.arange(B, dtype=np.int32) * 5) % n_users
+
+        rep = HeteroNALPTrainer(model, hdg, paths, cfg)
+        st_r = rep.init_state(jax.random.PRNGKey(0), batch_size=B,
+                              params=jax.tree_util.tree_map(
+                                  jnp.asarray, params0))
+        _, loss_rep = rep.train_step(st_r, anchors, jax.random.PRNGKey(1))
+
+        _, losses = trainer.train_steps(state, anchors[None, :],
+                                        jax.random.PRNGKey(1))
+        assert float(losses[0]) == pytest.approx(float(loss_rep), rel=1e-4)
