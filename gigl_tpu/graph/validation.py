@@ -95,3 +95,29 @@ def validate_graph(graph: HeteroGraph,
         logger.warning("graph validation: %s", msg)
     return GraphValidationReport(ok=not errors, errors=errors,
                                  warnings=warnings, stats=stats)
+
+
+class WarehouseGraphValidator:
+    """SQL-side edge-table validation against a warehouse — the analog of
+    the reference's BQGraphValidator (analytics/graph_validation/
+    bq_graph_validator.py:11-56: a COUNT(*) over NULL endpoints run as a
+    BigQuery query). Runs the same query shape against any
+    data/warehouse.py backend (SqliteWarehouse locally, BigQueryWarehouse
+    in cloud deployments)."""
+
+    @staticmethod
+    def does_edge_table_have_dangling_edges(
+        warehouse,
+        edge_table: str,
+        src_node_column_name: str,
+        dst_node_column_name: str,
+    ) -> bool:
+        """True if any edge row has a NULL src or dst endpoint."""
+        count = warehouse.run_query(
+            f"SELECT COUNT(*) FROM `{edge_table}` "
+            f"WHERE {src_node_column_name} IS NULL "
+            f"OR {dst_node_column_name} IS NULL")[0][0]
+        if count:
+            logger.error("edge table %s has %d dangling edges",
+                         edge_table, count)
+        return count != 0

@@ -123,3 +123,21 @@ class TestEmbeddingExportToWarehouse:
         rows = wh.run_query(
             "SELECT node_id FROM `p.ds.embeddings` ORDER BY node_id")
         assert [r[0] for r in rows] == list(range(10))
+
+
+class TestWarehouseGraphValidator:
+    def test_dangling_edge_detection_via_sql(self):
+        """BQGraphValidator analog: the NULL-endpoint COUNT query runs
+        against the local warehouse backend."""
+        from gigl_tpu.graph.validation import WarehouseGraphValidator
+
+        wh = SqliteWarehouse(project="p")
+        wh.create_or_empty_bq_table(
+            "p.g.edges", [("src", "INTEGER"), ("dst", "INTEGER")])
+        wh.load_rows_to_bq("p.g.edges", [
+            {"src": 1, "dst": 2}, {"src": 2, "dst": 3}])
+        assert not WarehouseGraphValidator.does_edge_table_have_dangling_edges(
+            wh, "p.g.edges", "src", "dst")
+        wh.load_rows_to_bq("p.g.edges", [{"src": 4, "dst": None}])
+        assert WarehouseGraphValidator.does_edge_table_have_dangling_edges(
+            wh, "p.g.edges", "src", "dst")
