@@ -121,3 +121,86 @@ def read_rooted_neighborhoods(
                     np.asarray(row[f"hop{h}_mask"],
                                np.int64).reshape(shape).astype(bool))
             yield int(row["root_id"][0]), fanouts, hop_ids, hop_masks
+
+
+def materialize_graphdb_neighborhoods(
+    client,
+    roots: Sequence[int],
+    metapaths,
+    *,
+    num_neighbors: Sequence[int],
+    out_dir: str,
+    rows_per_shard: int = 8192,
+) -> List[str]:
+    """Materialize rooted neighborhoods SAMPLED THROUGH A GRAPH DATABASE —
+    the reference's GraphDB Subgraph Sampler variant
+    (GraphDBUnsupervisedNodeAnchorBasedLinkPredictionTask: nGQL GO queries
+    per root via NebulaHeteroKHopSampler, serialized as
+    RootedNodeNeighborhood samples). ``client`` is any
+    data/graphdb.GraphDBClient (the in-memory reference backend or a real
+    cluster); rows are edge-list structured (the DB returns edges, not
+    dense fanout trees):
+
+        root_id        : int64[1]
+        node_ids       : int64[Nr]   neighborhood nodes (root included)
+        edge_src/dst   : int64[Er]
+        edge_type_idx  : int64[Er]   index into the edge-type vocabulary
+
+    An ``edge_types.txt`` sidecar records the edge-type vocabulary.
+    Returns the shard paths.
+    """
+    from gigl_tpu import native
+    from gigl_tpu.data.graphdb import GraphDBKHopSampler
+
+    os.makedirs(out_dir, exist_ok=True)
+    sampler = GraphDBKHopSampler(client, num_neighbors=num_neighbors)
+    et_vocab: Dict[str, int] = {}
+    shards: List[str] = []
+    buf: List[bytes] = []
+    shard_idx = 0
+
+    def flush():
+        nonlocal shard_idx
+        if not buf:
+            return
+        path = os.path.join(
+            out_dir, f"graphdb_neighborhoods-{shard_idx:05d}.tfrecord")
+        native.tfrecord_write(path, buf)
+        shards.append(path)
+        shard_idx += 1
+        buf.clear()
+
+    for root in roots:
+        nodes, edges = sampler.k_hop_subgraph(int(root), metapaths)
+        for (_s, _d, et) in edges:
+            et_vocab.setdefault(et, len(et_vocab))
+        buf.append(encode_example({
+            "root_id": np.asarray([int(root)], np.int64),
+            "node_ids": np.asarray(nodes, np.int64),
+            "edge_src": np.asarray([e[0] for e in edges], np.int64),
+            "edge_dst": np.asarray([e[1] for e in edges], np.int64),
+            "edge_type_idx": np.asarray(
+                [et_vocab[e[2]] for e in edges], np.int64),
+        }))
+        if len(buf) >= rows_per_shard:
+            flush()
+    flush()
+    with open(os.path.join(out_dir, "edge_types.txt"), "w") as f:
+        for et, _ in sorted(et_vocab.items(), key=lambda kv: kv[1]):
+            f.write(et + "\n")
+    logger.info("materialized %d graphdb-sampled neighborhoods into %d "
+                "shards under %s", len(roots), len(shards), out_dir)
+    return shards
+
+
+def read_graphdb_neighborhoods(out_dir: str):
+    """Yield (root_id, node_ids, edges[src,dst,type_idx]) per materialized
+    graphdb-sampled row."""
+    import glob as _glob
+
+    for path in sorted(_glob.glob(
+            os.path.join(out_dir, "graphdb_neighborhoods-*.tfrecord"))):
+        for row in read_examples(path):
+            yield (int(row["root_id"][0]), row["node_ids"],
+                   np.stack([row["edge_src"], row["edge_dst"],
+                             row["edge_type_idx"]]))

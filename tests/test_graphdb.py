@@ -125,3 +125,31 @@ class TestKHopSampler:
         sampler = GraphDBKHopSampler(client, num_neighbors=(2, 2))
         out = sampler.k_hop_subgraphs([0, 1, 2], [Metapath((ets[0], ets[0]))])
         assert set(out) == {0, 1, 2}
+
+
+class TestGraphDbMaterialization:
+    def test_round_trip_through_tfrecord_shards(self, client, graph,
+                                                tmp_path):
+        """GraphDB SGS variant: nGQL-sampled neighborhoods materialize as
+        TFRecord shards and read back (the RootedNodeNeighborhood artifact
+        contract of the reference's GraphDB task)."""
+        from gigl_tpu.sampling.materialize import (
+            materialize_graphdb_neighborhoods,
+            read_graphdb_neighborhoods,
+        )
+
+        ets = [str(e) for e in graph.edges]
+        mp = Metapath(path=(ets[0], ets[0]))
+        roots = [0, 1, 2, 5]
+        shards = materialize_graphdb_neighborhoods(
+            client, roots, [mp], num_neighbors=(3, 2),
+            out_dir=str(tmp_path))
+        assert shards
+        rows = list(read_graphdb_neighborhoods(str(tmp_path)))
+        assert [r[0] for r in rows] == roots
+        sampler = GraphDBKHopSampler(client, num_neighbors=(3, 2))
+        for root, node_ids, edges in rows:
+            nodes_ref, edges_ref = sampler.k_hop_subgraph(root, [mp])
+            assert list(node_ids) == nodes_ref
+            assert edges.shape[1] == len(edges_ref)
+        assert (tmp_path / "edge_types.txt").read_text().strip()
