@@ -651,6 +651,7 @@ class PartitionedNALPTrainer:
         hop shallower (layer 1 consumes the fused aggregate cache)."""
         _fd, msg_ip, msg_ix = g[0], g[1], g[2]
         msg_w = g[7]
+        tabs = g[10]
         node_ids: List[jnp.ndarray] = [roots.astype(jnp.int32)]
         masks: List[jnp.ndarray] = [jnp.ones(roots.shape, bool)]
         frontier, pmask = node_ids[0], masks[0]
@@ -737,6 +738,9 @@ class PartitionedNALPTrainer:
         Returns (embeddings per group, overflow_count)."""
         feat_deg_l = g[0]
         if self._cached:
+            # Joint expansion: one routed round trip per hop for ALL
+            # groups (3x fewer collectives at P > 1; measured neutral on
+            # one shard where the routed gather is a plain gather).
             trees, ovf = self._sample_trees_joint(g, groups)
         else:
             trees, ovf = [], jnp.zeros((), jnp.int32)
@@ -744,6 +748,32 @@ class PartitionedNALPTrainer:
                 ids, masks, o = self._sample_tree(g, r, off)
                 trees.append((ids, masks))
                 ovf += o
+        d = self.pg.feat_dim
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        cached_mode = self._cached
+        outs = []
+        if self.num_shards == 1:
+            # Closed form (see feature_lookup.routed_gather): the union
+            # gather is a plain gather anyway, so hydrate PER LEVEL and
+            # skip the union concat + per-level slice copies (measured
+            # ~2 HBM passes over the gathered rows at bench shape).
+            rows_max = feat_deg_l.shape[0] - 1
+            for (ids, masks), (roots, _off) in zip(trees, groups):
+                feats, degs, cached = [], [], []
+                for lvl in ids:
+                    rows = feat_deg_l[jnp.clip(lvl, 0, rows_max)]
+                    f, dg_, c = self.pg.split_rows(
+                        rows.reshape(-1, rows.shape[-1]))
+                    feats.append(f.reshape(lvl.shape + (d,)))
+                    degs.append(dg_.reshape(lvl.shape))
+                    if cached_mode:
+                        cached.append(c.reshape(lvl.shape + (d,)))
+                emb = self.model.apply(
+                    params, feats, masks, None, train=train,
+                    hop_degrees=degs,
+                    cached_agg=cached if cached_mode else None, rngs=rngs)
+                outs.append(emb.reshape(roots.shape + (emb.shape[-1],)))
+            return outs, ovf
         flats = []
         for ids, _ in trees:
             for lvl in ids:
@@ -754,11 +784,7 @@ class PartitionedNALPTrainer:
             capacity_factor=self.capacity_factor)
         ovf += jnp.sum(~ok, dtype=jnp.int32)
         feat_rows, deg_rows, cache_rows = self.pg.split_rows(rows)
-        d = self.pg.feat_dim
-        outs = []
         offset = 0
-        rngs = {"dropout": rng} if (train and rng is not None) else None
-        cached_mode = self._cached
         for (ids, masks), (roots, _off) in zip(trees, groups):
             feats, degs, cached = [], [], []
             for lvl in ids:

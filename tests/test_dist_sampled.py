@@ -918,3 +918,32 @@ class TestGlobalCandidatePool:
                 NALPTrainerConfig(fanouts=(5, 3), num_random_negs=64,
                                   loss_type="margin",
                                   global_candidate_pool=True))
+
+
+class TestSingleShardTrainerParity:
+    def test_one_device_mesh_equals_replicated_tabularized(self):
+        """P=1 partitioned tabularized (closed-form gathers + per-level
+        hydration) == the replicated tabularized trainer exactly: the
+        per-shard candidate pool IS the full batch on one shard."""
+        mesh = make_mesh(1, axes=(AXIS,))
+        dg = _toy()
+        model = _model()
+        cfg = NALPTrainerConfig(fanouts=(5, 3), num_positives=1,
+                                num_random_negs=64, loss_type="retrieval",
+                                cached_hop=True)
+        pg = PartitionedGraph.build(dg, mesh)
+        trainer = PartitionedNALPTrainer(model, pg, mesh, cfg,
+                                         capacity_factor=8.0)
+        B = 32
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=B)
+        params0 = jax.tree_util.tree_map(np.asarray, state.params)
+        anchors = (np.arange(B, dtype=np.int32) * 3) % dg.num_nodes
+
+        rep = NALPTrainer(model, dg, cfg)
+        st_r = rep.init_state(jax.random.PRNGKey(0), batch_size=B,
+                              params=jax.tree_util.tree_map(
+                                  jnp.asarray, params0))
+        _, loss_rep = rep.train_step(st_r, anchors, jax.random.PRNGKey(1))
+        _, losses = trainer.train_steps(state, anchors[None, :],
+                                        jax.random.PRNGKey(1))
+        assert float(losses[0]) == pytest.approx(float(loss_rep), rel=1e-4)
