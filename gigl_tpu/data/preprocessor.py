@@ -371,15 +371,17 @@ class DataPreprocessor:
             emap = enumerator.maps[nt]
             spec, stats = TransformSpec.load_stats(
                 sd.join(f"merged_node{si}.json"))
-            feats = None
+            shard_arrays = [read_npz(sd.join(f"tf_node{si}_r{r}.npz"))
+                            for r in range(world_size)]
+            # dim from ANY shard that saw rows (rank 0 may have received
+            # no batches when world_size exceeds the source's batch count).
+            dim = max((a["x"].shape[1] for a in shard_arrays
+                       if a["x"].ndim == 2 and a["x"].shape[0]),
+                      default=0)
+            feats = np.zeros((emap.num_nodes, dim), np.float32)
             labels = None
-            dim = 0
-            for r in range(world_size):
-                a = read_npz(sd.join(f"tf_node{si}_r{r}.npz"))
+            for a in shard_arrays:
                 dense, x = a["dense"], a["x"]
-                if feats is None:
-                    dim = x.shape[1] if x.ndim == 2 else 0
-                    feats = np.zeros((emap.num_nodes, dim), np.float32)
                 if len(dense):
                     feats[dense] = x
                 if "labels" in a:

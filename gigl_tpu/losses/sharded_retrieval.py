@@ -89,7 +89,8 @@ def ring_retrieval_loss(
             dup = jnp.maximum(dup, (query_ids[:, None]
                                     == blk_pos_qids[None, :]
                                     ).astype(jnp.float32))
-        if remove_accidental_hits and blk_ids is not None:
+        if (remove_accidental_hits and blk_ids is not None
+                and own_pos_ids is not None):
             dup = jnp.maximum(dup, (own_pos_ids[:, None]
                                     == blk_ids[None, :]
                                     ).astype(jnp.float32))

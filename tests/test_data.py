@@ -336,3 +336,20 @@ class TestShardedPreprocessing:
                                       np.asarray(gw.default_edges))
         np.testing.assert_allclose(g1.node_features["default"],
                                    gw.node_features["default"])
+
+
+class TestShardedPreprocessingEdgeCases:
+    def test_world_size_exceeds_batch_count(self, tmp_path):
+        """W > number of batches: some ranks see NO batches; feature dim
+        must come from a populated shard (regression: rank 0's empty
+        (0, 0) shard used to fix dim=0)."""
+        cfg = _ShardedToyConfig()
+        # node source has ceil(90/17)=6 batches; W=8 leaves ranks empty
+        meta = DataPreprocessor(cfg, str(tmp_path / "w8")
+                                ).run_sharded(world_size=8)
+        m1 = DataPreprocessor(cfg, str(tmp_path / "s")).run()
+        g8 = load_graph_from_metadata(meta, GraphMetadata.homogeneous())
+        g1 = load_graph_from_metadata(m1, GraphMetadata.homogeneous())
+        np.testing.assert_allclose(g1.node_features["default"],
+                                   g8.node_features["default"],
+                                   rtol=1e-6, atol=1e-6)

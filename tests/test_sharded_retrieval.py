@@ -159,3 +159,24 @@ class TestRingRetrievalLoss:
         assert np.isfinite(np.asarray(gc)).all()
         assert float(np.abs(np.asarray(gq)).sum()) > 0
         assert float(np.abs(np.asarray(gc)).sum()) > 0
+
+    def test_defaults_without_ids(self):
+        """All id args omitted with accidental-hit masking left at its
+        default: must not crash (regression: own_pos_ids None was
+        broadcast against the default candidate-id zeros)."""
+        mesh = make_mesh(NP_, axes=(AXIS,))
+        sh = NamedSharding(mesh, P(AXIS))
+        rng = np.random.default_rng(2)
+        q = rng.normal(size=(NP_ * QL, D)).astype(np.float32)
+        cand = rng.normal(size=(NP_, QL + RL, D)).astype(np.float32)
+
+        def body(q_l, c_l):
+            s, c = ring_retrieval_loss(q_l, c_l[0], axis=AXIS,
+                                       temperature=0.1)
+            return s[None], c[None]
+
+        fn = jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(P(AXIS), P(AXIS, None)),
+            out_specs=(P(AXIS), P(AXIS)), check_vma=False))
+        s, c = fn(jax.device_put(q, sh), jax.device_put(cand, sh))
+        assert np.isfinite(np.asarray(s)).all()
