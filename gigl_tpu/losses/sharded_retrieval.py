@@ -53,6 +53,7 @@ def ring_retrieval_loss(
     candidate_log_q: Optional[jnp.ndarray] = None,    # [Cl] logQ correction
     query_mask: Optional[jnp.ndarray] = None,         # [Ql]
     remove_accidental_hits: bool = True,
+    own_block_bias: Optional[jnp.ndarray] = None,     # [Ql, Cl] raw-score add
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(ce_sum_local, count_local) for THIS shard's query rows against the
     GLOBAL (all-shards) candidate pool. Must run inside shard_map over
@@ -75,6 +76,8 @@ def ring_retrieval_loss(
     def score_block(blk_emb, blk_ids, blk_pos_qids, blk_cmask, blk_logq,
                     is_own: bool):
         s = decode_all_pairs(q_local, blk_emb).astype(jnp.float32)
+        if is_own and own_block_bias is not None:
+            s = s + own_block_bias  # raw-score add, pre-temperature
         if temperature is not None:
             s = s / temperature
         if blk_logq is not None:
@@ -137,3 +140,58 @@ def ring_retrieval_loss(
     else:
         count = jnp.asarray(ql, jnp.int32)
     return jnp.sum(ce), count
+
+
+
+def ring_candidate_pool(batch, pos, hard, rand_emb_l, rand_ids_local):
+    """Assemble the per-shard candidate block for the partitioned ring
+    loss (shared by the homogeneous and hetero trainers): columns are
+    [own positives | own hard negatives | own R/P shared-negative slice].
+    Returns (cand_local, cand_ids, cand_mask, pos_col_query_ids)."""
+    b, p_, d = pos.shape
+    parts = [pos.reshape(b * p_, d)]
+    cand_ids = [batch.pos.reshape(-1)]
+    cmask = [batch.pos_mask.reshape(-1)]
+    pos_qids = [jnp.repeat(batch.anchors, p_, axis=0)]
+    if hard is not None and hard.shape[1] > 0:
+        h = hard.shape[1]
+        parts.append(hard.reshape(b * h, d))
+        cand_ids.append(batch.hard_neg.reshape(-1))
+        cmask.append(batch.hard_neg_mask.reshape(-1))
+        pos_qids.append(jnp.full((b * h,), -1, jnp.int32))
+    parts.append(rand_emb_l)
+    cand_ids.append(rand_ids_local)
+    cmask.append(jnp.ones(rand_emb_l.shape[0], bool))
+    pos_qids.append(jnp.full((rand_emb_l.shape[0],), -1, jnp.int32))
+    return (jnp.concatenate(parts, axis=0), jnp.concatenate(cand_ids),
+            jnp.concatenate(cmask), jnp.concatenate(pos_qids))
+
+
+def ring_own_block_edge_bias(edge_score_fn, batch, num_cols: int):
+    """Label-edge-feature score terms as an own-block bias matrix
+    (ref nalp_data_loader.py:44-46 contract; mirrors the replicated
+    nalp_loss_from_embeddings placement): row r's own positive at column
+    r gets edge_score(pos_edge_feats[r]); anchor b's hard-negative
+    columns get edge_score(hard_neg_edge_feats[b, j]) for ALL of b's
+    query rows. Returns [Ql, num_cols] or None when the batch carries no
+    label edge features."""
+    if batch.pos_edge_feats is None and batch.hard_neg_edge_feats is None:
+        return None
+    b, p_ = batch.pos.shape
+    ql = b * p_
+    bias = jnp.zeros((ql, num_cols), jnp.float32)
+    if batch.pos_edge_feats is not None:
+        e_pos = edge_score_fn(
+            batch.pos_edge_feats.reshape(ql, -1)).astype(jnp.float32)
+        bias = bias.at[jnp.arange(ql), jnp.arange(ql)].add(e_pos)
+    h = batch.hard_neg.shape[1]
+    if h > 0 and batch.hard_neg_edge_feats is not None:
+        e_hard = edge_score_fn(
+            batch.hard_neg_edge_feats.reshape(b * h, -1)
+        ).astype(jnp.float32)
+        row_b = jnp.arange(ql) // p_
+        col_b = jnp.arange(b * h) // h
+        add = jnp.where(row_b[:, None] == col_b[None, :],
+                        e_hard[None, :], 0.0)
+        bias = bias.at[:, ql: ql + b * h].add(add)
+    return bias

@@ -101,29 +101,30 @@ class PartitionedHeteroGraph:
 
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from gigl_tpu.ops.hopcache import build_sample_table
-
         row_sh = NamedSharding(mesh, P(axis))
         num_shards = int(mesh.shape[axis])
         anchor_of: Dict[str, str] = {}
         for ops in paths.values():
             for op in ops:
                 anchor_of[op.csr_key] = str(op.frontier_node_type)
+        # Delegate the draws to the REPLICATED builder (single source of
+        # the "csr_key#fanout" keying / hop_key / method semantics — the
+        # bit-identical-parity guarantee), then pad + row-shard each
+        # table by its op's anchor node type.
+        tabbed = hdg.with_sample_tables(paths, seed=seed)
         tables: Dict[str, jax.Array] = dict(self.sample_tables or {})
-        for ops in paths.values():
-            for op in ops:
-                key = f"{op.csr_key}#{op.fanout}"
-                if key in tables:
-                    continue
-                ids_t, mask_t = build_sample_table(
-                    hdg.csrs[op.csr_key], fanout=int(op.fanout), seed=seed,
-                    hop_key=1, method=op.method)
-                packed = np.asarray(jnp.where(mask_t, ids_t, -1))
-                nt = anchor_of[op.csr_key]
-                pad = np.full((num_shards * self.rows[nt], packed.shape[1]),
-                              -1, np.int32)
-                pad[: packed.shape[0]] = packed
-                tables[key] = jax.device_put(pad, row_sh)
+        for key, packed_dev in tabbed.sample_tables.items():
+            if key in tables:
+                continue
+            csr_key = key.rsplit("#", 1)[0]
+            if csr_key not in anchor_of:
+                continue  # table not used by these paths
+            packed = np.asarray(packed_dev)
+            nt = anchor_of[csr_key]
+            pad = np.full((num_shards * self.rows[nt], packed.shape[1]),
+                          -1, np.int32)
+            pad[: packed.shape[0]] = packed
+            tables[key] = jax.device_put(pad, row_sh)
         return dataclasses.replace(self, sample_tables=tables)
 
     @classmethod
@@ -198,6 +199,7 @@ class PartitionedHeteroNALPTrainer:
         optimizer_args: Optional[Dict[str, Any]] = None,
         axis: str = DATA_AXIS,
         capacity_factor: float = 4.0,
+        overflow_policy: str = "warn",
     ):
         if config.tabularized and pgraph.sample_tables is None:
             raise ValueError(
@@ -228,6 +230,11 @@ class PartitionedHeteroNALPTrainer:
         self.axis = axis
         self.num_shards = int(mesh.shape[axis])
         self.capacity_factor = capacity_factor
+        if overflow_policy not in ("warn", "raise", "silent"):
+            raise ValueError("overflow_policy must be warn | raise | "
+                             "silent (grow needs a program rebuild hook; "
+                             "not wired for the hetero trainer)")
+        self.overflow_policy = overflow_policy
         # Cumulative routed-lookup requests dropped by capacity overflow
         # (surfaced per chunk; same contract as PartitionedNALPTrainer).
         self.overflow_total = 0
@@ -427,13 +434,13 @@ class PartitionedHeteroNALPTrainer:
         return loss, ovf
 
     def _ring_loss_local(self, params, batch, q, pos, hard, rand_emb_l):
-        """Global-candidate-pool retrieval loss over sharded candidates
-        (losses/sharded_retrieval.py) — the typed analog of
-        PartitionedNALPTrainer._ring_loss_local: every anchor scores
-        against ALL shards' positives/hard negatives (candidate node
-        type) + the full shared-negative set, with O(C/P) logits per
-        shard."""
-        from gigl_tpu.losses.sharded_retrieval import ring_retrieval_loss
+        """Typed global-candidate-pool retrieval loss (see the homogeneous
+        PartitionedNALPTrainer._ring_loss_local; shared candidate-pool
+        assembly in losses/sharded_retrieval.ring_candidate_pool)."""
+        from gigl_tpu.losses.sharded_retrieval import (
+            ring_candidate_pool,
+            ring_retrieval_loss,
+        )
 
         cfg = self.cfg
         b, p_, d = pos.shape
@@ -442,31 +449,19 @@ class PartitionedHeteroNALPTrainer:
         rand_ids_local = jax.lax.dynamic_slice_in_dim(
             batch.random_neg, shard * r_per, r_per)
         q_rows = jnp.repeat(q, p_, axis=0)
-        parts = [pos.reshape(b * p_, d)]
-        cand_ids = [batch.pos.reshape(-1)]
-        cmask = [batch.pos_mask.reshape(-1)]
-        pos_qids = [jnp.repeat(batch.anchors, p_, axis=0)]
-        if hard is not None and hard.shape[1] > 0:
-            h = hard.shape[1]
-            parts.append(hard.reshape(b * h, d))
-            cand_ids.append(batch.hard_neg.reshape(-1))
-            cmask.append(batch.hard_neg_mask.reshape(-1))
-            pos_qids.append(jnp.full((b * h,), -1, jnp.int32))
-        parts.append(rand_emb_l)
-        cand_ids.append(rand_ids_local)
-        cmask.append(jnp.ones(rand_emb_l.shape[0], bool))
-        pos_qids.append(jnp.full((rand_emb_l.shape[0],), -1, jnp.int32))
+        cand_local, cand_ids, cmask, pos_qids = ring_candidate_pool(
+            batch, pos, hard, rand_emb_l, rand_ids_local)
         ce_sum, count = ring_retrieval_loss(
-            q_rows, jnp.concatenate(parts, axis=0), axis=self.axis,
+            q_rows, cand_local, axis=self.axis,
             temperature=cfg.temperature,
             decode_all_pairs=lambda a, c: self.model.apply(
                 params, a, c, method="decode_all_pairs"),
             label_local_cols=jnp.arange(b * p_, dtype=jnp.int32),
             query_ids=jnp.repeat(batch.anchors, p_, axis=0),
             own_pos_ids=batch.pos.reshape(-1),
-            candidate_ids=jnp.concatenate(cand_ids),
-            pos_col_query_ids=jnp.concatenate(pos_qids),
-            candidate_mask=jnp.concatenate(cmask),
+            candidate_ids=cand_ids,
+            pos_col_query_ids=pos_qids,
+            candidate_mask=cmask,
             query_mask=batch.pos_mask.reshape(-1),
             remove_accidental_hits=cfg.remove_accidental_hits)
         total = jax.lax.psum(count, self.axis).astype(jnp.float32)
@@ -635,13 +630,9 @@ class PartitionedHeteroNALPTrainer:
         rngs = jax.random.split(rng, anchors_kb.shape[0])
         state, losses, ovfs = self._train_steps(*self._graph_args(), state,
                                                 anchors_kb, rngs)
-        ovf = int(np.asarray(ovfs).sum())
-        if ovf:
-            self.overflow_total += ovf
-            logger.warning(
-                "hetero routed lookups dropped %d requests this chunk "
-                "(bucket capacity overflow); raise capacity_factor above "
-                "%s", ovf, self.capacity_factor)
+        from gigl_tpu.training.dist_sampled import apply_overflow_policy
+
+        apply_overflow_policy(self, int(np.asarray(ovfs).sum()))
         return state, losses
 
     def evaluate(self, params, anchor_batches, step: int = 0
@@ -655,7 +646,11 @@ class PartitionedHeteroNALPTrainer:
             rr, hits, cnt, ovf = self._eval_step(
                 *self._graph_args(), params, jnp.asarray(a, jnp.int32),
                 jnp.asarray(step + i, jnp.int32))
-            self.overflow_total += int(ovf)
+            from gigl_tpu.training.dist_sampled import (
+                apply_overflow_policy,
+            )
+
+            apply_overflow_policy(self, int(ovf))
             rr_t += float(rr)
             cnt_t += float(cnt)
             h = np.asarray(hits)

@@ -106,6 +106,35 @@ def _shard_csr(indptr: np.ndarray, indices: np.ndarray, num_shards: int,
     return np.stack(blocks_ip), ix_arr, w_arr
 
 
+def apply_overflow_policy(trainer, count: int, *, grow_rebuild=None
+                          ) -> None:
+    """Shared routed-lookup overflow handling for the partitioned
+    trainers (homogeneous + hetero): accumulate ``overflow_total`` and
+    act per ``overflow_policy`` (warn | raise | silent | grow — grow
+    doubles capacity_factor and calls ``grow_rebuild`` to recompile)."""
+    if not count:
+        return
+    trainer.overflow_total += int(count)
+    msg = (f"routed lookup dropped {int(count)} requests this chunk "
+           f"(bucket capacity overflow — skewed access pattern); "
+           f"raise capacity_factor above {trainer.capacity_factor}")
+    policy = trainer.overflow_policy
+    if policy == "raise":
+        raise RuntimeError(msg)
+    if policy == "grow":
+        # Auto-remediate: double the bucket capacity and rebuild the SPMD
+        # programs (recompile on the next chunk). The dropped requests of
+        # THIS chunk are already masked out of the loss.
+        trainer.capacity_factor *= 2.0
+        logger.warning("%s — growing capacity_factor to %.1f and "
+                       "recompiling", msg, trainer.capacity_factor)
+        if grow_rebuild is not None:
+            grow_rebuild()
+        return
+    if policy == "warn":
+        logger.warning(msg)
+
+
 @dataclass
 class PartitionedGraph:
     """Device arrays of a range-partitioned graph, sharded over a mesh axis.
@@ -574,26 +603,8 @@ class PartitionedNALPTrainer:
         ))
 
     def _note_overflow(self, count: int) -> None:
-        if not count:
-            return
-        self.overflow_total += int(count)
-        msg = (f"routed lookup dropped {int(count)} requests this chunk "
-               f"(bucket capacity overflow — skewed access pattern); "
-               f"raise capacity_factor above {self.capacity_factor}")
-        if self.overflow_policy == "raise":
-            raise RuntimeError(msg)
-        if self.overflow_policy == "grow":
-            # Auto-remediate: double the bucket capacity and rebuild the
-            # SPMD programs (recompile on the next chunk). The dropped
-            # requests of THIS chunk are already masked out of the loss;
-            # subsequent chunks run at the larger capacity.
-            self.capacity_factor *= 2.0
-            logger.warning("%s — growing capacity_factor to %.1f and "
-                           "recompiling", msg, self.capacity_factor)
-            self._build_programs()
-            return
-        if self.overflow_policy == "warn":
-            logger.warning(msg)
+        apply_overflow_policy(self, count,
+                              grow_rebuild=self._build_programs)
 
     # -- SPMD bodies (run per shard under shard_map) -----------------------
     def _graph_args(self):
@@ -882,13 +893,18 @@ class PartitionedNALPTrainer:
         (this shard's positives/hard negs + its R/P shared-negative
         slice); the ring/streaming-logsumexp softmax scores every query
         against ALL shards' candidates — the reference full-batch
-        contract at O(C/P) logits per shard (losses/sharded_retrieval)."""
+        contract at O(C/P) logits per shard (losses/sharded_retrieval).
+        Label-edge-feature score terms ride as the own-block bias."""
         from gigl_tpu.losses.count_min_sketch import (
             CountMinSketch,
             cms_add,
             cms_sampling_probability,
         )
-        from gigl_tpu.losses.sharded_retrieval import ring_retrieval_loss
+        from gigl_tpu.losses.sharded_retrieval import (
+            ring_candidate_pool,
+            ring_own_block_edge_bias,
+            ring_retrieval_loss,
+        )
 
         cfg = self.cfg
         b, p_, d = pos.shape
@@ -897,24 +913,14 @@ class PartitionedNALPTrainer:
         rand_ids_local = jax.lax.dynamic_slice_in_dim(
             batch.random_neg, shard * r_per, r_per)
         q_rows = jnp.repeat(q, p_, axis=0)                 # [b*p, D]
-        parts = [pos.reshape(b * p_, d)]
-        cand_ids = [batch.pos.reshape(-1)]
-        cmask = [batch.pos_mask.reshape(-1)]
-        pos_qids = [jnp.repeat(batch.anchors, p_, axis=0)]
-        if hard is not None and hard.shape[1] > 0:
-            h = hard.shape[1]
-            parts.append(hard.reshape(b * h, d))
-            cand_ids.append(batch.hard_neg.reshape(-1))
-            cmask.append(batch.hard_neg_mask.reshape(-1))
-            pos_qids.append(jnp.full((b * h,), -1, jnp.int32))
-        parts.append(rand_emb_l)
-        cand_ids.append(rand_ids_local)
-        cmask.append(jnp.ones(rand_emb_l.shape[0], bool))
-        pos_qids.append(jnp.full((rand_emb_l.shape[0],), -1, jnp.int32))
-        cand_local = jnp.concatenate(parts, axis=0)
-        cand_ids = jnp.concatenate(cand_ids)
-        cmask = jnp.concatenate(cmask)
-        pos_qids = jnp.concatenate(pos_qids)
+        cand_local, cand_ids, cmask, pos_qids = ring_candidate_pool(
+            batch, pos, hard, rand_emb_l, rand_ids_local)
+        bias = None
+        if getattr(self.model, "edge_scorer", None) is not None:
+            bias = ring_own_block_edge_bias(
+                lambda ef: self.model.apply(params, ef,
+                                            method="edge_score"),
+                batch, cand_local.shape[0])
         log_q = None
         if cms is not None:
             # Global counts: every shard's local candidates appear exactly
@@ -941,7 +947,8 @@ class PartitionedNALPTrainer:
             candidate_mask=cmask,
             candidate_log_q=log_q,
             query_mask=batch.pos_mask.reshape(-1),
-            remove_accidental_hits=cfg.remove_accidental_hits)
+            remove_accidental_hits=cfg.remove_accidental_hits,
+            own_block_bias=bias)
         total = jax.lax.psum(count, self.axis).astype(jnp.float32)
         # pmean(grads/loss) in _step_local turns this per-shard term into
         # exactly psum(ce)/psum(count) — the global mean.

@@ -947,3 +947,51 @@ class TestSingleShardTrainerParity:
         _, losses = trainer.train_steps(state, anchors[None, :],
                                         jax.random.PRNGKey(1))
         assert float(losses[0]) == pytest.approx(float(loss_rep), rel=1e-4)
+
+    def test_edge_scorer_terms_survive_the_ring(self):
+        """global_candidate_pool + edge_scorer: the label-edge score terms
+        ride as the own-block bias — first step equals the replicated
+        full-batch trainer with the same edge scorer (review finding:
+        they used to be silently dropped, freezing the scorer)."""
+        from gigl_tpu.models.link_prediction import EdgeFeatureScorer
+
+        mesh = _mesh()
+        n, e, d, de = 256, 2048, 16, 3
+        rng = np.random.default_rng(21)
+        src = rng.integers(0, n, e)
+        dst = rng.integers(0, n, e)
+        g = HeteroGraph.homogeneous(
+            src=src, dst=dst, num_nodes=n,
+            node_features=rng.normal(size=(n, d)).astype(np.float32))
+        dg = DeviceGraph.from_hetero(
+            g, supervision_edges=np.stack([src, dst]),
+            hard_neg_edges=np.stack([dst, src]),
+            supervision_edge_features=rng.normal(
+                size=(e, de)).astype(np.float32),
+            hard_neg_edge_features=rng.normal(
+                size=(e, de)).astype(np.float32))
+        enc = GNNEncoder(hid_dim=32, out_dim=16, num_layers=2,
+                         conv="graphsage", dropout=0.0)
+        model = LinkPredictionGNN(
+            encoder=enc, decoder=LinkPredictionDecoder(),
+            edge_scorer=EdgeFeatureScorer(hidden_dim=8))
+        cfg = NALPTrainerConfig(fanouts=(5, 3), num_positives=2,
+                                num_hard_negs=2, num_random_negs=64,
+                                loss_type="retrieval",
+                                global_candidate_pool=True)
+        pg = PartitionedGraph.build(dg, mesh)
+        trainer = PartitionedNALPTrainer(model, pg, mesh, cfg,
+                                         capacity_factor=8.0)
+        B = 64
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=B)
+        params0 = jax.tree_util.tree_map(np.asarray, state.params)
+        anchors = (np.arange(B, dtype=np.int32) * 3) % n
+
+        rep = NALPTrainer(model, dg, cfg)
+        st_r = rep.init_state(jax.random.PRNGKey(0), batch_size=B,
+                              params=jax.tree_util.tree_map(
+                                  jnp.asarray, params0))
+        _, loss_rep = rep.train_step(st_r, anchors, jax.random.PRNGKey(1))
+        _, losses = trainer.train_steps(state, anchors[None, :],
+                                        jax.random.PRNGKey(1))
+        assert float(losses[0]) == pytest.approx(float(loss_rep), rel=1e-4)
