@@ -328,6 +328,15 @@ class DataPreprocessor:
                 if src.label_column and src.label_column in batch:
                     lab_l.append(np.asarray(batch[src.label_column],
                                             np.int64).reshape(-1))
+            if lab_l and len(lab_l) != len(dense_l):
+                # Report the inconsistent source here rather than letting
+                # finalize() hit a shape error far from the cause.
+                raise ValueError(
+                    f"node source {si} (type {src.node_type!r}): label "
+                    f"column {src.label_column!r} present in only "
+                    f"{len(lab_l)} of {len(dense_l)} batches on rank "
+                    f"{rank} — every batch of a labeled source must carry "
+                    f"the label column")
             arrays = {
                 "dense": (np.concatenate(dense_l) if dense_l
                           else np.empty(0, np.int64)),

@@ -113,6 +113,15 @@ class WarehouseGraphValidator:
         dst_node_column_name: str,
     ) -> bool:
         """True if any edge row has a NULL src or dst endpoint."""
+        from gigl_tpu.data.warehouse import _IDENT, parse_bq_table_path
+
+        for part in parse_bq_table_path(edge_table):
+            if not _IDENT.match(part):
+                raise ValueError(
+                    f"invalid BQ path component {part!r} in {edge_table!r}")
+        for col in (src_node_column_name, dst_node_column_name):
+            if not _IDENT.match(col):
+                raise ValueError(f"invalid column name {col!r}")
         count = warehouse.run_query(
             f"SELECT COUNT(*) FROM `{edge_table}` "
             f"WHERE {src_node_column_name} IS NULL "

@@ -77,8 +77,14 @@ def run_full_graph_inference(
     nt = graph.metadata.node_types[0]
     et = graph.metadata.edge_types[0]
     n = graph.num_nodes[nt]
-    feats = (graph.node_features[nt] if nt in graph.node_features
-             else np.zeros((n, 1), np.float32))
+    if nt not in graph.node_features:
+        # A config mistake (wrong node-type name) must not silently yield
+        # the embeddings of a zeros-feature graph.
+        raise ValueError(
+            f"node type {nt!r} has no feature table (have "
+            f"{sorted(graph.node_features)}); fix the graph's node_features"
+            f" or pass features explicitly")
+    feats = graph.node_features[nt]
     ell = EllGraph.from_csr(graph.csr(et, anchor="dst"))
     x = jnp.asarray(np.asarray(feats), jnp.float32)
     emb = jax.jit(

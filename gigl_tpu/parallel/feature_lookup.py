@@ -71,9 +71,11 @@ def _route_requests(global_ids: jnp.ndarray, rows_per_shard: int,
     counts = jnp.cumsum(onehot.astype(jnp.int32), axis=0)     # inclusive
     pos = jnp.take_along_axis(counts, owner[:, None], axis=1)[:, 0] - 1
     ok = pos < capacity
-    # Overflowing requests scatter to column == capacity -> dropped.
+    # Overflowing requests (pos >= capacity) scatter out of bounds and are
+    # dropped; (owner, pos) pairs are distinct by construction, so the
+    # unique_indices promise holds even with multiple overflows per owner.
     req = jnp.zeros((num_shards, capacity), jnp.int32)
-    req = req.at[owner, jnp.where(ok, pos, capacity)].set(
+    req = req.at[owner, pos].set(
         global_ids.astype(jnp.int32), mode="drop", unique_indices=True)
     return req, owner, pos, ok
 

@@ -132,10 +132,10 @@ def put_ring_schedule(sched: RingSchedule, mesh: Mesh, axis: str = DATA_AXIS):
     each device receives exactly its own buckets inside `shard_map`."""
     row = NamedSharding(mesh, P(axis, None, None))
     return (
-        jax.device_put(jnp.asarray(sched.src_local), row),
-        jax.device_put(jnp.asarray(sched.dst_local), row),
-        jax.device_put(jnp.asarray(sched.weight), row),
-        jax.device_put(jnp.asarray(sched.inv_deg),
+        jax.device_put(np.asarray(sched.src_local), row),
+        jax.device_put(np.asarray(sched.dst_local), row),
+        jax.device_put(np.asarray(sched.weight), row),
+        jax.device_put(np.asarray(sched.inv_deg),
                        NamedSharding(mesh, P(axis, None))),
     )
 
@@ -212,11 +212,16 @@ def ring_sharded_aggregate(
     sched = build_ring_schedule(edges, num_nodes, mesh.shape[axis],
                                 edge_weight=edge_weight)
     placed = put_ring_schedule(sched, mesh, axis)
-    x = shard_features_rowwise(jnp.asarray(features), mesh, axis)
+    x = shard_features_rowwise(np.asarray(features), mesh, axis)
 
+    # The schedule rides as ARGUMENTS (closing over arrays that span
+    # non-addressable devices is rejected in real multi-process runs).
     @jax.jit
+    def _run(xs, placed_):
+        return ring_spmm(xs, placed_, mesh, axis=axis, reduce=reduce)
+
     def run(xs):
-        return ring_spmm(xs, placed, mesh, axis=axis, reduce=reduce)
+        return _run(xs, placed)
 
     out = run(x)
     return out[:num_nodes], run, sched

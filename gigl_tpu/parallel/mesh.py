@@ -60,10 +60,23 @@ def data_sharded(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
 
 
 def put_replicated(tree, mesh: Mesh):
-    """Replicate every array leaf of a pytree across the mesh."""
+    """Replicate every array leaf of a pytree across the mesh.
+
+    Multi-process safe: when the mesh spans processes, committed
+    single-device leaves are pulled to host first (device_put across a
+    real process boundary accepts numpy / fully-replicated inputs only;
+    every process holds the same locally-initialized values)."""
     sh = replicated(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sh) if hasattr(x, "shape") else x, tree)
+    multiproc = jax.process_count() > 1
+
+    def put(x):
+        if not hasattr(x, "shape"):
+            return x
+        if multiproc and isinstance(x, jax.Array) and not x.is_fully_replicated:
+            x = np.asarray(x)
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def put_data_sharded(tree, mesh: Mesh, axis: str = DATA_AXIS):

@@ -150,8 +150,11 @@ def shard_features_rowwise(
     n = features.shape[0]
     parts = mesh.shape[axis]
     n_pad = -(-n // parts) * parts
+    # Stay in numpy when given numpy: device_put across a real process
+    # boundary accepts host arrays, not committed single-device ones.
     if n_pad != n:
-        features = jnp.pad(features, ((0, n_pad - n), (0, 0)))
+        pad = np.pad if isinstance(features, np.ndarray) else jnp.pad
+        features = pad(features, ((0, n_pad - n), (0, 0)))
     return jax.device_put(features, NamedSharding(mesh, P(axis, None)))
 
 

@@ -61,6 +61,13 @@ class OpSpec:
     def csr_key(self) -> str:
         return f"{self.edge_type}|{self.anchor}"
 
+    @property
+    def table_key(self) -> str:
+        """Frozen-sample-table key. Includes the draw method so two ops
+        sharing a CSR and fanout with different methods (e.g. uniform vs
+        top_k) never reuse one table's draws."""
+        return f"{self.csr_key}#{self.fanout}#{self.method}"
+
 
 def resolve_path(
     root_node_type: str,

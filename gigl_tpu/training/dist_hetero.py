@@ -73,7 +73,7 @@ class PartitionedHeteroGraph:
     rows: Dict[str, int]
     feat_dims: Dict[str, int]
     anchor_node_type: str
-    # Frozen per-node sample tables "csr_key#fanout" -> [P*rows_anchor, k]
+    # Frozen per-node sample tables OpSpec.table_key -> [P*rows_anchor, k]
     # int32 row-sharded (-1 = invalid slot): the typed tabularized fast
     # path over the partitioned graph (with_sample_tables).
     sample_tables: Optional[Dict[str, jax.Array]] = None
@@ -103,12 +103,12 @@ class PartitionedHeteroGraph:
 
         row_sh = NamedSharding(mesh, P(axis))
         num_shards = int(mesh.shape[axis])
-        anchor_of: Dict[str, str] = {}
+        anchor_by_key: Dict[str, str] = {}
         for ops in paths.values():
             for op in ops:
-                anchor_of[op.csr_key] = str(op.frontier_node_type)
+                anchor_by_key[op.table_key] = str(op.frontier_node_type)
         # Delegate the draws to the REPLICATED builder (single source of
-        # the "csr_key#fanout" keying / hop_key / method semantics — the
+        # the OpSpec.table_key keying / hop_key / method semantics — the
         # bit-identical-parity guarantee), then pad + row-shard each
         # table by its op's anchor node type.
         tabbed = hdg.with_sample_tables(paths, seed=seed)
@@ -116,11 +116,10 @@ class PartitionedHeteroGraph:
         for key, packed_dev in tabbed.sample_tables.items():
             if key in tables:
                 continue
-            csr_key = key.rsplit("#", 1)[0]
-            if csr_key not in anchor_of:
+            if key not in anchor_by_key:
                 continue  # table not used by these paths
             packed = np.asarray(packed_dev)
-            nt = anchor_of[csr_key]
+            nt = anchor_by_key[key]
             pad = np.full((num_shards * self.rows[nt], packed.shape[1]),
                           -1, np.int32)
             pad[: packed.shape[0]] = packed
@@ -302,7 +301,7 @@ class PartitionedHeteroNALPTrainer:
         ovf = jnp.zeros((), jnp.int32)
         if self.cfg.tabularized:
             for op in spec:
-                key = f"{op.csr_key}#{op.fanout}"
+                key = op.table_key
                 frontier = node_ids[op.parent + 1]
                 pmask = masks[op.parent + 1]
                 row, ok = routed_gather(

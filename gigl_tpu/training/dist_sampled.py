@@ -450,9 +450,11 @@ class PartitionedGraph:
                       P(axis, None), P()),
             out_specs=(P(axis), P()) + tuple(P(axis) for _ in tab_ks),
             check_vma=False))
+        # np scalar (not jnp): a committed single-device array can't be
+        # resharded to a replicated spec across real process boundaries.
         cache, ovf, *tabs = build(self.feat_deg, self.msg_indptr,
                                   self.msg_indices, msg_w,
-                                  jnp.asarray(seed, jnp.int32))
+                                  np.asarray(seed, np.int32))
         if int(ovf):
             raise RuntimeError(
                 f"tabularized cache build dropped {int(ovf)} neighbor "
@@ -1047,19 +1049,34 @@ class PartitionedNALPTrainer:
 
         cms = (cms_init()
                if getattr(self.cfg, "use_cms_correction", False) else None)
-        return TrainState(params=params, opt_state=self.tx.init(params),
-                          step=jnp.zeros((), jnp.int32), cms=cms)
+        from gigl_tpu.parallel.mesh import put_replicated
+
+        # Replicate over the GLOBAL mesh: in a real multi-process cluster
+        # the locally-initialized params must become global arrays before
+        # they can feed the P()-spec'd SPMD programs.
+        return put_replicated(
+            TrainState(params=params, opt_state=self.tx.init(params),
+                       step=jnp.zeros((), jnp.int32), cms=cms), self.mesh)
+
+    def _put(self, x, *cols):
+        """device_put a host batch onto the global mesh (multi-process
+        safe: numpy can't ride a non-trivial in_sharding directly)."""
+        from jax.sharding import NamedSharding
+
+        return jax.device_put(
+            np.asarray(x), NamedSharding(self.mesh, self._P(*cols)))
 
     def train_steps(self, state: TrainState, anchors_kb,
                     rng: jax.Array) -> Tuple[TrainState, jnp.ndarray]:
-        anchors_kb = jnp.asarray(anchors_kb, jnp.int32)
+        anchors_kb = np.asarray(anchors_kb, np.int32)
         if anchors_kb.shape[1] % self.num_shards:
             raise ValueError(
                 f"batch size {anchors_kb.shape[1]} not divisible by "
                 f"{self.num_shards} shards")
-        rngs = jax.random.split(rng, anchors_kb.shape[0])
-        state, losses, ovfs = self._train_steps(self._graph_args(), state,
-                                                anchors_kb, rngs)
+        rngs = np.asarray(jax.random.split(rng, anchors_kb.shape[0]))
+        state, losses, ovfs = self._train_steps(
+            self._graph_args(), state,
+            self._put(anchors_kb, None, self.axis), self._put(rngs))
         self._note_overflow(int(np.asarray(ovfs).sum()))
         return state, losses
 
@@ -1073,8 +1090,8 @@ class PartitionedNALPTrainer:
                 continue
             rr, hits, cnt, ovf = self._eval_step(
                 self._graph_args(), params,
-                jnp.asarray(a, jnp.int32),
-                jnp.asarray(step + i, jnp.int32))
+                self._put(np.asarray(a, np.int32), self.axis),
+                self._put(np.asarray(step + i, np.int32)))
             rr_t += float(rr)
             cnt_t += float(cnt)
             ovf_t += int(ovf)
@@ -1092,11 +1109,12 @@ class PartitionedNALPTrainer:
     def encode_batch(self, params, node_ids) -> jnp.ndarray:
         """Sharded inference encode over the partitioned graph (input
         padded to a multiple of the shard count; pad rows dropped)."""
-        node_ids = jnp.asarray(node_ids, jnp.int32)
+        node_ids = np.asarray(node_ids, np.int32)
         m = node_ids.shape[0]
         m_pad = -(-m // self.num_shards) * self.num_shards
-        padded = jnp.pad(node_ids, (0, m_pad - m))
-        out = self._encode(self._graph_args(), params, padded)
+        padded = np.pad(node_ids, (0, m_pad - m))
+        out = self._encode(self._graph_args(), params,
+                           self._put(padded, self.axis))
         return out[:m]
 
     def fit(
@@ -1259,19 +1277,23 @@ class PartitionedNodeClassificationTrainer(PartitionedNALPTrainer):
             feats.append(jnp.zeros(shape + (d,), jnp.float32))
             masks.append(jnp.ones(shape, bool))
             params = self.model.init(rng, feats, masks)
-        return TrainState(params=params, opt_state=self.tx.init(params),
-                          step=jnp.zeros((), jnp.int32), cms=None)
+        from gigl_tpu.parallel.mesh import put_replicated
+
+        return put_replicated(
+            TrainState(params=params, opt_state=self.tx.init(params),
+                       step=jnp.zeros((), jnp.int32), cms=None), self.mesh)
 
     def train_steps(self, state: TrainState, nodes_kb,
                     rng: jax.Array) -> Tuple[TrainState, jnp.ndarray]:
-        nodes_kb = jnp.asarray(nodes_kb, jnp.int32)
+        nodes_kb = np.asarray(nodes_kb, np.int32)
         if nodes_kb.shape[1] % self.num_shards:
             raise ValueError(
                 f"batch size {nodes_kb.shape[1]} not divisible by "
                 f"{self.num_shards} shards")
-        rngs = jax.random.split(rng, nodes_kb.shape[0])
+        rngs = np.asarray(jax.random.split(rng, nodes_kb.shape[0]))
         state, losses, ovfs = self._train_steps(
-            self._graph_args(), self.pg.labels, state, nodes_kb, rngs)
+            self._graph_args(), self.pg.labels, state,
+            self._put(nodes_kb, None, self.axis), self._put(rngs))
         self._note_overflow(int(np.asarray(ovfs).sum()))
         return state, losses
 
@@ -1283,8 +1305,9 @@ class PartitionedNodeClassificationTrainer(PartitionedNALPTrainer):
             b = b[: len(b) // self.num_shards * self.num_shards]
             if len(b) == 0:
                 continue
-            c, n, ovf = self._eval_step(self._graph_args(), self.pg.labels,
-                                        params, jnp.asarray(b, jnp.int32))
+            c, n, ovf = self._eval_step(
+                self._graph_args(), self.pg.labels, params,
+                self._put(np.asarray(b, np.int32), self.axis))
             correct += float(c)
             total += float(n)
             ovf_t += int(ovf)

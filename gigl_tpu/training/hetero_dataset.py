@@ -56,7 +56,8 @@ class HeteroDeviceGraph:
     hard_neg_csr: Optional[DeviceCSR] = None
     node_labels: Optional[Dict[str, jnp.ndarray]] = None
     # Frozen per-node sample tables for tabularized typed sampling, keyed
-    # "{csr_key}#{fanout}" -> packed ids [N_anchor, fanout] with -1 for
+    # OpSpec.table_key ("{csr_key}#{fanout}#{method}") -> packed ids
+    # [N_anchor, fanout] with -1 for
     # invalid slots (same frozen-sample semantics as DeviceGraph's tables).
     sample_tables: Optional[Dict[str, jnp.ndarray]] = None
 
@@ -202,7 +203,7 @@ class HeteroDeviceGraph:
         tables: Dict[str, jnp.ndarray] = dict(self.sample_tables or {})
         for ops in paths.values():
             for op in ops:
-                key = f"{op.csr_key}#{op.fanout}"
+                key = op.table_key
                 if key in tables:
                     continue
                 ids_t, mask_t = build_sample_table(
@@ -222,7 +223,7 @@ class HeteroDeviceGraph:
         masks = [jnp.ones(roots.shape, dtype=bool)]
         edge_slots: List[Optional[jnp.ndarray]] = [None]
         for op in spec:
-            key = f"{op.csr_key}#{op.fanout}"
+            key = op.table_key
             if key not in self.sample_tables:
                 raise ValueError(f"no sample table {key!r}; have "
                                  f"{sorted(self.sample_tables)}")

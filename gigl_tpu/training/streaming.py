@@ -344,6 +344,12 @@ class StreamingNALPTrainer:
         root dim); no-op without a mesh (jit moves host arrays itself)."""
         if self.mesh is None:
             return batch
+        b = int(np.asarray(batch.ids.anchors).shape[0])
+        if b % self._n_shards:
+            raise ValueError(
+                f"batch size {b} not divisible by the {self._n_shards}-"
+                f"shard mesh axis (streamed arrays are sharded on the "
+                f"root dim)")
 
         def put(x):
             return jax.device_put(np.asarray(x), self._data_sh)

@@ -1,0 +1,506 @@
+"""Streaming + partitioned composed: per-shard HOST feature store with
+routed device lookups — graphs beyond pod HBM (the GLT cluster-RAM regime
+proper).
+
+The reference's scale design holds the graph partitioned across the
+cluster's host RAM and fetches remote feature rows per batch over RPC
+(ref python/gigl/distributed/dist_link_prediction_dataset.py:428-439
+Feature stores; distributed_neighborloader.py:26-120). Round-3's two
+halves — `PartitionedGraph` (HBM-resident, O(N/P) per chip) and
+`StreamingNALPTrainer` (host features, but the FULL table per host) —
+compose here:
+
+  - each PROCESS's host RAM holds only its shards' rows of the fused
+    [features | degree | hop-cache aggregate] table (`ShardedHostStore`);
+    device HBM holds only the O(N/P) integer adjacency (frozen sample
+    tables + supervision/hard-negative CSR blocks) and the per-batch
+    working set;
+  - a train step is the HBM-partitioned step split at the feature
+    hydration's routed gather into two SPMD programs:
+      plan:  batch draws + joint tree expansion (routed over HBM tables)
+             + counting-sort routing + the request all_to_all — ends with
+             each shard holding the ids IT OWNS (`recv`),
+      host:  the owner-side row gather runs on HOST (threaded C++ store),
+             answers re-enter the mesh as one sharded array,
+      apply: the answer all_to_all + un-permute (the back half of
+             routed_gather), encode, loss, grads, pmean, update;
+  - draws are bit-identical to `PartitionedNALPTrainer` in tabularized
+    mode (same counter-RNG keying, same frozen-table semantics), so the
+    loss trajectories match exactly (tests/test_streaming_partitioned.py).
+
+Capacity math (docs/performance.md "beyond-HBM capacity"): MAG240M at
+244M nodes x 768 fp32 features is ~750 GB of fused table — per 64-host
+pod that is ~12 GB host RAM per process, while per-chip HBM carries only
+the adjacency ints (~60 B/node at fanouts 15/10) plus the per-batch
+working set.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gigl_tpu import native
+from gigl_tpu.parallel.feature_lookup import (
+    _route_requests,
+    _unroute,
+    request_capacity,
+    routed_sample_neighbors,
+)
+from gigl_tpu.parallel.mesh import DATA_AXIS, put_replicated
+from gigl_tpu.sampling.neighbor_sampler import counter_rng_uniform
+from gigl_tpu.training.dataset import NALPBatch
+from gigl_tpu.training.dist_sampled import _shard_csr, apply_overflow_policy
+from gigl_tpu.training.streaming import HostGraphStore
+from gigl_tpu.training.trainer import (
+    NALPTrainerConfig,
+    TrainState,
+    make_optimizer,
+    nalp_loss_from_embeddings,
+)
+from gigl_tpu.utils.logger import get_logger
+
+logger = get_logger(__name__)
+
+
+class ShardedHostStore:
+    """This process's rows of the fused [feat | deg | agg] host table.
+
+    ``local_shards`` are the global shard indices whose rows this process
+    holds (each shard = ``rows_per_shard`` consecutive global rows) — the
+    per-host partition of the reference's cluster-RAM feature store.
+    """
+
+    def __init__(self, fused_local: np.ndarray, rows_per_shard: int,
+                 local_shards: Sequence[int]):
+        self.rows_per_shard = rows_per_shard
+        self.local_shards = tuple(int(s) for s in local_shards)
+        self._lo = {s: i * rows_per_shard
+                    for i, s in enumerate(self.local_shards)}
+        self._table = (native.HostFeatureStore(fused_local)
+                       if native.available() else None)
+        self._np = fused_local
+
+    @property
+    def width(self) -> int:
+        return self._np.shape[1]
+
+    @classmethod
+    def from_host_store(cls, store: HostGraphStore, *, num_shards: int,
+                        local_shards: Optional[Sequence[int]] = None
+                        ) -> "ShardedHostStore":
+        """Fuse features + degree + hop-cache aggregate and keep only the
+        local shards' rows (default: all shards — single-process)."""
+        n = store.num_nodes
+        rows = -(-n // num_shards)
+        if local_shards is None:
+            local_shards = range(num_shards)
+        local_shards = tuple(int(s) for s in local_shards)
+        d = store.features.shape[1]
+        w = 2 * d + 1
+        fused = np.zeros((len(local_shards) * rows, w), np.float32)
+        for i, s in enumerate(local_shards):
+            lo, hi = s * rows, min((s + 1) * rows, n)
+            if hi <= lo:
+                continue
+            blk = fused[i * rows: i * rows + (hi - lo)]
+            ids = np.arange(lo, hi)
+            blk[:, :d] = store.features.gather(ids)
+            blk[:, d] = store.degrees[lo:hi]
+            blk[:, d + 1:] = store.agg.gather(ids)
+        return cls(fused, rows, local_shards)
+
+    def answer_shard(self, shard: int, global_ids: np.ndarray) -> np.ndarray:
+        """Owner-side gather for one of this process's shards: fused rows
+        for ``global_ids`` (all owned by ``shard``; padding slots id 0 may
+        fall outside — clipped, their answers are never read back)."""
+        lo = self._lo[shard]
+        local = (np.asarray(global_ids, np.int64).reshape(-1)
+                 - shard * self.rows_per_shard)
+        local = np.clip(local, 0, self.rows_per_shard - 1) + lo
+        if self._table is not None:
+            out = self._table.gather(local)
+        else:
+            out = self._np[local]
+        return out.reshape(np.asarray(global_ids).shape + (self.width,))
+
+
+class StreamingPartitionedNALPTrainer:
+    """NALP trainer: sharded HOST features + routed device lookups.
+
+    API mirrors PartitionedNALPTrainer where applicable; the K-step scan
+    is replaced by per-step plan/host/apply because the owner-side gather
+    leaves the device. Scope (v1): tabularized mode only, per-shard
+    candidate pool (``global_candidate_pool`` raises), no CMS correction,
+    no label-edge features.
+    """
+
+    def __init__(self, model, store: HostGraphStore, mesh,
+                 config: NALPTrainerConfig, *, batch_size: int,
+                 optimizer_args: Optional[Dict[str, Any]] = None,
+                 axis: str = DATA_AXIS, capacity_factor: float = 4.0,
+                 overflow_policy: str = "warn",
+                 host_store: Optional[ShardedHostStore] = None):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cfg = config
+        if not getattr(cfg, "cached_hop", False):
+            raise ValueError("StreamingPartitionedNALPTrainer is "
+                             "tabularized-only: set cached_hop=True")
+        if getattr(cfg, "global_candidate_pool", False):
+            raise ValueError("global_candidate_pool is not supported on "
+                             "the streamed-partitioned path (per-shard "
+                             "pool + all_gather only)")
+        if getattr(cfg, "use_cms_correction", False):
+            raise ValueError("CMS correction is not wired for the "
+                             "streamed-partitioned path")
+        if store.sup_edge_features is not None:
+            raise ValueError("label-edge features are not streamed on the "
+                             "partitioned path; use StreamingNALPTrainer "
+                             "or the HBM PartitionedNALPTrainer")
+        if overflow_policy not in ("warn", "raise", "silent", "grow"):
+            raise ValueError(
+                "overflow_policy must be warn | raise | silent | grow")
+        if cfg.num_hard_negs and store.hard_neg_indptr is None:
+            raise ValueError("num_hard_negs > 0 needs a store built with "
+                             "hard_neg_edges")
+        self.model = model
+        self.store = store
+        self.cfg = cfg
+        self.mesh = mesh
+        self.axis = axis
+        self._P = P
+        self._NS = NamedSharding
+        self.num_shards = p = int(mesh.shape[axis])
+        if batch_size % p:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"{p} shards")
+        if cfg.num_random_negs % p:
+            raise ValueError("num_random_negs must divide the mesh axis "
+                             "size")
+        self.batch_size = batch_size
+        self.capacity_factor = capacity_factor
+        self.overflow_policy = overflow_policy
+        self.overflow_total = 0
+        self.tx = make_optimizer(optimizer_args or {})
+        n = store.num_nodes
+        self.rows_per_shard = rows = -(-n // p)
+        self.feat_dim = store.features.shape[1]
+        blk_sh = NamedSharding(mesh, P(axis, None))
+        row_sh = NamedSharding(mesh, P(axis))
+        # Device-side adjacency: frozen sample tables (packed, -1 invalid)
+        # + supervision / hard-negative CSR blocks — O(N/P) ints per chip.
+        self._tab_ks = tuple(sorted({int(k) for k in cfg.fanouts[:-1]}))
+        if any(int(k) not in store.sample_tables for k in self._tab_ks):
+            raise ValueError(
+                f"store lacks sample tables for fanouts {self._tab_ks}; "
+                f"build/refresh the HostGraphStore with fanouts="
+                f"{tuple(cfg.fanouts)}")
+        tabs = []
+        for k in self._tab_ks:
+            ids_t, mask_t = store.sample_tables[int(k)]
+            packed = np.where(mask_t, ids_t, -1).astype(np.int32)
+            pad = np.full((p * rows, packed.shape[1]), -1, np.int32)
+            pad[: packed.shape[0]] = packed
+            tabs.append(jax.device_put(pad, row_sh))
+        self._tabs = tuple(tabs)
+        self._tab_index = {k: i for i, k in enumerate(self._tab_ks)}
+        a, b = _shard_csr(store.supervision_indptr,
+                          store.supervision_indices, p, rows)
+        self._sup = (jax.device_put(a, blk_sh), jax.device_put(b, blk_sh))
+        if store.hard_neg_indptr is not None:
+            a, b = _shard_csr(store.hard_neg_indptr, store.hard_neg_indices,
+                              p, rows)
+            self._hard = (jax.device_put(a, blk_sh),
+                          jax.device_put(b, blk_sh))
+        else:
+            self._hard = (jax.device_put(
+                np.zeros((p, rows + 1), np.int32), blk_sh),
+                jax.device_put(np.zeros((p, 1), np.int32), blk_sh))
+        # Host store: this process's shards only.
+        if host_store is None:
+            local = sorted({d.process_index for d in mesh.devices.flat})
+            if len(local) > 1:
+                # Multi-process: each process holds ITS devices' shards.
+                mine = [i for i, d in enumerate(mesh.devices.flat)
+                        if d.process_index == jax.process_index()]
+            else:
+                mine = list(range(p))
+            host_store = ShardedHostStore.from_host_store(
+                store, num_shards=p, local_shards=mine)
+        self.host = host_store
+        # Static per-shard tree shapes -> union size + routing capacity.
+        bb = batch_size // p
+        self._group_shapes = self._build_group_shapes(bb)
+        self._union = sum(int(np.prod(s)) for shapes in self._group_shapes
+                          for s in shapes)
+        self.capacity = request_capacity(self._union, p, capacity_factor)
+        self._build_programs()
+
+    # -- static shape bookkeeping -----------------------------------------
+    def _build_group_shapes(self, bb: int) -> List[List[Tuple[int, ...]]]:
+        """Per-group per-level shapes (shard-local), in flattening order:
+        anchors, positives, local random negatives[, hard negatives]."""
+        cfg = self.cfg
+        roots = [(bb,), (bb, cfg.num_positives),
+                 (cfg.num_random_negs // self.num_shards,)]
+        if cfg.num_hard_negs > 0:
+            roots.append((bb, cfg.num_hard_negs))
+        out = []
+        for r in roots:
+            shapes = [r]
+            for k in cfg.fanouts[:-1]:
+                shapes.append(shapes[-1] + (int(k),))
+            out.append(shapes)
+        return out
+
+    # -- SPMD program bodies ----------------------------------------------
+    def _expand_joint(self, tabs, roots_concat):
+        """Joint tabularized tree expansion (one routed gather per hop for
+        the concat of ALL groups' frontiers) — same table keying/flattening
+        as PartitionedNALPTrainer._sample_trees_joint."""
+        from gigl_tpu.parallel.feature_lookup import routed_gather
+
+        frontier = roots_concat.astype(jnp.int32)
+        pmask = jnp.ones(frontier.shape, bool)
+        levels = [(frontier, pmask)]
+        ovf = jnp.zeros((), jnp.int32)
+        for k in self.cfg.fanouts[:-1]:
+            row, ok = routed_gather(
+                tabs[self._tab_index[int(k)]], frontier, axis=self.axis,
+                capacity_factor=self.capacity_factor)
+            ovf += jnp.sum(~ok, dtype=jnp.int32)
+            m = (row >= 0) & pmask[:, None] & ok[:, None]
+            nbr = jnp.where(m, row, 0)
+            frontier, pmask = nbr.reshape(-1), m.reshape(-1)
+            levels.append((frontier, pmask))
+        return levels, ovf
+
+    def _plan_local(self, tabs, sup_ip, sup_ix, hard_ip, hard_ix,
+                    anchors, step):
+        """Batch draws + tree expansion + routing; ends at the request
+        all_to_all (the front half of routed_gather)."""
+        cfg = self.cfg
+        anchors = anchors.astype(jnp.int32)
+        pos, pos_mask, ok_p = routed_sample_neighbors(
+            sup_ip[0], sup_ix[0], anchors, cfg.num_positives,
+            axis=self.axis, seed=cfg.seed, hop=1_000_003 + step,
+            capacity_factor=self.capacity_factor)
+        ovf = jnp.sum(~ok_p, dtype=jnp.int32)
+        bits = counter_rng_uniform(
+            jnp.arange(cfg.num_random_negs, dtype=jnp.int32),
+            seed=cfg.seed, hop=3_000_017 + step, num_slots=1)[:, 0]
+        rand = (bits % jnp.uint32(self.store.num_nodes)).astype(jnp.int32)
+        r_per = cfg.num_random_negs // self.num_shards
+        shard = jax.lax.axis_index(self.axis)
+        rand_local = jax.lax.dynamic_slice_in_dim(rand, shard * r_per,
+                                                  r_per)
+        h = cfg.num_hard_negs
+        if h > 0:
+            hard, hard_mask, ok_h = routed_sample_neighbors(
+                hard_ip[0], hard_ix[0], anchors, h, axis=self.axis,
+                seed=cfg.seed, hop=2_000_003 + step,
+                capacity_factor=self.capacity_factor)
+            ovf += jnp.sum(~ok_h, dtype=jnp.int32)
+        else:
+            hard = jnp.zeros(anchors.shape + (0,), jnp.int32)
+            hard_mask = jnp.zeros(anchors.shape + (0,), bool)
+        groups = [anchors, pos, rand_local] + ([hard] if h > 0 else [])
+        roots_concat = jnp.concatenate([g.reshape(-1) for g in groups])
+        levels, ovf2 = self._expand_joint(tabs, roots_concat)
+        ovf += ovf2
+        # Flatten in PartitionedNALPTrainer._encode_groups order: per
+        # group, all its levels consecutively.
+        per_group = self._split_levels(levels)
+        all_ids = jnp.concatenate(
+            [ids.reshape(-1) for ids_l, _ in per_group for ids in ids_l])
+        masks_flat = tuple(m for _, m_l in per_group for m in m_l)
+        req, owner, pos_idx, ok = _route_requests(
+            all_ids.astype(jnp.int32), self.rows_per_shard,
+            self.num_shards, self.capacity)
+        recv = jax.lax.all_to_all(req, self.axis, 0, 0, tiled=True)
+        return (recv, owner, pos_idx, ok, masks_flat, anchors, pos,
+                pos_mask, hard, hard_mask, rand, ovf)
+
+    def _split_levels(self, levels):
+        """Un-concat the joint levels back into per-group trees of
+        (ids, masks) with static shapes (_group_shapes)."""
+        out = []
+        offs = [0] * len(levels)
+        for shapes in self._group_shapes:
+            ids_l, m_l = [], []
+            for li, (flat, fmask) in enumerate(levels):
+                n_elem = int(np.prod(shapes[li]))
+                sl = slice(offs[li], offs[li] + n_elem)
+                offs[li] += n_elem
+                ids_l.append(flat[sl].reshape(shapes[li]))
+                m_l.append(fmask[sl].reshape(shapes[li]))
+            out.append((ids_l, m_l))
+        return out
+
+    def _embed_groups(self, params, rows, masks_flat, train, rng):
+        """Split the un-routed fused rows per group/level and encode."""
+        d = self.feat_dim
+        feats = rows[:, :d]
+        degs = rows[:, d]
+        cache = rows[:, d + 1:]
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        embs = []
+        offset = 0
+        mi = 0
+        for shapes in self._group_shapes:
+            f_l, c_l, m_l, g_l = [], [], [], []
+            for s in shapes:
+                n_elem = int(np.prod(s))
+                sl = slice(offset, offset + n_elem)
+                offset += n_elem
+                f_l.append(feats[sl].reshape(s + (d,)))
+                c_l.append(cache[sl].reshape(s + (d,)))
+                g_l.append(degs[sl].reshape(s))
+                m_l.append(masks_flat[mi].reshape(s))
+                mi += 1
+            emb = self.model.apply(params, f_l, m_l, None, train=train,
+                                   hop_degrees=g_l, cached_agg=c_l,
+                                   rngs=rngs)
+            embs.append(emb.reshape(shapes[0] + (emb.shape[-1],)))
+        return embs
+
+    def _apply_local(self, state, ans, owner, pos_idx, ok, masks_flat,
+                     anchors, pos, pos_mask, hard, hard_mask, rand, ovf,
+                     rng):
+        """Answer all_to_all + un-permute (the back half of routed_gather)
+        -> encode -> loss -> pmean'd grads -> update."""
+        back = jax.lax.all_to_all(ans, self.axis, 0, 0, tiled=True)
+        rows, ok_req = _unroute(back, owner, pos_idx, ok)
+        ovf = ovf + jnp.sum(~ok_req, dtype=jnp.int32)
+        batch = NALPBatch(anchors=anchors, pos=pos, pos_mask=pos_mask,
+                          hard_neg=hard, hard_neg_mask=hard_mask,
+                          random_neg=rand)
+
+        def loss_fn(p):
+            embs = self._embed_groups(p, rows, masks_flat, True, rng)
+            q, pos_e, rand_l = embs[0], embs[1], embs[2]
+            hard_e = embs[3] if self.cfg.num_hard_negs > 0 else None
+            rand_emb = jax.lax.all_gather(rand_l, self.axis, axis=0,
+                                          tiled=True)
+            loss, _cms = nalp_loss_from_embeddings(
+                self.model, p, self.cfg, batch, q, pos_e, hard_e,
+                rand_emb, None)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grads = jax.lax.pmean(grads, self.axis)
+        loss = jax.lax.pmean(loss, self.axis)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, cms=state.cms)
+        return new_state, loss, jax.lax.psum(ovf, self.axis)
+
+    def _build_programs(self) -> None:
+        P, mesh, axis = self._P, self.mesh, self.axis
+        n_levels = len(self.cfg.fanouts)
+        n_groups = len(self._group_shapes)
+        masks_spec = tuple(P(axis) for _ in range(n_groups * n_levels))
+        tabs_spec = tuple(P(axis) for _ in self._tabs)
+        self._plan = jax.jit(jax.shard_map(
+            self._plan_local, mesh=mesh,
+            in_specs=(tabs_spec, P(axis, None), P(axis, None),
+                      P(axis, None), P(axis, None), P(axis), P()),
+            out_specs=(P(axis, None), P(axis), P(axis), P(axis),
+                       masks_spec, P(axis), P(axis), P(axis),
+                       P(axis), P(axis), P(), P()),
+            check_vma=False))
+        self._apply = jax.jit(jax.shard_map(
+            self._apply_local, mesh=mesh,
+            in_specs=(P(), P(axis, None, None), P(axis), P(axis), P(axis),
+                      masks_spec, P(axis), P(axis), P(axis), P(axis),
+                      P(axis), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False), donate_argnums=(0,))
+
+    # -- host round --------------------------------------------------------
+    def _host_answers(self, recv) -> jax.Array:
+        """Owner-side gather on HOST: each addressable shard's received
+        request ids are answered from this process's host store rows; the
+        answers re-enter the mesh as one [P*P, C, W] sharded array."""
+        p, cap, w = self.num_shards, self.capacity, self.host.width
+        blocks: Dict[int, np.ndarray] = {}
+        for sh in recv.addressable_shards:
+            s = int(sh.index[0].start) // p
+            ids = np.asarray(sh.data)          # [P, C] global ids
+            blocks[s] = self.host.answer_shard(s, ids).astype(np.float32)
+        sharding = self._NS(self.mesh, self._P(self.axis, None, None))
+
+        def cb(index):
+            s = int(index[0].start) // p
+            return blocks[s]
+
+        return jax.make_array_from_callback((p * p, cap, w), sharding, cb)
+
+    # -- public API --------------------------------------------------------
+    def init_state(self, rng: jax.Array,
+                   params: Optional[Any] = None) -> TrainState:
+        if params is None:
+            d = self.feat_dim
+            feats, masks = [], []
+            shape = (max(self.batch_size // self.num_shards, 1),)
+            for k in self.cfg.fanouts:
+                feats.append(jnp.zeros(shape + (d,), jnp.float32))
+                masks.append(jnp.ones(shape, bool))
+                shape = shape + (int(k),)
+            feats.append(jnp.zeros(shape + (d,), jnp.float32))
+            masks.append(jnp.ones(shape, bool))
+            params = self.model.init(rng, feats, masks)
+        return put_replicated(
+            TrainState(params=params, opt_state=self.tx.init(params),
+                       step=jnp.zeros((), jnp.int32), cms=None), self.mesh)
+
+    def _put(self, x, *cols):
+        return jax.device_put(np.asarray(x),
+                              self._NS(self.mesh, self._P(*cols)))
+
+    def train_step(self, state: TrainState, anchors, rng: jax.Array,
+                   step: int) -> Tuple[TrainState, float]:
+        """One plan -> host-gather -> apply round; ``step`` must be the
+        global step index (drives the draw RNG, matching the HBM
+        trainer's in-scan state.step)."""
+        anchors = np.asarray(anchors, np.int32)
+        if anchors.shape[0] != self.batch_size:
+            raise ValueError(f"anchors batch {anchors.shape[0]} != "
+                             f"configured batch_size {self.batch_size}")
+        (recv, owner, pos_idx, ok, masks_flat, a, pos, pm, hard, hm,
+         rand, ovf) = self._plan(
+            self._tabs, self._sup[0], self._sup[1], self._hard[0],
+            self._hard[1], self._put(anchors, self.axis),
+            self._put(np.asarray(step, np.int32)))
+        ans = self._host_answers(recv)
+        state, loss, ovf_t = self._apply(
+            state, ans, owner, pos_idx, ok, masks_flat, a, pos, pm, hard,
+            hm, rand, ovf, self._put(np.asarray(rng)))
+        apply_overflow_policy(self, int(np.asarray(ovf_t)),
+                              grow_rebuild=self._grow_rebuild)
+        return state, loss
+
+    def _grow_rebuild(self) -> None:
+        self.capacity = request_capacity(self._union, self.num_shards,
+                                         self.capacity_factor)
+        self._build_programs()
+
+    def run_steps(self, state: TrainState, anchor_batches, rng: jax.Array,
+                  *, start_step: int = 0):
+        """Sequential steps (the host round trip serializes; jax async
+        dispatch still overlaps the host gather of step t+1's plan with
+        step t's apply)."""
+        losses = []
+        rngs = np.asarray(jax.random.split(rng, len(anchor_batches)))
+        for i, anchors in enumerate(anchor_batches):
+            state, loss = self.train_step(state, anchors, rngs[i],
+                                          start_step + i)
+            losses.append(loss)
+        return state, np.asarray([float(x) for x in jax.device_get(losses)])

@@ -1,0 +1,157 @@
+"""Streaming + partitioned composition: per-shard host feature store +
+routed device lookups (the GLT cluster-RAM regime,
+ref dist_link_prediction_dataset.py:428-439). Loss parity vs the
+HBM-resident PartitionedNALPTrainer in tabularized mode."""
+
+import jax
+import numpy as np
+import pytest
+
+from gigl_tpu.graph.csr import HeteroGraph
+from gigl_tpu.models.encoders import GNNEncoder
+from gigl_tpu.models.link_prediction import (
+    LinkPredictionDecoder,
+    LinkPredictionGNN,
+)
+from gigl_tpu.parallel.mesh import make_mesh
+from gigl_tpu.training.dataset import DeviceGraph
+from gigl_tpu.training.dist_sampled import (
+    PartitionedGraph,
+    PartitionedNALPTrainer,
+)
+from gigl_tpu.training.streaming import HostGraphStore
+from gigl_tpu.training.streaming_partitioned import (
+    ShardedHostStore,
+    StreamingPartitionedNALPTrainer,
+)
+from gigl_tpu.training.trainer import NALPTrainerConfig
+
+AXIS = "data"
+N, E, D = 256, 2048, 16
+
+
+def _toy(seed=0):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, N, E)
+    dst = rng.integers(0, N, E)
+    edges = np.stack([src, dst])
+    g = HeteroGraph.homogeneous(
+        src=src, dst=dst, num_nodes=N,
+        node_features=rng.normal(size=(N, D)).astype(np.float32))
+    dg = DeviceGraph.from_hetero(g, supervision_edges=edges)
+    return dg, edges
+
+
+def _model():
+    enc = GNNEncoder(hid_dim=32, out_dim=16, num_layers=2,
+                     conv="graphsage", dropout=0.0)
+    return LinkPredictionGNN(encoder=enc, decoder=LinkPredictionDecoder())
+
+
+def _cfg(**kw):
+    return NALPTrainerConfig(fanouts=(5, 3), num_positives=1,
+                             num_random_negs=64, loss_type="retrieval",
+                             cached_hop=True, seed=7, **kw)
+
+
+def _store(dg, edges, cfg, **kw):
+    return HostGraphStore.build(
+        message_edges=edges, supervision_edges=edges,
+        features=np.asarray(dg.node_features, np.float32),
+        num_nodes=N, fanouts=cfg.fanouts, seed=cfg.seed, **kw)
+
+
+class TestStreamingPartitioned:
+    @pytest.mark.slow
+    def test_loss_parity_with_hbm_partitioned(self):
+        """Same seeds -> the streamed-partitioned step computes the SAME
+        losses as the HBM-resident partitioned tabularized step (draws
+        bit-identical; features identical; only the hydration transport
+        differs)."""
+        mesh = make_mesh(8, axes=(AXIS,))
+        dg, edges = _toy()
+        cfg = _cfg()
+        model = _model()
+        batch = 64
+
+        pg = PartitionedGraph.build(dg, mesh)
+        hbm = PartitionedNALPTrainer(model, pg, mesh, cfg,
+                                     capacity_factor=8.0,
+                                     overflow_policy="raise")
+        st = StreamingPartitionedNALPTrainer(
+            model, _store(dg, edges, cfg), mesh, cfg, batch_size=batch,
+            capacity_factor=8.0, overflow_policy="raise")
+
+        state_h = hbm.init_state(jax.random.PRNGKey(0), batch_size=batch)
+        state_s = st.init_state(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(3)
+        anchors = rng.integers(0, N, (4, batch)).astype(np.int32)
+        state_h, losses_h = hbm.train_steps(state_h, anchors,
+                                            jax.random.PRNGKey(100))
+        rngs = np.asarray(jax.random.split(jax.random.PRNGKey(100), 4))
+        losses_s = []
+        for i in range(4):
+            state_s, l = st.train_step(state_s, anchors[i], rngs[i], i)
+            losses_s.append(float(l))
+        np.testing.assert_allclose(losses_s, np.asarray(losses_h),
+                                   rtol=2e-5)
+        assert st.overflow_total == 0
+        assert hbm.overflow_total == 0
+
+    @pytest.mark.slow
+    def test_hard_negatives_and_run_steps(self):
+        mesh = make_mesh(8, axes=(AXIS,))
+        dg, edges = _toy()
+        rng = np.random.default_rng(9)
+        hard = np.stack([rng.integers(0, N, 512), rng.integers(0, N, 512)])
+        cfg = _cfg(num_hard_negs=2)
+        store = HostGraphStore.build(
+            message_edges=edges, supervision_edges=edges,
+            features=np.asarray(dg.node_features, np.float32),
+            num_nodes=N, fanouts=cfg.fanouts, seed=cfg.seed,
+            hard_neg_edges=hard)
+        st = StreamingPartitionedNALPTrainer(
+            _model(), store, mesh, cfg, batch_size=32,
+            capacity_factor=8.0, overflow_policy="raise")
+        state = st.init_state(jax.random.PRNGKey(0))
+        batches = rng.integers(0, N, (3, 32)).astype(np.int32)
+        state, losses = st.run_steps(state, batches, jax.random.PRNGKey(1))
+        assert losses.shape == (3,)
+        assert np.isfinite(losses).all()
+
+    def test_sharded_host_store_holds_local_rows_only(self):
+        """The per-process store materializes ONLY its shards' rows (the
+        beyond-HBM capacity contract)."""
+        dg, edges = _toy()
+        cfg = _cfg()
+        store = _store(dg, edges, cfg)
+        sub = ShardedHostStore.from_host_store(store, num_shards=8,
+                                               local_shards=[2, 5])
+        rows = -(-N // 8)
+        assert sub._np.shape == (2 * rows, 2 * D + 1)
+        ids = np.arange(2 * rows, 3 * rows)
+        out = sub.answer_shard(2, ids)
+        np.testing.assert_allclose(out[:, :D], store.features.gather(ids))
+        np.testing.assert_allclose(out[:, D], store.degrees[ids])
+        np.testing.assert_allclose(out[:, D + 1:], store.agg.gather(ids))
+
+    def test_config_validation(self):
+        dg, edges = _toy()
+        mesh = make_mesh(8, axes=(AXIS,))
+        store = _store(dg, edges, _cfg())
+        with pytest.raises(ValueError, match="cached_hop"):
+            StreamingPartitionedNALPTrainer(
+                _model(), store, mesh,
+                NALPTrainerConfig(fanouts=(5, 3), num_random_negs=64),
+                batch_size=32)
+        with pytest.raises(ValueError, match="global_candidate_pool"):
+            StreamingPartitionedNALPTrainer(
+                _model(), store, mesh,
+                _cfg(global_candidate_pool=True), batch_size=32)
+        with pytest.raises(ValueError, match="divisible"):
+            StreamingPartitionedNALPTrainer(_model(), store, mesh, _cfg(),
+                                            batch_size=30)
+        with pytest.raises(ValueError, match="hard_neg"):
+            StreamingPartitionedNALPTrainer(
+                _model(), store, mesh, _cfg(num_hard_negs=2),
+                batch_size=32)
