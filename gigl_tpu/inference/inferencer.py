@@ -119,3 +119,129 @@ def run_inference(
                         total, rate)
     exporter.flush()
     return total
+
+
+def exact_full_neighborhood_paths(graph, num_layers: int):
+    """Per root node type, the FULL-neighborhood op tree: at every level,
+    one INCOMING op per edge type arriving at a frontier type, with
+    fanout = that edge type's max dst in-degree — the sampler takes ALL
+    neighbors whenever degree <= fanout, so encoding through these paths
+    is exact (the reference's RootedNodeNeighborhood exactness for
+    heterogeneous graphs, ref glt_inferencer.py:44-130 +
+    subgraph_sampling_strategy.proto INCOMING semantics)."""
+    from gigl_tpu.sampling.hetero_sampler import OpSpec
+
+    max_deg = {}
+    by_dst = {}
+    for et, coo in graph.edges.items():
+        dst = np.asarray(coo[1])
+        n_dst = graph.num_nodes[et.dst_node_type]
+        deg = np.bincount(dst, minlength=n_dst) if len(dst) else np.zeros(1)
+        max_deg[str(et)] = max(int(deg.max()), 1)
+        by_dst.setdefault(str(et.dst_node_type), []).append(et)
+    paths = {}
+    for root_nt in graph.metadata.node_types:
+        ops = []
+        # frontier entries: (op_index_in_ops or -1 for root, node_type)
+        frontier = [(-1, str(root_nt))]
+        for depth in range(1, num_layers + 1):
+            nxt = []
+            for parent_idx, nt in frontier:
+                for et in by_dst.get(nt, []):
+                    ops.append(OpSpec(
+                        name=f"{et}@d{depth}p{parent_idx}",
+                        edge_type=str(et),
+                        frontier_node_type=nt,
+                        neighbor_node_type=str(et.src_node_type),
+                        fanout=max_deg[str(et)],
+                        parent=parent_idx,
+                        depth=depth,
+                        direction="INCOMING"))
+                    nxt.append((len(ops) - 1, str(et.src_node_type)))
+            frontier = nxt
+        paths[str(root_nt)] = tuple(ops)
+    return paths
+
+
+def run_full_graph_inference_hetero(
+    model,  # HeteroLinkPredictionGNN or HeteroGNNEncoder
+    params,
+    graph,  # HeteroGraph (typed)
+    exporters,  # Dict[node_type, EmbeddingExporter]
+    *,
+    num_layers: int = 2,
+    batch_size: int = 512,
+    node_types: Optional[Tuple[str, ...]] = None,
+) -> dict:
+    """Typed EXACT full-neighborhood inference: every node of every (or
+    the given) node type(s) is encoded through its full-neighborhood op
+    tree (fanout >= degree at every hop) and exported. The reference's v2
+    inferencer serves heterogeneous graphs the same way at scale
+    (glt_inferencer.py:44-130); here each node type is one batched
+    jit-compiled sample+hydrate+encode loop. Returns {node_type: rows}."""
+    import jax
+    import jax.numpy as jnp
+
+    from gigl_tpu.training.hetero_dataset import HeteroDeviceGraph
+
+    paths = exact_full_neighborhood_paths(graph, num_layers)
+    hdg = HeteroDeviceGraph.from_hetero(graph, paths)
+    wanted = tuple(str(t) for t in (node_types
+                                    or graph.metadata.node_types))
+    counts = {}
+    for nt in wanted:
+        if nt not in paths:
+            raise ValueError(f"unknown node type {nt!r}; have "
+                             f"{sorted(paths)}")
+        spec = paths[nt]
+
+        @jax.jit
+        def encode(p, ids, _nt=nt, _spec=spec):
+            blocks = hdg.sample(ids, _nt, _spec, seed=0)
+            feats, _ = hdg.hydrate(blocks)
+            return model.apply(p, blocks, feats, train=False)
+
+        exporter = exporters[nt]
+        cfg = InferenceConfig(batch_size=batch_size)
+        total = 0
+        for ids, valid in node_batches(hdg.num_nodes[nt], cfg):
+            emb = np.asarray(encode(params, jnp.asarray(ids, jnp.int32)))
+            exporter.add_embeddings(ids[:valid], emb[:valid])
+            total += valid
+        exporter.flush()
+        counts[nt] = total
+    return counts
+
+
+def run_partitioned_inference(
+    trainer,
+    params,
+    num_nodes: int,
+    exporter: EmbeddingExporter,
+    cfg: Optional[InferenceConfig] = None,
+    *,
+    node_type: Optional[str] = None,
+) -> int:
+    """Full-graph inference over a PARTITIONED backend: stream every node
+    shard through the trainer's sharded ``encode_batch`` into the
+    exporter (PartitionedNALPTrainer, PartitionedHeteroNALPTrainer via
+    ``node_type``, or any object with the encode_batch contract). The
+    per-batch encode runs SPMD over the mesh — the v2 inferencer's
+    distributed regime (glt_inferencer.py:44-130) as one program."""
+    cfg = cfg or InferenceConfig()
+    total = 0
+    t0 = time.time()
+    for batch_idx, (ids, valid) in enumerate(node_batches(num_nodes, cfg)):
+        if node_type is not None:
+            emb = np.asarray(trainer.encode_batch(params, ids,
+                                                  node_type=node_type))
+        else:
+            emb = np.asarray(trainer.encode_batch(params, ids))
+        exporter.add_embeddings(ids[:valid], emb[:valid])
+        total += valid
+        if (batch_idx + 1) % cfg.log_every_n_batches == 0:
+            rate = total / max(time.time() - t0, 1e-9)
+            logger.info("partitioned inference: %d nodes (%.0f nodes/s)",
+                        total, rate)
+    exporter.flush()
+    return total

@@ -140,6 +140,37 @@ class HeteroGNNEncoder(nn.Module):
             x = l2_normalize(x)
         return x
 
+    def warmup(self, feat_dims: Dict[str, int]) -> jnp.ndarray:
+        """Touch EVERY node-type projection and EVERY relation's
+        parameters so one ``init(..., method="warmup")`` materializes the
+        full parameter set — required when the model later encodes paths
+        (node types / edge types) that the training paths never visited
+        (e.g. whole-graph typed inference). ``feat_dims`` gives each node
+        type's raw feature width (in_proj is input-dim dependent)."""
+        from gigl_tpu.types.graph import EdgeType
+
+        h = {nt: self.in_proj[nt](
+            jnp.zeros((1, int(feat_dims[nt])), self.dtype))
+            for nt in self.node_types}
+        acc = jnp.zeros((), jnp.float32)
+        for conv in self.convs:
+            for nt in self.node_types:
+                # childless call: touches residual/self params some convs
+                # only reach when an entry has no in-edges
+                acc = acc + conv(h[nt], nt, [],
+                                 train=False).astype(jnp.float32).sum()
+            for et_str in self.edge_types:
+                et = EdgeType.from_str(et_str)
+                src_nt, dst_nt = str(et.src_node_type), str(et.dst_node_type)
+                child = (h[src_nt][:, None, :],
+                         jnp.ones((1, 1), bool), et_str, src_nt)
+                out = conv(h[dst_nt], dst_nt, [child], train=False)
+                acc = acc + out.astype(jnp.float32).sum()
+        if self.final_linear:
+            acc = acc + self.out_proj(
+                next(iter(h.values()))).astype(jnp.float32).sum()
+        return acc
+
 
 def hetero_encoder_from_config(
     args: Dict[str, Any],

@@ -153,3 +153,118 @@ class TestGraphDbMaterialization:
             assert list(node_ids) == nodes_ref
             assert edges.shape[1] == len(edges_ref)
         assert (tmp_path / "edge_types.txt").read_text().strip()
+
+
+class _FakeValue:
+    def __init__(self, v):
+        self._v = v
+
+    def as_int(self):
+        return int(self._v)
+
+    def as_string(self):
+        return str(self._v)
+
+
+class _FakeNebulaResultSet:
+    """nebula3 ResultSet surface backed by a protocol ResultSet."""
+
+    def __init__(self, rs):
+        self._rs = rs
+
+    def is_succeeded(self):
+        return self._rs.is_succeeded()
+
+    def error_msg(self):
+        return self._rs.error or ""
+
+    def keys(self):
+        return ["dst", "src", "edge_type"]
+
+    def row_size(self):
+        return len(self._rs.rows)
+
+    def row_values(self, i):
+        r = self._rs.rows[i]
+        return [_FakeValue(r.dst), _FakeValue(r.src),
+                _FakeValue(r.edge_type)]
+
+
+class _FakeSessionPool:
+    """Recorded-fixture backend: executes the query text against the
+    in-memory dialect engine, returns nebula3-shaped results."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.closed = False
+
+    def execute(self, q):
+        return _FakeNebulaResultSet(self._inner.execute_query(q))
+
+    def close(self):
+        self.closed = True
+
+
+class TestNebulaClientAdapter:
+    """Dialect equivalence (ref NebulaGraphDBClient.scala:151-241): same
+    query text in -> same protocol rows out as InMemoryGraphDBClient."""
+
+    def _nebula(self, graph):
+        from gigl_tpu.data.graphdb import NebulaGraphDBClient
+
+        inner = InMemoryGraphDBClient(graph)
+        inner.connect()
+        c = NebulaGraphDBClient({"space": "s", "hosts": "10.0.0.1:9669",
+                                 "retries": "2"})
+        c._make_pool = lambda: _FakeSessionPool(inner)
+        c.connect()
+        return c, inner
+
+    def test_requires_space(self):
+        from gigl_tpu.data.graphdb import NebulaGraphDBClient
+
+        with pytest.raises(ValueError, match="space"):
+            NebulaGraphDBClient({})
+
+    def test_rows_match_in_memory_dialect(self, graph):
+        neb, inner = self._nebula(graph)
+        et = str(next(iter(graph.edges)))
+        for nid in range(6):
+            for rev in (False, True):
+                q = first_hop_go_query(nid, et, 4, reversely=rev)
+                a = neb.execute_query(q)
+                b = inner.execute_query(q)
+                assert a.is_succeeded() and b.is_succeeded()
+                assert ([(r.dst, r.src, r.edge_type) for r in a.rows]
+                        == [(r.dst, r.src, r.edge_type) for r in b.rows])
+
+    def test_khop_sampler_runs_through_adapter(self, graph):
+        neb, inner = self._nebula(graph)
+        ets = [str(k) for k in graph.edges]
+        mp = Metapath(path=(ets[0], ets[1] if len(ets) > 1 else ets[0]))
+        s_neb = GraphDBKHopSampler(neb, num_neighbors=[3, 2])
+        s_mem = GraphDBKHopSampler(inner, num_neighbors=[3, 2])
+        nodes_a, edges_a = s_neb.k_hop_subgraph(0, [mp])
+        nodes_b, edges_b = s_mem.k_hop_subgraph(0, [mp])
+        assert nodes_a == nodes_b and edges_a == edges_b
+
+    def test_error_surfaces_after_retries(self, graph):
+        neb, _ = self._nebula(graph)
+        rs = neb.execute_query("MATCH (n) RETURN n")  # not GO dialect
+        assert not rs.is_succeeded()
+        assert "unsupported nGQL" in rs.error
+
+    def test_lifecycle(self, graph):
+        neb, _ = self._nebula(graph)
+        assert neb.is_connected()
+        pool = neb._pool
+        neb.terminate()
+        assert pool.closed and not neb.is_connected()
+        assert not neb.execute_query("x").is_succeeded()
+
+    def test_import_gate_message_without_nebula3(self):
+        from gigl_tpu.data.graphdb import NebulaGraphDBClient
+
+        c = NebulaGraphDBClient({"space": "s"})
+        with pytest.raises(ImportError, match="nebula3-python"):
+            c.connect()
