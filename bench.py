@@ -134,6 +134,110 @@ def bench_routed_gather_us(dg, G=8192, D=129):
     return dt * 1e6, dt / G * 1e9
 
 
+def bench_largeN(K=200):
+    """Large-N single-chip row (VERDICT r3 item 4): N=20M nodes / E=100M
+    edges / D=128 with the int8-packed fused table — the largest shape
+    that fits one v5e's HBM (~10 GB resident: 5.4 GB tabularized int8
+    fused table + 1.2 GB sample tables + ~1 GB CSR + base table). All
+    small-N headline numbers extrapolate gather locality; this measures
+    it at realistic row counts (MAG240M is 244M rows — 12x this, same
+    HBM-page regime vs the 100k-row toy).
+
+    Returns (edges_per_s, gather_ns_per_row) for the partitioned P=1
+    tabularized trainer step and a plain 8192-row gather on the packed
+    table."""
+    import dataclasses
+    import time as _t
+    import types
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gigl_tpu.graph.csr import build_csr
+    from gigl_tpu.models.encoders import GNNEncoder
+    from gigl_tpu.models.link_prediction import (
+        LinkPredictionDecoder,
+        LinkPredictionGNN,
+    )
+    from gigl_tpu.parallel.mesh import make_mesh
+    from gigl_tpu.training.dist_sampled import (
+        PartitionedGraph,
+        PartitionedNALPTrainer,
+    )
+    from gigl_tpu.training.trainer import NALPTrainerConfig
+
+    N, E, D = 20_000_000, 100_000_000, 128
+    B, R = 512, 512
+    FANOUTS = (15, 10)
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, N, E, dtype=np.int64)
+    dst = rng.integers(0, N, E, dtype=np.int64)
+    feats = rng.standard_normal((N, D), dtype=np.float32)
+    csr = build_csr(src, dst, num_anchor_nodes=N, num_neighbor_nodes=N,
+                    anchor="dst")
+    msg = types.SimpleNamespace(indptr=csr.indptr, indices=csr.indices,
+                                edge_weights=None)
+    hostdg = types.SimpleNamespace(
+        num_nodes=N, node_features=feats,
+        degrees=np.diff(csr.indptr).astype(np.float32),
+        message_csr=msg, supervision_csr=msg, hard_neg_csr=None,
+        sup_edge_features=None, hard_neg_edge_features=None,
+        node_labels=None)
+    mesh = make_mesh(1, axes=("data",))
+    t0 = _t.perf_counter()
+    pg = PartitionedGraph.build(hostdg, mesh, quantize_features=True)
+    del feats, src, dst
+    cfg = NALPTrainerConfig(fanouts=FANOUTS, num_random_negs=R,
+                            loss_type="retrieval", num_positives=1,
+                            cached_hop=True)
+    enc = GNNEncoder(hid_dim=256, out_dim=D, num_layers=2,
+                     conv="graphsage", dtype=jnp.bfloat16)
+    model = LinkPredictionGNN(encoder=enc, decoder=LinkPredictionDecoder())
+    trainer = PartitionedNALPTrainer(model, pg, mesh, cfg,
+                                     capacity_factor=4.0)
+    print(f"# largeN build+tabularize: {_t.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch_size=B)
+    anchors = (np.arange(B * K).reshape(K, B) * 2654435761 % N).astype(
+        np.int32)
+    state, losses = trainer.train_steps(state, anchors,
+                                        jax.random.PRNGKey(1))
+    _ = float(np.asarray(losses)[-1])
+    best_dt = float("inf")
+    for trial in range(2):
+        t0 = _t.perf_counter()
+        state, losses = trainer.train_steps(state, anchors,
+                                            jax.random.PRNGKey(2 + trial))
+        _ = float(np.asarray(losses)[-1])
+        best_dt = min(best_dt, (_t.perf_counter() - t0) / K)
+    k1, k2 = FANOUTS
+    edges_per_s = (2 * k1 + k1 * k2) * (B + B + R) / best_dt
+
+    # Plain-gather locality at 20M rows: 50 dependent 8192-row gathers of
+    # the packed int8 table in ONE program (bench.py-safe shape).
+    table = trainer.pg.feat_deg
+    ids = jax.device_put(
+        (np.random.default_rng(3).integers(0, N, 8192)).astype(np.int32),
+        NamedSharding(mesh, P("data")))
+
+    def many(t, i):
+        acc = jnp.zeros((), jnp.int32)
+        for j in range(50):
+            rows = t[jnp.clip(i + j, 0, t.shape[0] - 1)]
+            acc = acc + rows[0, 0].astype(jnp.int32)
+        return acc
+
+    fn = jax.jit(jax.shard_map(many, mesh=mesh,
+                               in_specs=(P("data"), P("data")),
+                               out_specs=P(), check_vma=False))
+    _ = int(fn(table, ids))
+    t0 = _t.perf_counter()
+    _ = int(fn(table, ids))
+    ns_row = (_t.perf_counter() - t0) / 50 / 8192 * 1e9
+    return edges_per_s, ns_row
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -212,6 +316,21 @@ def main():
         "frac_of_replicated": round(part_edges_per_s / edges_per_s, 4),
         "vs_baseline": round(part_edges_per_s / BASELINE_EDGES_PER_S, 4),
     }))
+    try:
+        # Large-N row (N=20M, int8-packed fused table). Guarded: an OOM or
+        # transfer failure must not take down the flagship line below.
+        ln_edges_per_s, ln_ns_row = bench_largeN()
+        print(json.dumps({
+            "metric": "partitioned_tabularized_edges_per_s_largeN",
+            "value": round(ln_edges_per_s, 1),
+            "unit": "edges/s",
+            "n_nodes": 20_000_000,
+            "gather_ns_per_row_packed_table": round(ln_ns_row, 3),
+            "vs_baseline": round(ln_edges_per_s / BASELINE_EDGES_PER_S, 4),
+        }))
+    except Exception as e:  # pragma: no cover - device-capacity dependent
+        print(f"# largeN bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
     print(json.dumps({
         "metric": "nalp_train_edges_per_s_per_chip",

@@ -46,7 +46,7 @@ def banner(msg):
 
 def milestone_1_cora_full_batch():
     banner("1. Cora-like GraphSAGE full-batch node classification")
-    from gigl_tpu.data.mocking import CORA_NODE_CLASSIFICATION, get_mocked_graph
+    from gigl_tpu.data.mocking import cora_like
     from gigl_tpu.models.encoders import GNNEncoder
     from gigl_tpu.training.full_batch import (
         FullBatchTrainer,
@@ -54,7 +54,9 @@ def milestone_1_cora_full_batch():
         full_batch_data_from_graph,
     )
 
-    g = get_mocked_graph(CORA_NODE_CLASSIFICATION)
+    # label_noise keeps the milestone off the 1.0 ceiling (a saturated
+    # metric cannot detect regressions); expected band ~0.80-0.95.
+    g = cora_like(label_noise=0.12)
     data = full_batch_data_from_graph(g)
     num_classes = int(np.asarray(data.labels).max()) + 1
     enc = GNNEncoder(hid_dim=64, out_dim=num_classes, num_layers=2,
@@ -79,8 +81,10 @@ def milestone_2_arxiv_gat_sampled():
         NodeClassificationTrainerConfig,
     )
 
+    # Lower homophily + label noise: keeps the sampled-GAT milestone off
+    # the 1.0 ceiling (same sensitivity rationale as milestone 1).
     g = cora_like(num_nodes=2000, num_classes=40, dim=128, avg_degree=12,
-                  seed=1)
+                  seed=1, homophily=0.75, label_noise=0.12)
     dg = DeviceGraph.from_hetero(g)
     num_classes = int(dg.node_labels.max()) + 1
     enc = GNNEncoder(hid_dim=64, out_dim=num_classes, num_layers=3,
@@ -194,17 +198,131 @@ def milestone_4_mag_hetero_rgcn():
     return metrics["mrr"]
 
 
+def milestone_5_partitioned_hetero_multidevice():
+    """MAG240M-analog (BASELINE config 5): 8-device PARTITIONED hetero
+    RGCN link prediction — typed feature/CSR shards, routed op-tree
+    sampling, ring-reduced grads. Real multi-host is unavailable here; the
+    8-virtual-device mesh is the regressable analog. Reports final MRR,
+    edges/s (virtual-mesh wall clock — regression signal, not a perf
+    claim), and the MEASURED all_to_all payload bytes per train step
+    (counted while tracing the step program)."""
+    banner("5. MAG240M-analog: 8-device partitioned hetero RGCN")
+    if jax.device_count() < 8:
+        print("needs 8 devices (run with JAX_PLATFORMS=cpu XLA_FLAGS="
+              "--xla_force_host_platform_device_count=8); SKIPPED")
+        return None
+    from gigl_tpu.config.task_config import SamplingOp
+    from gigl_tpu.data.mocking import BIPARTITE_TOY_GRAPH_LP, get_mocked_graph
+    from gigl_tpu.models.hetero_encoders import HeteroGNNEncoder
+    from gigl_tpu.models.link_prediction import (
+        HeteroLinkPredictionGNN,
+        LinkPredictionDecoder,
+    )
+    from gigl_tpu.parallel.mesh import make_mesh
+    from gigl_tpu.sampling.hetero_sampler import resolve_path
+    from gigl_tpu.training.dist_hetero import (
+        PartitionedHeteroGraph,
+        PartitionedHeteroNALPTrainer,
+    )
+    from gigl_tpu.training.hetero_dataset import HeteroDeviceGraph
+    from gigl_tpu.training.hetero_trainer import HeteroNALPTrainerConfig
+    from gigl_tpu.types.graph import EdgeType
+
+    g = get_mocked_graph(BIPARTITE_TOY_GRAPH_LP)
+    buys = EdgeType("user", "buys", "item")
+    rev = EdgeType("item", "rev_buys", "user")
+    user_path = resolve_path("user", [
+        SamplingOp(op_name="u1", edge_type=rev, num_nodes_to_sample=5,
+                   sampling_direction="INCOMING"),
+        SamplingOp(op_name="u2", edge_type=buys, num_nodes_to_sample=3,
+                   input_op_names=("u1",), sampling_direction="INCOMING"),
+    ])
+    item_path = resolve_path("item", [
+        SamplingOp(op_name="i1", edge_type=buys, num_nodes_to_sample=5,
+                   sampling_direction="INCOMING"),
+        SamplingOp(op_name="i2", edge_type=rev, num_nodes_to_sample=3,
+                   input_op_names=("i1",), sampling_direction="INCOMING"),
+    ])
+    paths = {"user": user_path, "item": item_path}
+    hdg = HeteroDeviceGraph.from_hetero(
+        g, paths, supervision_edge_type=buys,
+        supervision_edges=g.edges[buys], supervision_anchor="src")
+    mesh = make_mesh(8, axes=("data",))
+    pg = PartitionedHeteroGraph.build(hdg, paths, mesh,
+                                      anchor_node_type="user")
+    enc = HeteroGNNEncoder(
+        hid_dim=32, out_dim=16, num_layers=2, conv="rgcn", num_bases=2,
+        node_types=("user", "item"),
+        edge_types=("user-buys-item", "item-rev_buys-user"))
+    model = HeteroLinkPredictionGNN(encoder=enc,
+                                    decoder=LinkPredictionDecoder())
+    cfg = HeteroNALPTrainerConfig(
+        anchor_node_type="user", candidate_node_type="item",
+        num_random_negs=48, loss_type="retrieval", temperature=0.1)
+    tr = PartitionedHeteroNALPTrainer(model, pg, paths, cfg, mesh,
+                                      optimizer_args={
+                                          "learning_rate": "0.01"},
+                                      capacity_factor=8.0)
+    users = np.arange(g.num_nodes["user"])
+    B = 32
+    state = tr.init_state(jax.random.PRNGKey(0), batch_size=B)
+
+    # Measure all_to_all payload bytes/step by counting collective
+    # operand sizes while the step program TRACES (one scan body).
+    a2a_bytes, other_bytes = [], []
+    orig_a2a, orig_ag = jax.lax.all_to_all, jax.lax.all_gather
+    jax.lax.all_to_all = (lambda x, *a, **k: (
+        a2a_bytes.append(x.size * x.dtype.itemsize), orig_a2a(x, *a, **k)
+    )[1])
+    jax.lax.all_gather = (lambda x, *a, **k: (
+        other_bytes.append(x.size * x.dtype.itemsize),
+        orig_ag(x, *a, **k))[1])
+    try:
+        state, _ = tr.train_steps(
+            state, (users[:B] % g.num_nodes["user"])[None, :],
+            jax.random.PRNGKey(1))
+    finally:
+        jax.lax.all_to_all, jax.lax.all_gather = orig_a2a, orig_ag
+    a2a_per_step = int(sum(a2a_bytes))
+
+    rng = np.random.default_rng(0)
+    epochs = 3 if QUICK else 10
+    steps = 0
+    t0 = time.time()
+    for ep in range(epochs):
+        order = rng.permutation(users)
+        nb = len(order) // B
+        batches = order[: nb * B].reshape(nb, B)
+        state, losses = tr.train_steps(state, batches,
+                                       jax.random.PRNGKey(10 + ep))
+        steps += nb
+    dt = time.time() - t0
+    metrics = tr.evaluate(state.params, [users[: len(users) // 8 * 8]])
+    # forward-aggregated edges/step: both op trees are (5, 3) two-hop on
+    # B anchors + B positives + num_random_negs candidates.
+    per_root = 2 * 5 + 5 * 3
+    roots = B + B + cfg.num_random_negs
+    edges_per_s = per_root * roots * steps / max(dt, 1e-9)
+    print(f"val MRR: {metrics['mrr']:.3f}  edges/s (virtual mesh): "
+          f"{edges_per_s:.0f}  all_to_all bytes/step: {a2a_per_step}")
+    return {"mrr": metrics["mrr"], "edges_per_s": edges_per_s,
+            "all_to_all_bytes_per_step": a2a_per_step}
+
+
 def main():
     t0 = time.time()
     acc1 = milestone_1_cora_full_batch()
     acc2 = milestone_2_arxiv_gat_sampled()
     mrr3 = milestone_3_products_unsupervised_margin()
     mrr4 = milestone_4_mag_hetero_rgcn()
+    m5 = milestone_5_partitioned_hetero_multidevice()
     banner("summary")
-    print(f"m1 cora-like full-batch acc: {acc1:.3f} (expect > 0.6)")
-    print(f"m2 arxiv-style GAT acc:      {acc2:.3f} (expect > 0.5)")
+    print(f"m1 cora-like full-batch acc: {acc1:.3f} (expect 0.80-0.95)")
+    print(f"m2 arxiv-style GAT acc:      {acc2:.3f} (expect 0.50-0.95)")
     print(f"m3 products-style SSL MRR:   {mrr3:.3f} (expect > 0.3)")
     print(f"m4 MAG-style RGCN MRR:       {mrr4:.3f} (expect > 0.3)")
+    if m5 is not None:
+        print(f"m5 partitioned hetero MRR:   {m5['mrr']:.3f} (expect > 0.3)")
     if "--publish" in sys.argv:
         # Record the milestone metrics into BASELINE.json "published" so
         # later rounds regress against them (perf rows come from bench.py
@@ -225,6 +343,14 @@ def main():
             "m3_products_style_ssl_mrr": round(float(mrr3), 4),
             "m4_mag_style_rgcn_mrr": round(float(mrr4), 4),
         }
+        if m5 is not None:
+            pub["milestones"].update({
+                "m5_partitioned_hetero_mrr": round(float(m5["mrr"]), 4),
+                "m5_partitioned_hetero_edges_per_s_virtual8":
+                    round(float(m5["edges_per_s"]), 1),
+                "m5_all_to_all_bytes_per_step":
+                    int(m5["all_to_all_bytes_per_step"]),
+            })
         with open(path, "w") as f:
             json.dump(doc, f, indent=2)
         print(f"published milestone metrics -> {path}")

