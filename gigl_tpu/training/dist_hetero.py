@@ -77,6 +77,10 @@ class PartitionedHeteroGraph:
     # int32 row-sharded (-1 = invalid slot): the typed tabularized fast
     # path over the partitioned graph (with_sample_tables).
     sample_tables: Optional[Dict[str, jax.Array]] = None
+    # csr_key -> per-shard CSR-slot-aligned edge weights [P, E_pad] fp32
+    # for CSRs any op samples weighted/top_k (LIVE typed weighted sampling
+    # over the partitioned graph; owner-side bounded-window draws).
+    csr_w: Optional[Dict[str, jax.Array]] = None
 
     def with_sample_tables(
         self,
@@ -156,13 +160,21 @@ class PartitionedHeteroGraph:
             for op in ops:
                 anchor_of[op.csr_key] = str(op.frontier_node_type)
         csr_ip, csr_ix = {}, {}
+        csr_w: Dict[str, jax.Array] = {}
         for key, csr in hdg.csrs.items():
             if key not in anchor_of:
                 continue  # CSR not used by any path
             nt = anchor_of[key]
-            ip, ix = _shard_csr(np.asarray(csr.indptr),
-                                np.asarray(csr.indices),
-                                num_shards, rows[nt])
+            if getattr(csr, "edge_weights", None) is not None:
+                ip, ix, w = _shard_csr(np.asarray(csr.indptr),
+                                       np.asarray(csr.indices),
+                                       num_shards, rows[nt],
+                                       weights=np.asarray(csr.edge_weights))
+                csr_w[key] = jax.device_put(w, blk_sh)
+            else:
+                ip, ix = _shard_csr(np.asarray(csr.indptr),
+                                    np.asarray(csr.indices),
+                                    num_shards, rows[nt])
             csr_ip[key] = jax.device_put(ip, blk_sh)
             csr_ix[key] = jax.device_put(ix, blk_sh)
         sup_ip = sup_ix = hard_ip = hard_ix = None
@@ -182,7 +194,8 @@ class PartitionedHeteroGraph:
                    sup_ip=sup_ip, sup_ix=sup_ix,
                    hard_ip=hard_ip, hard_ix=hard_ix,
                    num_nodes=dict(hdg.num_nodes), rows=rows,
-                   feat_dims=dims, anchor_node_type=str(anchor_node_type))
+                   feat_dims=dims, anchor_node_type=str(anchor_node_type),
+                   csr_w=csr_w or None)
 
 
 class PartitionedHeteroNALPTrainer:
@@ -208,17 +221,20 @@ class PartitionedHeteroNALPTrainer:
             if str(nt) not in paths:
                 raise ValueError(f"no sampling path for node type {nt!r}")
         if not config.tabularized:
-            # The tabularized path supports any op method (tables are
-            # frozen by the replicated builder); the LIVE routed path is
-            # uniform-only (hetero CSR blocks carry no sharded weights yet).
+            # LIVE weighted/top-k ops draw owner-side over sharded edge
+            # weights: the graph must carry them (built from a
+            # HeteroDeviceGraph whose weighted CSRs have edge_weights).
             for ops in paths.values():
                 for op in ops:
-                    if op.method != "uniform":
+                    if (op.method != "uniform"
+                            and op.csr_key not in (pgraph.csr_w or {})):
                         raise ValueError(
-                            "partitioned hetero LIVE sampling supports "
-                            f"uniform ops only (op {op.name!r} uses "
-                            f"{op.method!r}); use tabularized=True for "
-                            "weighted/top-k op trees")
+                            f"op {op.name!r} samples {op.method!r} but the "
+                            f"partitioned graph has no edge weights for "
+                            f"{op.csr_key!r}; build from a "
+                            "HeteroDeviceGraph with weighted CSRs (the op "
+                            "must be declared in `paths` at from_hetero "
+                            "time) or use tabularized=True")
         if config.num_random_negs % int(mesh.shape[axis]):
             raise ValueError("num_random_negs must divide the mesh axis size")
         self.model = model
@@ -229,18 +245,24 @@ class PartitionedHeteroNALPTrainer:
         self.axis = axis
         self.num_shards = int(mesh.shape[axis])
         self.capacity_factor = capacity_factor
-        if overflow_policy not in ("warn", "raise", "silent"):
-            raise ValueError("overflow_policy must be warn | raise | "
-                             "silent (grow needs a program rebuild hook; "
-                             "not wired for the hetero trainer)")
+        if overflow_policy not in ("warn", "raise", "silent", "grow"):
+            raise ValueError(
+                "overflow_policy must be warn | raise | silent | grow")
         self.overflow_policy = overflow_policy
         # Cumulative routed-lookup requests dropped by capacity overflow
         # (surfaced per chunk; same contract as PartitionedNALPTrainer).
         self.overflow_total = 0
         self.tx = make_optimizer(optimizer_args or {})
+        self._build_programs()
+
+    def _build_programs(self) -> None:
+        """(Re)compile the SPMD programs — also the grow-policy rebuild
+        hook (capacity_factor changes recompile on the next chunk)."""
         from jax.sharding import PartitionSpec as P
 
+        mesh, axis, pgraph = self.mesh, self.axis, self.pg
         graph_specs = (P(axis), P(axis, None), P(axis, None),
+                       {k: P(axis, None) for k in (pgraph.csr_w or {})},
                        P(axis, None), P(axis, None),
                        P(axis, None), P(axis, None),
                        {k: P(axis) for k in (pgraph.sample_tables or {})})
@@ -249,7 +271,7 @@ class PartitionedHeteroNALPTrainer:
             in_specs=graph_specs + (P(), P(None, axis), P()),
             out_specs=(P(), P(), P()),
             check_vma=False,
-        ), donate_argnums=(8,))
+        ), donate_argnums=(9,))
         self._eval_step = jax.jit(jax.shard_map(
             self._eval_local, mesh=mesh,
             in_specs=graph_specs + (P(), P(axis), P()),
@@ -281,15 +303,16 @@ class PartitionedHeteroNALPTrainer:
         hard_ip, hard_ix = pg.hard_ip, pg.hard_ix
         if hard_ip is None:
             hard_ip, hard_ix = dummy_csr(a_nt)
-        return (pg.feats, pg.csr_ip, pg.csr_ix, sup_ip, sup_ix,
-                hard_ip, hard_ix, dict(pg.sample_tables or {}))
+        return (pg.feats, pg.csr_ip, pg.csr_ix, dict(pg.csr_w or {}),
+                sup_ip, sup_ix, hard_ip, hard_ix,
+                dict(pg.sample_tables or {}))
 
     @staticmethod
     def _squeeze_csr(d):
         return {k: v[0] for k, v in d.items()}
 
     # -- SPMD bodies -------------------------------------------------------
-    def _sample_tree(self, ip_l, ix_l, tabs, roots, root_nt: str,
+    def _sample_tree(self, ip_l, ix_l, w_l, tabs, roots, root_nt: str,
                      spec: Tuple[OpSpec, ...], seed: int):
         """Op-tree expansion; live mode = owner-routed sampling (RNG keying
         matches sample_typed_blocks: hop = depth * 1_000_003 + op index);
@@ -319,11 +342,17 @@ class PartitionedHeteroNALPTrainer:
         for i, op in enumerate(spec):
             frontier = node_ids[op.parent + 1]
             pmask = masks[op.parent + 1]
+            # Per-op method: weighted/top-k draw owner-side over this
+            # shard's slot-aligned weights (RNG keying identical to the
+            # replicated sample_typed_blocks draw).
             nbr, m, ok = routed_sample_neighbors(
                 ip_l[op.csr_key], ix_l[op.csr_key],
                 frontier.reshape(-1), op.fanout, axis=self.axis,
                 seed=seed, hop=op.depth * 1_000_003 + i,
-                capacity_factor=self.capacity_factor)
+                capacity_factor=self.capacity_factor,
+                method=op.method,
+                local_weights=(w_l[op.csr_key]
+                               if op.method != "uniform" else None))
             ovf += jnp.sum(~ok, dtype=jnp.int32)
             nbr = nbr.reshape(frontier.shape + (op.fanout,))
             m = m.reshape(frontier.shape + (op.fanout,)) & pmask[..., None]
@@ -333,15 +362,15 @@ class PartitionedHeteroNALPTrainer:
                            node_ids=node_ids, masks=masks,
                            edge_slots=[None] * (len(spec) + 1)), ovf
 
-    def _encode_groups(self, feats_l, ip_l, ix_l, tabs, params, groups,
-                       train: bool, rng=None):
+    def _encode_groups(self, feats_l, ip_l, ix_l, w_l, tabs, params,
+                       groups, train: bool, rng=None):
         """groups: [(node_ids, node_type, seed_offset)]. One routed gather
         PER NODE TYPE over the union of that type's tree levels."""
         trees = []
         ovf = jnp.zeros((), jnp.int32)
         for (ids, nt, off) in groups:
             blocks, o = self._sample_tree(
-                ip_l, ix_l, tabs, ids.reshape(-1), str(nt),
+                ip_l, ix_l, w_l, tabs, ids.reshape(-1), str(nt),
                 self.paths[str(nt)], self.cfg.seed + off)
             trees.append(blocks)
             ovf += o
@@ -404,7 +433,7 @@ class PartitionedHeteroNALPTrainer:
                          pos_mask=pos_mask, hard_neg=hard,
                          hard_neg_mask=hard_mask, random_neg=rand), ovf
 
-    def _loss_local(self, feats_l, ip_l, ix_l, sup_ip, sup_ix,
+    def _loss_local(self, feats_l, ip_l, ix_l, w_l, sup_ip, sup_ix,
                     hard_ip, hard_ix, tabs, params, anchors, step, rng):
         cfg = self.cfg
         batch, ovf = self._make_batch(sup_ip, sup_ix, hard_ip, hard_ix,
@@ -418,8 +447,9 @@ class PartitionedHeteroNALPTrainer:
                   (rand_local, c_nt, 2)]
         if cfg.num_hard_negs > 0:
             groups.append((batch.hard_neg, c_nt, 3))
-        embs, ovf2 = self._encode_groups(feats_l, ip_l, ix_l, tabs, params,
-                                         groups, train=True, rng=rng)
+        embs, ovf2 = self._encode_groups(feats_l, ip_l, ix_l, w_l, tabs,
+                                         params, groups, train=True,
+                                         rng=rng)
         ovf += ovf2
         q, pos, rand_l = embs[0], embs[1], embs[2]
         hard = embs[3] if cfg.num_hard_negs > 0 else None
@@ -466,13 +496,13 @@ class PartitionedHeteroNALPTrainer:
         total = jax.lax.psum(count, self.axis).astype(jnp.float32)
         return ce_sum * self.num_shards / jnp.maximum(total, 1.0)
 
-    def _step_local(self, feats_l, ip_l, ix_l, sup_ip, sup_ix,
+    def _step_local(self, feats_l, ip_l, ix_l, w_l, sup_ip, sup_ix,
                     hard_ip, hard_ix, tabs, state: TrainState, anchors,
                     rng):
         (loss, ovf), grads = jax.value_and_grad(
-            lambda p: self._loss_local(feats_l, ip_l, ix_l, sup_ip, sup_ix,
-                                       hard_ip, hard_ix, tabs, p, anchors,
-                                       state.step, rng),
+            lambda p: self._loss_local(feats_l, ip_l, ix_l, w_l, sup_ip,
+                                       sup_ix, hard_ip, hard_ix, tabs, p,
+                                       anchors, state.step, rng),
             has_aux=True)(state.params)
         grads = jax.lax.pmean(grads, self.axis)
         loss = jax.lax.pmean(loss, self.axis)
@@ -482,28 +512,31 @@ class PartitionedHeteroNALPTrainer:
         return TrainState(params=params, opt_state=opt_state,
                           step=state.step + 1, cms=state.cms), (loss, ovf)
 
-    def _steps_local(self, feats_l, ip_l, ix_l, sup_ip, sup_ix,
+    def _steps_local(self, feats_l, ip_l, ix_l, w_l, sup_ip, sup_ix,
                      hard_ip, hard_ix, tabs, state, anchors_kb, rngs):
         ip_l = self._squeeze_csr(ip_l)
         ix_l = self._squeeze_csr(ix_l)
+        w_l = self._squeeze_csr(w_l)
         sup_ip, sup_ix = sup_ip[0], sup_ix[0]
         hard_ip, hard_ix = hard_ip[0], hard_ix[0]
 
         def body(st, xs):
             a, r = xs
-            return self._step_local(feats_l, ip_l, ix_l, sup_ip, sup_ix,
-                                    hard_ip, hard_ix, tabs, st, a, r)
+            return self._step_local(feats_l, ip_l, ix_l, w_l, sup_ip,
+                                    sup_ix, hard_ip, hard_ix, tabs, st, a,
+                                    r)
 
         state, (losses, ovfs) = jax.lax.scan(body, state,
                                              (anchors_kb, rngs))
         return state, losses, jax.lax.psum(ovfs, self.axis)
 
-    def _eval_local(self, feats_l, ip_l, ix_l, sup_ip, sup_ix,
+    def _eval_local(self, feats_l, ip_l, ix_l, w_l, sup_ip, sup_ix,
                     hard_ip, hard_ix, tabs, params, anchors, step):
         from gigl_tpu.losses.metrics import hits_at_k, mean_reciprocal_rank
 
         ip_l = self._squeeze_csr(ip_l)
         ix_l = self._squeeze_csr(ix_l)
+        w_l = self._squeeze_csr(w_l)
         sup_ip, sup_ix = sup_ip[0], sup_ix[0]
         hard_ip, hard_ix = hard_ip[0], hard_ix[0]
         cfg = self.cfg
@@ -515,7 +548,7 @@ class PartitionedHeteroNALPTrainer:
             batch.random_neg, shard * r_per, r_per)
         a_nt, c_nt = cfg.anchor_node_type, cfg.candidate_node_type
         (q, pos, rand_l), ovf2 = self._encode_groups(
-            feats_l, ip_l, ix_l, tabs, params,
+            feats_l, ip_l, ix_l, w_l, tabs, params,
             [(batch.anchors, a_nt, 0), (batch.pos, c_nt, 1),
              (rand_local, c_nt, 2)], train=False)
         ovf += ovf2
@@ -539,11 +572,12 @@ class PartitionedHeteroNALPTrainer:
                 jax.lax.psum(rr_cnt, self.axis),
                 jax.lax.psum(ovf, self.axis))
 
-    def _encode_local(self, feats_l, ip_l, ix_l, tabs, params, node_ids,
-                      *, node_type: str):
+    def _encode_local(self, feats_l, ip_l, ix_l, w_l, tabs, params,
+                      node_ids, *, node_type: str):
         ip_l = self._squeeze_csr(ip_l)
         ix_l = self._squeeze_csr(ix_l)
-        (emb,), _ovf = self._encode_groups(feats_l, ip_l, ix_l, tabs,
+        w_l = self._squeeze_csr(w_l)
+        (emb,), _ovf = self._encode_groups(feats_l, ip_l, ix_l, w_l, tabs,
                                            params,
                                            [(node_ids, node_type, 0)],
                                            train=False)
@@ -558,8 +592,8 @@ class PartitionedHeteroNALPTrainer:
             self._encode_fns[node_type] = jax.jit(jax.shard_map(
                 partial(self._encode_local, node_type=node_type),
                 mesh=self.mesh,
-                in_specs=self._graph_specs[:3]
-                + (self._graph_specs[7], P(), P(self.axis)),
+                in_specs=self._graph_specs[:4]
+                + (self._graph_specs[8], P(), P(self.axis)),
                 out_specs=P(self.axis),
                 check_vma=False,
             ))
@@ -631,7 +665,8 @@ class PartitionedHeteroNALPTrainer:
                                                 anchors_kb, rngs)
         from gigl_tpu.training.dist_sampled import apply_overflow_policy
 
-        apply_overflow_policy(self, int(np.asarray(ovfs).sum()))
+        apply_overflow_policy(self, int(np.asarray(ovfs).sum()),
+                              grow_rebuild=self._build_programs)
         return state, losses
 
     def evaluate(self, params, anchor_batches, step: int = 0
@@ -649,7 +684,8 @@ class PartitionedHeteroNALPTrainer:
                 apply_overflow_policy,
             )
 
-            apply_overflow_policy(self, int(ovf))
+            apply_overflow_policy(self, int(ovf),
+                                  grow_rebuild=self._build_programs)
             rr_t += float(rr)
             cnt_t += float(cnt)
             h = np.asarray(hits)
@@ -670,7 +706,7 @@ class PartitionedHeteroNALPTrainer:
         m = node_ids.shape[0]
         m_pad = -(-m // self.num_shards) * self.num_shards
         out = self._get_encode_fn(nt)(
-            pg.feats, pg.csr_ip, pg.csr_ix,
+            pg.feats, pg.csr_ip, pg.csr_ix, dict(pg.csr_w or {}),
             dict(pg.sample_tables or {}), params,
             jnp.pad(node_ids, (0, m_pad - m)))
         return out[:m]

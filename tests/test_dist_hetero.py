@@ -285,3 +285,123 @@ class TestHeteroGlobalCandidatePool:
         _, losses = trainer.train_steps(state, anchors[None, :],
                                         jax.random.PRNGKey(1))
         assert float(losses[0]) == pytest.approx(float(loss_rep), rel=1e-4)
+
+
+def _weighted_setup():
+    """Bipartite graph with edge features on both directed types; the
+    first-hop op of each path samples WEIGHTED (live)."""
+    mesh = make_mesh(8)
+    g = get_mocked_graph(BIPARTITE_TOY_GRAPH_LP)
+    buys = EdgeType("user", "buys", "item")
+    rev = EdgeType("item", "rev_buys", "user")
+    rng = np.random.default_rng(11)
+    for et in (buys, rev):
+        m = g.edges[et].shape[1]
+        g.edge_features.features[str(et)] = (
+            rng.random((m, 1)).astype(np.float32) + 0.05)
+    user_ops = [
+        SamplingOp(op_name="u_items", edge_type=rev, num_nodes_to_sample=4,
+                   sampling_direction="INCOMING",
+                   sampling_method="weighted"),
+        SamplingOp(op_name="u_items_users", edge_type=buys,
+                   num_nodes_to_sample=3, input_op_names=("u_items",),
+                   sampling_direction="INCOMING"),
+    ]
+    item_ops = [
+        SamplingOp(op_name="i_users", edge_type=buys,
+                   num_nodes_to_sample=4, sampling_direction="INCOMING",
+                   sampling_method="top_k"),
+        SamplingOp(op_name="i_users_items", edge_type=rev,
+                   num_nodes_to_sample=3, input_op_names=("i_users",),
+                   sampling_direction="INCOMING"),
+    ]
+    paths = {"user": resolve_path("user", user_ops),
+             "item": resolve_path("item", item_ops)}
+    hdg = HeteroDeviceGraph.from_hetero(
+        g, paths, supervision_edge_type=buys,
+        supervision_edges=g.edges[buys], supervision_anchor="src")
+    enc = HeteroGNNEncoder(
+        hid_dim=32, out_dim=16, num_layers=2, conv="hgt",
+        node_types=("user", "item"),
+        edge_types=("user-buys-item", "item-rev_buys-user"), heads=2)
+    model = HeteroLinkPredictionGNN(encoder=enc,
+                                    decoder=LinkPredictionDecoder())
+    # global_candidate_pool: the partitioned ring loss scores every query
+    # against ALL shards' candidates — mathematically the replicated
+    # full-batch pool, so train_steps losses are directly comparable
+    # (per-shard pools differ from the full batch by construction).
+    cfg = HeteroNALPTrainerConfig(
+        anchor_node_type="user", candidate_node_type="item",
+        num_random_negs=32, loss_type="retrieval", temperature=0.1,
+        global_candidate_pool=True)
+    return mesh, g, hdg, paths, model, cfg
+
+
+class TestLiveWeightedSampling:
+    @pytest.mark.slow
+    def test_loss_parity_with_replicated_weighted_live(self):
+        """LIVE weighted/top-k op trees over the partitioned graph: the
+        owner-side bounded-window draw (sharded slot-aligned weights)
+        matches the replicated sample_typed_blocks draw bit-for-bit, so
+        the global-pool losses match the replicated trainer's across
+        steps."""
+        mesh, g, hdg, paths, model, cfg, = _weighted_setup()
+        pg = PartitionedHeteroGraph.build(hdg, paths, mesh,
+                                          anchor_node_type="user")
+        assert set(pg.csr_w or {}) == {"item-rev_buys-user|dst",
+                                       "user-buys-item|dst"}
+        part = PartitionedHeteroNALPTrainer(
+            model, pg, paths, cfg, mesh, capacity_factor=8.0,
+            optimizer_args={"learning_rate": "0.01"},
+            overflow_policy="raise")
+        repl = HeteroNALPTrainer(model, hdg, paths, cfg,
+                                 optimizer_args={"learning_rate": "0.01"})
+        B = 16
+        state_p = part.init_state(jax.random.PRNGKey(0), batch_size=B)
+        state_r = repl.init_state(jax.random.PRNGKey(0), batch_size=B)
+        anchors = (np.arange(3 * B).reshape(3, B)
+                   % g.num_nodes["user"]).astype(np.int32)
+        state_p, losses_p = part.train_steps(state_p, anchors,
+                                             jax.random.PRNGKey(1))
+        state_r, losses_r = repl.train_steps(state_r, anchors,
+                                             jax.random.PRNGKey(1))
+        np.testing.assert_allclose(np.asarray(losses_p),
+                                   np.asarray(losses_r), rtol=1e-3)
+
+    def test_weighted_live_without_weights_raises(self):
+        mesh, g, hdg, paths, model, cfg = _weighted_setup()
+        import dataclasses
+
+        pg = PartitionedHeteroGraph.build(hdg, paths, mesh,
+                                          anchor_node_type="user")
+        pg_nw = dataclasses.replace(pg, csr_w=None)
+        with pytest.raises(ValueError, match="no edge weights"):
+            PartitionedHeteroNALPTrainer(model, pg_nw, paths, cfg, mesh)
+
+
+class TestHeteroGrowPolicy:
+    @pytest.mark.slow
+    def test_grow_doubles_capacity_and_recovers(self):
+        """overflow_policy='grow': a skew-overflowing chunk doubles
+        capacity_factor and rebuilds the programs; subsequent chunks run
+        at the larger capacity (same contract as the homogeneous
+        trainer)."""
+        mesh, g, hdg, paths, model, cfg, trainer = _setup()
+        grow = PartitionedHeteroNALPTrainer(
+            model, trainer.pg, paths, cfg, mesh, capacity_factor=0.05,
+            optimizer_args={"learning_rate": "0.01"},
+            overflow_policy="grow")
+        B = 16
+        state = grow.init_state(jax.random.PRNGKey(0), batch_size=B)
+        # Skewed anchors: all point at the same few users -> one owner
+        # shard's request bucket overflows at factor 0.05.
+        anchors = np.zeros((1, B), np.int32)
+        f0 = grow.capacity_factor
+        state, _ = grow.train_steps(state, anchors,
+                                    jax.random.PRNGKey(1))
+        assert grow.overflow_total > 0
+        assert grow.capacity_factor == 2 * f0
+        # The rebuilt programs run (and can keep growing if needed).
+        state, losses = grow.train_steps(state, anchors,
+                                         jax.random.PRNGKey(2))
+        assert np.isfinite(np.asarray(losses)).all()
