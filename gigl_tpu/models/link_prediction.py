@@ -70,19 +70,32 @@ class LinkPredictionDecoder(nn.Module):
 
 class HeteroLinkPredictionGNN(nn.Module):
     """Typed encoder + decoder bundle (hetero analog of LinkPredictionGNN;
-    ref pyg/link_prediction.py:13-67 wraps any encoder the same way)."""
+    ref pyg/link_prediction.py:13-67 wraps any encoder the same way).
+    ``edge_scorer`` (optional) adds a label-edge-feature term to
+    supervision-edge scores — the reference carries label_edge_features
+    per condensed edge type for heterogeneous batches too
+    (nalp_data_loader.py:44-46)."""
 
     encoder: nn.Module  # HeteroGNNEncoder
     decoder: LinkPredictionDecoder
+    edge_scorer: Optional[EdgeFeatureScorer] = None
 
     def __call__(self, blocks, feats, train: bool = False):
         return self.encoder(blocks, feats, train=train)
 
-    def decode(self, q, c):
-        return self.decoder(q, c)
+    def decode(self, q, c, edge_feats=None):
+        s = self.decoder(q, c)
+        if edge_feats is not None and self.edge_scorer is not None:
+            s = s + self.edge_scorer(edge_feats)
+        return s
 
     def decode_all_pairs(self, q, c):
         return self.decoder.all_pairs(q, c)
+
+    def edge_score(self, edge_feats):
+        if self.edge_scorer is None:
+            raise ValueError("model built without an edge_scorer")
+        return self.edge_scorer(edge_feats)
 
 
 class EdgeFeatureScorer(nn.Module):

@@ -81,6 +81,12 @@ class PartitionedHeteroGraph:
     # for CSRs any op samples weighted/top_k (LIVE typed weighted sampling
     # over the partitioned graph; owner-side bounded-window draws).
     csr_w: Optional[Dict[str, jax.Array]] = None
+    # Per-shard supervision / hard-negative LABEL edge features
+    # [P, E_pad, De] in CSR slot order (hydrated owner-side in the same
+    # routed round trip as the positive / hard-negative draw — the typed
+    # analog of PartitionedGraph.sup_edge_feats).
+    sup_ef: Optional[jax.Array] = None
+    hard_ef: Optional[jax.Array] = None
 
     def with_sample_tables(
         self,
@@ -178,16 +184,33 @@ class PartitionedHeteroGraph:
             csr_ip[key] = jax.device_put(ip, blk_sh)
             csr_ix[key] = jax.device_put(ix, blk_sh)
         sup_ip = sup_ix = hard_ip = hard_ix = None
+        sup_ef = hard_ef = None
         if hdg.supervision_csr is not None:
-            a, b = _shard_csr(np.asarray(hdg.supervision_csr.indptr),
-                              np.asarray(hdg.supervision_csr.indices),
-                              num_shards, rows[str(anchor_node_type)])
+            if hdg.sup_edge_features is not None:
+                a, b, ef = _shard_csr(
+                    np.asarray(hdg.supervision_csr.indptr),
+                    np.asarray(hdg.supervision_csr.indices),
+                    num_shards, rows[str(anchor_node_type)],
+                    weights=np.asarray(hdg.sup_edge_features))
+                sup_ef = jax.device_put(ef, blk_sh)
+            else:
+                a, b = _shard_csr(np.asarray(hdg.supervision_csr.indptr),
+                                  np.asarray(hdg.supervision_csr.indices),
+                                  num_shards, rows[str(anchor_node_type)])
             sup_ip = jax.device_put(a, blk_sh)
             sup_ix = jax.device_put(b, blk_sh)
         if hdg.hard_neg_csr is not None:
-            a, b = _shard_csr(np.asarray(hdg.hard_neg_csr.indptr),
-                              np.asarray(hdg.hard_neg_csr.indices),
-                              num_shards, rows[str(anchor_node_type)])
+            if hdg.hard_neg_edge_features is not None:
+                a, b, ef = _shard_csr(
+                    np.asarray(hdg.hard_neg_csr.indptr),
+                    np.asarray(hdg.hard_neg_csr.indices),
+                    num_shards, rows[str(anchor_node_type)],
+                    weights=np.asarray(hdg.hard_neg_edge_features))
+                hard_ef = jax.device_put(ef, blk_sh)
+            else:
+                a, b = _shard_csr(np.asarray(hdg.hard_neg_csr.indptr),
+                                  np.asarray(hdg.hard_neg_csr.indices),
+                                  num_shards, rows[str(anchor_node_type)])
             hard_ip = jax.device_put(a, blk_sh)
             hard_ix = jax.device_put(b, blk_sh)
         return cls(feats=feats, csr_ip=csr_ip, csr_ix=csr_ix,
@@ -195,7 +218,7 @@ class PartitionedHeteroGraph:
                    hard_ip=hard_ip, hard_ix=hard_ix,
                    num_nodes=dict(hdg.num_nodes), rows=rows,
                    feat_dims=dims, anchor_node_type=str(anchor_node_type),
-                   csr_w=csr_w or None)
+                   csr_w=csr_w or None, sup_ef=sup_ef, hard_ef=hard_ef)
 
 
 class PartitionedHeteroNALPTrainer:
@@ -252,6 +275,8 @@ class PartitionedHeteroNALPTrainer:
         # Cumulative routed-lookup requests dropped by capacity overflow
         # (surfaced per chunk; same contract as PartitionedNALPTrainer).
         self.overflow_total = 0
+        self._has_sup_ef = pgraph.sup_ef is not None
+        self._has_hard_ef = pgraph.hard_ef is not None
         self.tx = make_optimizer(optimizer_args or {})
         self._build_programs()
 
@@ -265,13 +290,14 @@ class PartitionedHeteroNALPTrainer:
                        {k: P(axis, None) for k in (pgraph.csr_w or {})},
                        P(axis, None), P(axis, None),
                        P(axis, None), P(axis, None),
+                       P(axis, None, None), P(axis, None, None),
                        {k: P(axis) for k in (pgraph.sample_tables or {})})
         self._train_steps = jax.jit(jax.shard_map(
             self._steps_local, mesh=mesh,
             in_specs=graph_specs + (P(), P(None, axis), P()),
             out_specs=(P(), P(), P()),
             check_vma=False,
-        ), donate_argnums=(9,))
+        ), donate_argnums=(11,))
         self._eval_step = jax.jit(jax.shard_map(
             self._eval_local, mesh=mesh,
             in_specs=graph_specs + (P(), P(axis), P()),
@@ -303,8 +329,19 @@ class PartitionedHeteroNALPTrainer:
         hard_ip, hard_ix = pg.hard_ip, pg.hard_ix
         if hard_ip is None:
             hard_ip, hard_ix = dummy_csr(a_nt)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        blk = NamedSharding(self.mesh, P(self.axis, None, None))
+        sup_ef = pg.sup_ef
+        if sup_ef is None:
+            sup_ef = jax.device_put(
+                np.zeros((self.num_shards, 1, 1), np.float32), blk)
+        hard_ef = pg.hard_ef
+        if hard_ef is None:
+            hard_ef = jax.device_put(
+                np.zeros((self.num_shards, 1, 1), np.float32), blk)
         return (pg.feats, pg.csr_ip, pg.csr_ix, dict(pg.csr_w or {}),
-                sup_ip, sup_ix, hard_ip, hard_ix,
+                sup_ip, sup_ix, hard_ip, hard_ix, sup_ef, hard_ef,
                 dict(pg.sample_tables or {}))
 
     @staticmethod
@@ -406,12 +443,23 @@ class PartitionedHeteroNALPTrainer:
             outs.append(emb.reshape(ids.shape + (emb.shape[-1],)))
         return outs, ovf
 
-    def _make_batch(self, sup_ip, sup_ix, hard_ip, hard_ix, anchors, step):
+    def _make_batch(self, sup_ip, sup_ix, hard_ip, hard_ix, sup_ef_l,
+                    hard_ef_l, anchors, step):
         cfg = self.cfg
-        pos, pos_mask, ok_p = routed_sample_neighbors(
-            sup_ip, sup_ix, anchors, cfg.num_positives, axis=self.axis,
-            seed=cfg.seed, hop=1_000_003 + step,
-            capacity_factor=self.capacity_factor)
+        pos_ef = hard_ef = None
+        if self._has_sup_ef:
+            # Label-edge-feature hydration rides the routed positive draw
+            # owner-side (same contract as PartitionedNALPTrainer).
+            pos, pos_mask, ok_p, pos_ef = routed_sample_neighbors(
+                sup_ip, sup_ix, anchors, cfg.num_positives, axis=self.axis,
+                seed=cfg.seed, hop=1_000_003 + step,
+                capacity_factor=self.capacity_factor,
+                local_edge_feats=sup_ef_l)
+        else:
+            pos, pos_mask, ok_p = routed_sample_neighbors(
+                sup_ip, sup_ix, anchors, cfg.num_positives, axis=self.axis,
+                seed=cfg.seed, hop=1_000_003 + step,
+                capacity_factor=self.capacity_factor)
         bits = counter_rng_uniform(
             jnp.arange(cfg.num_random_negs, dtype=jnp.int32),
             seed=cfg.seed, hop=3_000_017 + step, num_slots=1)[:, 0]
@@ -419,10 +467,17 @@ class PartitionedHeteroNALPTrainer:
         rand = (bits % jnp.uint32(n_cand)).astype(jnp.int32)
         h = cfg.num_hard_negs
         if h > 0:
-            hard, hard_mask, ok_h = routed_sample_neighbors(
-                hard_ip, hard_ix, anchors, h, axis=self.axis,
-                seed=cfg.seed, hop=2_000_003 + step,
-                capacity_factor=self.capacity_factor)
+            if self._has_hard_ef:
+                hard, hard_mask, ok_h, hard_ef = routed_sample_neighbors(
+                    hard_ip, hard_ix, anchors, h, axis=self.axis,
+                    seed=cfg.seed, hop=2_000_003 + step,
+                    capacity_factor=self.capacity_factor,
+                    local_edge_feats=hard_ef_l)
+            else:
+                hard, hard_mask, ok_h = routed_sample_neighbors(
+                    hard_ip, hard_ix, anchors, h, axis=self.axis,
+                    seed=cfg.seed, hop=2_000_003 + step,
+                    capacity_factor=self.capacity_factor)
         else:
             hard = jnp.zeros(anchors.shape + (h,), jnp.int32)
             hard_mask = jnp.zeros(anchors.shape + (h,), bool)
@@ -431,13 +486,16 @@ class PartitionedHeteroNALPTrainer:
             ovf += jnp.sum(~ok_h, dtype=jnp.int32)
         return NALPBatch(anchors=anchors.astype(jnp.int32), pos=pos,
                          pos_mask=pos_mask, hard_neg=hard,
-                         hard_neg_mask=hard_mask, random_neg=rand), ovf
+                         hard_neg_mask=hard_mask, random_neg=rand,
+                         pos_edge_feats=pos_ef,
+                         hard_neg_edge_feats=hard_ef), ovf
 
     def _loss_local(self, feats_l, ip_l, ix_l, w_l, sup_ip, sup_ix,
-                    hard_ip, hard_ix, tabs, params, anchors, step, rng):
+                    hard_ip, hard_ix, sup_ef_l, hard_ef_l, tabs, params,
+                    anchors, step, rng):
         cfg = self.cfg
         batch, ovf = self._make_batch(sup_ip, sup_ix, hard_ip, hard_ix,
-                                      anchors, step)
+                                      sup_ef_l, hard_ef_l, anchors, step)
         r_per = cfg.num_random_negs // self.num_shards
         shard = jax.lax.axis_index(self.axis)
         rand_local = jax.lax.dynamic_slice_in_dim(
@@ -480,6 +538,16 @@ class PartitionedHeteroNALPTrainer:
         q_rows = jnp.repeat(q, p_, axis=0)
         cand_local, cand_ids, cmask, pos_qids = ring_candidate_pool(
             batch, pos, hard, rand_emb_l, rand_ids_local)
+        bias = None
+        if getattr(self.model, "edge_scorer", None) is not None:
+            from gigl_tpu.losses.sharded_retrieval import (
+                ring_own_block_edge_bias,
+            )
+
+            bias = ring_own_block_edge_bias(
+                lambda ef: self.model.apply(params, ef,
+                                            method="edge_score"),
+                batch, cand_local.shape[0])
         ce_sum, count = ring_retrieval_loss(
             q_rows, cand_local, axis=self.axis,
             temperature=cfg.temperature,
@@ -492,16 +560,18 @@ class PartitionedHeteroNALPTrainer:
             pos_col_query_ids=pos_qids,
             candidate_mask=cmask,
             query_mask=batch.pos_mask.reshape(-1),
-            remove_accidental_hits=cfg.remove_accidental_hits)
+            remove_accidental_hits=cfg.remove_accidental_hits,
+            own_block_bias=bias)
         total = jax.lax.psum(count, self.axis).astype(jnp.float32)
         return ce_sum * self.num_shards / jnp.maximum(total, 1.0)
 
     def _step_local(self, feats_l, ip_l, ix_l, w_l, sup_ip, sup_ix,
-                    hard_ip, hard_ix, tabs, state: TrainState, anchors,
-                    rng):
+                    hard_ip, hard_ix, sup_ef_l, hard_ef_l, tabs,
+                    state: TrainState, anchors, rng):
         (loss, ovf), grads = jax.value_and_grad(
             lambda p: self._loss_local(feats_l, ip_l, ix_l, w_l, sup_ip,
-                                       sup_ix, hard_ip, hard_ix, tabs, p,
+                                       sup_ix, hard_ip, hard_ix, sup_ef_l,
+                                       hard_ef_l, tabs, p,
                                        anchors, state.step, rng),
             has_aux=True)(state.params)
         grads = jax.lax.pmean(grads, self.axis)
@@ -513,25 +583,28 @@ class PartitionedHeteroNALPTrainer:
                           step=state.step + 1, cms=state.cms), (loss, ovf)
 
     def _steps_local(self, feats_l, ip_l, ix_l, w_l, sup_ip, sup_ix,
-                     hard_ip, hard_ix, tabs, state, anchors_kb, rngs):
+                     hard_ip, hard_ix, sup_ef_l, hard_ef_l, tabs, state,
+                     anchors_kb, rngs):
         ip_l = self._squeeze_csr(ip_l)
         ix_l = self._squeeze_csr(ix_l)
         w_l = self._squeeze_csr(w_l)
         sup_ip, sup_ix = sup_ip[0], sup_ix[0]
         hard_ip, hard_ix = hard_ip[0], hard_ix[0]
+        sup_ef_l, hard_ef_l = sup_ef_l[0], hard_ef_l[0]
 
         def body(st, xs):
             a, r = xs
             return self._step_local(feats_l, ip_l, ix_l, w_l, sup_ip,
-                                    sup_ix, hard_ip, hard_ix, tabs, st, a,
-                                    r)
+                                    sup_ix, hard_ip, hard_ix, sup_ef_l,
+                                    hard_ef_l, tabs, st, a, r)
 
         state, (losses, ovfs) = jax.lax.scan(body, state,
                                              (anchors_kb, rngs))
         return state, losses, jax.lax.psum(ovfs, self.axis)
 
     def _eval_local(self, feats_l, ip_l, ix_l, w_l, sup_ip, sup_ix,
-                    hard_ip, hard_ix, tabs, params, anchors, step):
+                    hard_ip, hard_ix, sup_ef_l, hard_ef_l, tabs, params,
+                    anchors, step):
         from gigl_tpu.losses.metrics import hits_at_k, mean_reciprocal_rank
 
         ip_l = self._squeeze_csr(ip_l)
@@ -539,9 +612,10 @@ class PartitionedHeteroNALPTrainer:
         w_l = self._squeeze_csr(w_l)
         sup_ip, sup_ix = sup_ip[0], sup_ix[0]
         hard_ip, hard_ix = hard_ip[0], hard_ix[0]
+        sup_ef_l, hard_ef_l = sup_ef_l[0], hard_ef_l[0]
         cfg = self.cfg
         batch, ovf = self._make_batch(sup_ip, sup_ix, hard_ip, hard_ix,
-                                      anchors, step)
+                                      sup_ef_l, hard_ef_l, anchors, step)
         r_per = cfg.num_random_negs // self.num_shards
         shard = jax.lax.axis_index(self.axis)
         rand_local = jax.lax.dynamic_slice_in_dim(
@@ -554,8 +628,14 @@ class PartitionedHeteroNALPTrainer:
         ovf += ovf2
         rand = jax.lax.all_gather(rand_l, self.axis, axis=0, tiled=True)
         b, p_, d_ = pos.shape
-        pos_scores = self.model.apply(params, q[:, None, :], pos,
-                                      method="decode")
+        if (getattr(self.model, "edge_scorer", None) is not None
+                and batch.pos_edge_feats is not None):
+            pos_scores = self.model.apply(
+                params, q[:, None, :], pos, batch.pos_edge_feats,
+                method="decode")
+        else:
+            pos_scores = self.model.apply(params, q[:, None, :], pos,
+                                          method="decode")
         rand_scores = self.model.apply(params, q, rand,
                                        method="decode_all_pairs")
         pos_flat = pos_scores.reshape(-1)
@@ -647,6 +727,10 @@ class PartitionedHeteroNALPTrainer:
                 embs = [mdl(bk, f) for bk, f in samples]
                 mdl.decode(embs[0], embs[-1])
                 mdl.decode_all_pairs(embs[0], embs[-1])
+                if getattr(mdl, "edge_scorer", None) is not None:
+                    de = (self.pg.sup_ef.shape[-1]
+                          if self.pg.sup_ef is not None else 1)
+                    mdl.edge_score(jnp.zeros((1, de), jnp.float32))
                 return embs[0]
 
             params = self.model.init(rng, method=init_all)

@@ -60,6 +60,11 @@ class HeteroDeviceGraph:
     # [N_anchor, fanout] with -1 for
     # invalid slots (same frozen-sample semantics as DeviceGraph's tables).
     sample_tables: Optional[Dict[str, jnp.ndarray]] = None
+    # Supervision / hard-negative LABEL edge features [Es, De] in CSR slot
+    # order (ref nalp_data_loader.py:44-46 label_edge_features for typed
+    # batches): hydrated per sampled positive / hard negative.
+    sup_edge_features: Optional[jnp.ndarray] = None
+    hard_neg_edge_features: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         csr_keys = tuple(sorted(self.csrs))
@@ -71,7 +76,8 @@ class HeteroDeviceGraph:
         children = (
             tuple(self.csrs[k] for k in csr_keys)
             + tuple(self.node_features[k] for k in feat_keys)
-            + (self.supervision_csr, self.hard_neg_csr)
+            + (self.supervision_csr, self.hard_neg_csr,
+               self.sup_edge_features, self.hard_neg_edge_features)
             + (tuple(self.node_labels[k] for k in label_keys)
                if label_keys else ())
             + (tuple(self.sample_tables[k] for k in table_keys)
@@ -88,7 +94,8 @@ class HeteroDeviceGraph:
         csrs = dict(zip(csr_keys, children[:nc]))
         feats = dict(zip(feat_keys, children[nc: nc + nf]))
         sup, hard = children[nc + nf], children[nc + nf + 1]
-        pos = nc + nf + 2
+        sup_ef, hard_ef = children[nc + nf + 2], children[nc + nf + 3]
+        pos = nc + nf + 4
         labels = None
         if label_keys is not None:
             labels = dict(zip(label_keys, children[pos: pos + len(label_keys)]))
@@ -99,7 +106,8 @@ class HeteroDeviceGraph:
         return cls(csrs=csrs, node_features=feats,
                    num_nodes=dict(num_nodes_items), supervision_csr=sup,
                    hard_neg_csr=hard, node_labels=labels,
-                   sample_tables=tables)
+                   sample_tables=tables, sup_edge_features=sup_ef,
+                   hard_neg_edge_features=hard_ef)
 
     # -- construction ----------------------------------------------------------
     @classmethod
@@ -112,6 +120,8 @@ class HeteroDeviceGraph:
         supervision_edges: Optional[np.ndarray] = None,  # [2, Es] src,dst
         hard_neg_edges: Optional[np.ndarray] = None,
         supervision_anchor: str = "dst",
+        supervision_edge_features: Optional[np.ndarray] = None,  # [Es, De]
+        hard_neg_edge_features: Optional[np.ndarray] = None,     # [Eh, De]
     ) -> "HeteroDeviceGraph":
         needed = {op.csr_key for ops in paths.values() for op in ops}
         # CSRs whose ops sample weighted/top_k carry per-slot edge weights
@@ -141,6 +151,12 @@ class HeteroDeviceGraph:
                  else np.zeros((n, 1), np.float32))
             feats[str(nt)] = jnp.asarray(np.asarray(f), dtype=jnp.float32)
         sup_csr = None
+        sup_ef = hn_ef = None
+        if supervision_edge_features is not None and supervision_edges is None:
+            raise ValueError("supervision_edge_features needs "
+                             "supervision_edges")
+        if hard_neg_edge_features is not None and hard_neg_edges is None:
+            raise ValueError("hard_neg_edge_features needs hard_neg_edges")
         if supervision_anchor not in ("src", "dst"):
             raise ValueError(f"bad supervision_anchor {supervision_anchor!r}")
         if supervision_edges is not None:
@@ -155,11 +171,16 @@ class HeteroDeviceGraph:
             cand_nt = (supervision_edge_type.src_node_type
                        if supervision_anchor == "dst"
                        else supervision_edge_type.dst_node_type)
-            sup_csr = DeviceCSR.from_csr(build_csr(
+            sup_raw = build_csr(
                 supervision_edges[0], supervision_edges[1],
                 num_anchor_nodes=graph.num_nodes[anchor_nt],
                 num_neighbor_nodes=graph.num_nodes[cand_nt],
-                anchor=supervision_anchor))
+                anchor=supervision_anchor)
+            if supervision_edge_features is not None:
+                sup_ef = jnp.asarray(np.ascontiguousarray(
+                    np.asarray(supervision_edge_features,
+                               np.float32)[sup_raw.edge_ids]))
+            sup_csr = DeviceCSR.from_csr(sup_raw)
         hn_csr = None
         if hard_neg_edges is not None and supervision_edge_type is not None:
             anchor_nt = (supervision_edge_type.dst_node_type
@@ -168,14 +189,20 @@ class HeteroDeviceGraph:
             cand_nt = (supervision_edge_type.src_node_type
                        if supervision_anchor == "dst"
                        else supervision_edge_type.dst_node_type)
-            hn_csr = DeviceCSR.from_csr(build_csr(
+            hn_raw = build_csr(
                 hard_neg_edges[0], hard_neg_edges[1],
                 num_anchor_nodes=graph.num_nodes[anchor_nt],
                 num_neighbor_nodes=graph.num_nodes[cand_nt],
-                anchor=supervision_anchor))
+                anchor=supervision_anchor)
+            if hard_neg_edge_features is not None:
+                hn_ef = jnp.asarray(np.ascontiguousarray(
+                    np.asarray(hard_neg_edge_features,
+                               np.float32)[hn_raw.edge_ids]))
+            hn_csr = DeviceCSR.from_csr(hn_raw)
         labels = {str(nt): jnp.asarray(lab, jnp.int32)
                   for nt, lab in graph.node_labels.items()} or None
-        return cls(csrs=csrs, node_features=feats,
+        return cls(sup_edge_features=sup_ef, hard_neg_edge_features=hn_ef,
+                   csrs=csrs, node_features=feats,
                    num_nodes={str(nt): int(n)
                               for nt, n in graph.num_nodes.items()},
                    supervision_csr=sup_csr, hard_neg_csr=hn_csr,
@@ -262,6 +289,37 @@ class HeteroDeviceGraph:
             self.supervision_csr, anchors, num_positives,
             seed=seed, hop=1_000_003 + step)
         return pos, mask
+
+    def sample_positives_with_feats(self, anchors, num_positives, *,
+                                    seed: int, step):
+        """(pos, mask, edge_feats-or-None): the sampled positives plus
+        their slot-aligned label-edge features (same draw as
+        sample_positives — identical RNG keying)."""
+        if self.supervision_csr is None:
+            raise ValueError("no supervision CSR registered")
+        pos, mask, slots = sample_neighbors(
+            self.supervision_csr, anchors, num_positives,
+            seed=seed, hop=1_000_003 + step)
+        ef = None
+        if self.sup_edge_features is not None:
+            ef = jnp.where(mask[..., None],
+                           self.sup_edge_features[slots], 0.0)
+        return pos, mask, ef
+
+    def sample_hard_negatives_with_feats(self, anchors, num_hard_negs, *,
+                                         seed: int, step):
+        if num_hard_negs <= 0 or self.hard_neg_csr is None:
+            z = jnp.zeros(anchors.shape + (max(num_hard_negs, 0),),
+                          jnp.int32)
+            return z, z.astype(bool), None
+        hard, mask, slots = sample_neighbors(
+            self.hard_neg_csr, anchors, num_hard_negs,
+            seed=seed, hop=2_000_003 + step)
+        ef = None
+        if self.hard_neg_edge_features is not None:
+            ef = jnp.where(mask[..., None],
+                           self.hard_neg_edge_features[slots], 0.0)
+        return hard, mask, ef
 
     def sample_hard_negatives(self, anchors, num_hard_negs, *, seed, step):
         if num_hard_negs <= 0 or self.hard_neg_csr is None:

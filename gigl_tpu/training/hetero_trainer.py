@@ -136,56 +136,31 @@ class HeteroNALPTrainer:
     # -- batch assembly --------------------------------------------------------
     def _sample_batch(self, graph: HeteroDeviceGraph, anchors, *,
                       num_hard_negs: int, seed: int, step) -> NALPBatch:
-        pos, pos_mask = graph.sample_positives(
+        pos, pos_mask, pos_ef = graph.sample_positives_with_feats(
             anchors, self.cfg.num_positives, seed=seed, step=step)
-        hard, hard_mask = graph.sample_hard_negatives(
+        hard, hard_mask, hard_ef = graph.sample_hard_negatives_with_feats(
             anchors, num_hard_negs, seed=seed, step=step)
         rand = graph.sample_random_negatives(
             self.cfg.num_random_negs, self.cfg.candidate_node_type,
             seed=seed, step=step)
         return NALPBatch(anchors=anchors.astype(jnp.int32), pos=pos,
                          pos_mask=pos_mask, hard_neg=hard,
-                         hard_neg_mask=hard_mask, random_neg=rand)
+                         hard_neg_mask=hard_mask, random_neg=rand,
+                         pos_edge_feats=pos_ef,
+                         hard_neg_edge_feats=hard_ef)
 
     # -- loss ------------------------------------------------------------------
     def _loss(self, graph, params, batch: NALPBatch, rng):
+        from gigl_tpu.training.trainer import nalp_loss_from_embeddings
+
         q, pos, hard, rand = self._scores(graph, params, batch, True, rng)
-        B, P, D = pos.shape
-        if self.cfg.loss_type == "retrieval":
-            q_rep = jnp.repeat(q, P, axis=0)
-            cand = jnp.concatenate([pos.reshape(B * P, D), rand], axis=0)
-            scores = self.model.apply(params, q_rep, cand,
-                                      method="decode_all_pairs")
-            qids = jnp.repeat(batch.anchors, P, axis=0)
-            cids = jnp.concatenate([batch.pos.reshape(-1), batch.random_neg])
-            loss_sum, count = retrieval_loss(
-                scores, temperature=self.cfg.temperature,
-                query_ids=qids, candidate_ids=cids,
-                remove_accidental_hits=self.cfg.remove_accidental_hits,
-                query_mask=batch.pos_mask.reshape(-1))
-        else:
-            decode = lambda a, b: self.model.apply(params, a, b,
-                                                   method="decode")
-            pos_scores = decode(q[:, None, :], pos)
-            rand_scores = self.model.apply(params, q, rand,
-                                           method="decode_all_pairs")
-            neg_scores, neg_mask = rand_scores, jnp.ones(rand_scores.shape,
-                                                         bool)
-            if hard is not None:
-                hs = decode(q[:, None, :], hard)
-                neg_scores = jnp.concatenate([hs, rand_scores], -1)
-                neg_mask = jnp.concatenate([batch.hard_neg_mask, neg_mask], -1)
-            if self.cfg.loss_type == "margin":
-                loss_sum, count = margin_loss(
-                    pos_scores, neg_scores, margin=self.cfg.margin,
-                    pos_mask=batch.pos_mask, neg_mask=neg_mask)
-            elif self.cfg.loss_type == "softmax":
-                loss_sum, count = softmax_loss(
-                    pos_scores, neg_scores, temperature=self.cfg.temperature,
-                    pos_mask=batch.pos_mask, neg_mask=neg_mask)
-            else:
-                raise ValueError(f"Unknown loss {self.cfg.loss_type!r}")
-        return loss_sum / jnp.maximum(count.astype(jnp.float32), 1.0)
+        # Shared loss assembly (Appendix A.2): identical retrieval /
+        # margin / softmax semantics as before, plus padded-candidate
+        # masking and the label-edge-feature score terms when the model
+        # carries an edge_scorer and the batch carries edge features.
+        loss, _cms = nalp_loss_from_embeddings(
+            self.model, params, self.cfg, batch, q, pos, hard, rand, None)
+        return loss
 
     # -- steps -----------------------------------------------------------------
     def _train_step_impl(self, graph: HeteroDeviceGraph, state: TrainState,
@@ -223,8 +198,14 @@ class HeteroNALPTrainer:
                                    seed=self.cfg.seed + 7_777_777, step=step)
         q, pos, _, rand = self._scores(graph, params, batch, False)
         B, P, D = pos.shape
-        pos_scores = self.model.apply(params, q[:, None, :], pos,
-                                      method="decode")
+        if (getattr(self.model, "edge_scorer", None) is not None
+                and batch.pos_edge_feats is not None):
+            pos_scores = self.model.apply(
+                params, q[:, None, :], pos, batch.pos_edge_feats,
+                method="decode")
+        else:
+            pos_scores = self.model.apply(params, q[:, None, :], pos,
+                                          method="decode")
         rand_scores = self.model.apply(params, q, rand,
                                        method="decode_all_pairs")
         pos_flat = pos_scores.reshape(-1)
@@ -265,6 +246,10 @@ class HeteroNALPTrainer:
             embs = [mdl(b, f) for b, f in samples]
             mdl.decode(embs[0], embs[-1])
             mdl.decode_all_pairs(embs[0], embs[-1])
+            if getattr(mdl, "edge_scorer", None) is not None:
+                de = (graph.sup_edge_features.shape[-1]
+                      if graph.sup_edge_features is not None else 1)
+                mdl.edge_score(jnp.zeros((1, de), jnp.float32))
             return embs[0]
 
         return self.model.init(rng, method=init_all)

@@ -179,3 +179,141 @@ class TestMLPDecoderInit:
         state, loss = trainer.train_step(state, np.arange(8),
                                          jax.random.PRNGKey(1))
         assert np.isfinite(float(loss))
+
+
+# ---------------------------------------------------------------------------
+# heterogeneous paths (replicated + partitioned)
+# ---------------------------------------------------------------------------
+
+def _hetero_setup(edge_scorer=True, num_hard_negs=0):
+    from gigl_tpu.config.task_config import SamplingOp
+    from gigl_tpu.data.mocking import (
+        BIPARTITE_TOY_GRAPH_LP,
+        get_mocked_graph,
+    )
+    from gigl_tpu.models.hetero_encoders import HeteroGNNEncoder
+    from gigl_tpu.models.link_prediction import HeteroLinkPredictionGNN
+    from gigl_tpu.sampling.hetero_sampler import resolve_path
+    from gigl_tpu.training.hetero_dataset import HeteroDeviceGraph
+    from gigl_tpu.training.hetero_trainer import HeteroNALPTrainerConfig
+    from gigl_tpu.types.graph import EdgeType
+
+    g = get_mocked_graph(BIPARTITE_TOY_GRAPH_LP)
+    buys = EdgeType("user", "buys", "item")
+    rev = EdgeType("item", "rev_buys", "user")
+    paths = {
+        "user": resolve_path("user", [
+            SamplingOp(op_name="u1", edge_type=rev, num_nodes_to_sample=5,
+                       sampling_direction="INCOMING"),
+            SamplingOp(op_name="u2", edge_type=buys,
+                       num_nodes_to_sample=3, input_op_names=("u1",),
+                       sampling_direction="INCOMING")]),
+        "item": resolve_path("item", [
+            SamplingOp(op_name="i1", edge_type=buys, num_nodes_to_sample=5,
+                       sampling_direction="INCOMING"),
+            SamplingOp(op_name="i2", edge_type=rev,
+                       num_nodes_to_sample=3, input_op_names=("i1",),
+                       sampling_direction="INCOMING")]),
+    }
+    sup = g.edges[buys]
+    rng = np.random.default_rng(5)
+    # feature encodes the endpoints -> hydration checkable
+    sup_ef = np.stack([sup[0], sup[1], sup[0] + sup[1]], 1).astype(
+        np.float32)
+    kw = {}
+    hard = None
+    if num_hard_negs:
+        hard = np.stack([rng.integers(0, g.num_nodes["user"], 300),
+                         rng.integers(0, g.num_nodes["item"], 300)])
+        kw = dict(hard_neg_edges=np.stack([hard[0], hard[1]]),
+                  hard_neg_edge_features=np.stack(
+                      [hard[0], hard[1], hard[0] - hard[1]], 1).astype(
+                          np.float32))
+    hdg = HeteroDeviceGraph.from_hetero(
+        g, paths, supervision_edge_type=buys, supervision_edges=sup,
+        supervision_anchor="src", supervision_edge_features=sup_ef, **kw)
+    enc = HeteroGNNEncoder(
+        hid_dim=32, out_dim=16, num_layers=2, conv="rgcn", num_bases=2,
+        node_types=("user", "item"),
+        edge_types=("user-buys-item", "item-rev_buys-user"))
+    model = HeteroLinkPredictionGNN(
+        encoder=enc, decoder=LinkPredictionDecoder(),
+        edge_scorer=EdgeFeatureScorer() if edge_scorer else None)
+    cfg = HeteroNALPTrainerConfig(
+        anchor_node_type="user", candidate_node_type="item",
+        num_random_negs=32, num_hard_negs=num_hard_negs,
+        loss_type="retrieval", temperature=0.1)
+    return g, hdg, paths, model, cfg, sup, sup_ef
+
+
+class TestHeteroLabelEdgeFeatures:
+    def test_hydrated_features_match_sampled_edge(self):
+        """The pos_edge_feats rows are the features of the exact sampled
+        supervision edge (feature encodes its endpoints)."""
+        from gigl_tpu.training.hetero_trainer import HeteroNALPTrainer
+
+        g, hdg, paths, model, cfg, sup, sup_ef = _hetero_setup()
+        tr = HeteroNALPTrainer(model, hdg, paths, cfg)
+        anchors = jnp.arange(16, dtype=jnp.int32)
+        batch = tr._sample_batch(hdg, anchors, num_hard_negs=0,
+                                 seed=cfg.seed, step=0)
+        assert batch.pos_edge_feats is not None
+        ef = np.asarray(batch.pos_edge_feats)
+        pos = np.asarray(batch.pos)
+        mask = np.asarray(batch.pos_mask)
+        for i in range(16):
+            for j in range(cfg.num_positives):
+                if mask[i, j]:
+                    assert ef[i, j, 0] == i          # anchor (src)
+                    assert ef[i, j, 1] == pos[i, j]  # sampled item (dst)
+
+    def test_scorer_changes_the_loss(self):
+        from gigl_tpu.training.hetero_trainer import HeteroNALPTrainer
+
+        g, hdg, paths, model, cfg, *_ = _hetero_setup(edge_scorer=True)
+        g2, hdg2, paths2, model2, cfg2, *_ = _hetero_setup(
+            edge_scorer=False)
+        anchors = np.arange(16, dtype=np.int32)[None, :]
+        tr1 = HeteroNALPTrainer(model, hdg, paths, cfg)
+        tr2 = HeteroNALPTrainer(model2, hdg2, paths2, cfg2)
+        s1 = tr1.init_state(jax.random.PRNGKey(0), batch_size=16)
+        s2 = tr2.init_state(jax.random.PRNGKey(0), batch_size=16)
+        _, l1 = tr1.train_steps(s1, anchors, jax.random.PRNGKey(1))
+        _, l2 = tr2.train_steps(s2, anchors, jax.random.PRNGKey(1))
+        assert float(l1[0]) != pytest.approx(float(l2[0]), rel=1e-6)
+
+    @pytest.mark.slow
+    def test_partitioned_parity_with_replicated(self):
+        """Partitioned hetero trainer with owner-side label-edge-feature
+        hydration + ring own-block bias matches the replicated trainer's
+        global-pool losses across steps."""
+        import dataclasses
+
+        from gigl_tpu.parallel.mesh import make_mesh
+        from gigl_tpu.training.dist_hetero import (
+            PartitionedHeteroGraph,
+            PartitionedHeteroNALPTrainer,
+        )
+        from gigl_tpu.training.hetero_trainer import HeteroNALPTrainer
+
+        g, hdg, paths, model, cfg, *_ = _hetero_setup(num_hard_negs=2)
+        cfg = dataclasses.replace(cfg, global_candidate_pool=True)
+        mesh = make_mesh(8)
+        pg = PartitionedHeteroGraph.build(hdg, paths, mesh,
+                                          anchor_node_type="user")
+        assert pg.sup_ef is not None and pg.hard_ef is not None
+        part = PartitionedHeteroNALPTrainer(
+            model, pg, paths, cfg, mesh, capacity_factor=8.0,
+            overflow_policy="raise")
+        repl = HeteroNALPTrainer(model, hdg, paths, cfg)
+        B = 16
+        sp = part.init_state(jax.random.PRNGKey(0), batch_size=B)
+        sr = repl.init_state(jax.random.PRNGKey(0), batch_size=B)
+        anchors = (np.arange(3 * B).reshape(3, B)
+                   % g.num_nodes["user"]).astype(np.int32)
+        sp, lp = part.train_steps(sp, anchors, jax.random.PRNGKey(1))
+        sr, lr = repl.train_steps(sr, anchors, jax.random.PRNGKey(1))
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(lr),
+                                   rtol=1e-3)
+        m = part.evaluate(sp.params, [np.arange(B, dtype=np.int32)])
+        assert np.isfinite(m["mrr"])
