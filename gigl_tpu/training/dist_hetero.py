@@ -694,6 +694,14 @@ class PartitionedHeteroNALPTrainer:
                              seed=self.cfg.seed + 1_299_709 * epoch,
                              axis=self.axis)
 
+    def _put(self, x, *cols):
+        """device_put a host batch onto the global mesh (multi-process
+        safe: numpy can't ride a non-trivial in_sharding directly)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(
+            np.asarray(x), NamedSharding(self.mesh, P(*cols)))
+
     def init_state(self, rng: jax.Array, batch_size: int,
                    params: Optional[Any] = None) -> TrainState:
         """Initialize params by tracing every distinct root path + decoder
@@ -734,19 +742,23 @@ class PartitionedHeteroNALPTrainer:
                 return embs[0]
 
             params = self.model.init(rng, method=init_all)
-        return TrainState(params=params, opt_state=self.tx.init(params),
-                          step=jnp.zeros((), jnp.int32))
+        from gigl_tpu.parallel.mesh import put_replicated
+
+        return put_replicated(
+            TrainState(params=params, opt_state=self.tx.init(params),
+                       step=jnp.zeros((), jnp.int32)), self.mesh)
 
     def train_steps(self, state: TrainState, anchors_kb,
                     rng: jax.Array) -> Tuple[TrainState, jnp.ndarray]:
-        anchors_kb = jnp.asarray(anchors_kb, jnp.int32)
+        anchors_kb = np.asarray(anchors_kb, np.int32)
         if anchors_kb.shape[1] % self.num_shards:
             raise ValueError(
                 f"batch size {anchors_kb.shape[1]} not divisible by "
                 f"{self.num_shards} shards")
-        rngs = jax.random.split(rng, anchors_kb.shape[0])
-        state, losses, ovfs = self._train_steps(*self._graph_args(), state,
-                                                anchors_kb, rngs)
+        rngs = np.asarray(jax.random.split(rng, anchors_kb.shape[0]))
+        state, losses, ovfs = self._train_steps(
+            *self._graph_args(), state,
+            self._put(anchors_kb, None, self.axis), self._put(rngs))
         from gigl_tpu.training.dist_sampled import apply_overflow_policy
 
         apply_overflow_policy(self, int(np.asarray(ovfs).sum()),
@@ -762,8 +774,9 @@ class PartitionedHeteroNALPTrainer:
             if len(a) == 0:
                 continue
             rr, hits, cnt, ovf = self._eval_step(
-                *self._graph_args(), params, jnp.asarray(a, jnp.int32),
-                jnp.asarray(step + i, jnp.int32))
+                *self._graph_args(), params,
+                self._put(np.asarray(a, np.int32), self.axis),
+                self._put(np.asarray(step + i, np.int32)))
             from gigl_tpu.training.dist_sampled import (
                 apply_overflow_policy,
             )
@@ -786,11 +799,11 @@ class PartitionedHeteroNALPTrainer:
                      node_type: Optional[str] = None) -> jnp.ndarray:
         nt = str(node_type or self.cfg.anchor_node_type)
         pg = self.pg
-        node_ids = jnp.asarray(node_ids, jnp.int32)
+        node_ids = np.asarray(node_ids, np.int32)
         m = node_ids.shape[0]
         m_pad = -(-m // self.num_shards) * self.num_shards
         out = self._get_encode_fn(nt)(
             pg.feats, pg.csr_ip, pg.csr_ix, dict(pg.csr_w or {}),
             dict(pg.sample_tables or {}), params,
-            jnp.pad(node_ids, (0, m_pad - m)))
+            self._put(np.pad(node_ids, (0, m_pad - m)), self.axis))
         return out[:m]

@@ -402,6 +402,41 @@ class StreamingPartitionedNALPTrainer:
                                step=state.step + 1, cms=state.cms)
         return new_state, loss, jax.lax.psum(ovf, self.axis)
 
+    def _apply_eval_local(self, params, ans, owner, pos_idx, ok,
+                          masks_flat, anchors, pos, pos_mask, hard,
+                          hard_mask, rand, ovf):
+        """Eval counterpart of _apply_local: same un-route + encode, then
+        the reference ranking metrics (positives vs shared random
+        negatives), psum-reduced — mirrors
+        PartitionedNALPTrainer._eval_local."""
+        from gigl_tpu.losses.metrics import hits_at_k, mean_reciprocal_rank
+
+        back = jax.lax.all_to_all(ans, self.axis, 0, 0, tiled=True)
+        rows, ok_req = _unroute(back, owner, pos_idx, ok)
+        ovf = ovf + jnp.sum(~ok_req, dtype=jnp.int32)
+        embs = self._embed_groups(params, rows, masks_flat, False, None)
+        q, pos_e, rand_l = embs[0], embs[1], embs[2]
+        rand_emb = jax.lax.all_gather(rand_l, self.axis, axis=0,
+                                     tiled=True)
+        b, p_, _ = pos_e.shape
+        pos_scores = self.model.apply(params, q[:, None, :], pos_e,
+                                      method="decode")
+        rand_scores = self.model.apply(params, q, rand_emb,
+                                       method="decode_all_pairs")
+        pos_flat = pos_scores.reshape(-1)
+        mask_flat = pos_mask.reshape(-1)
+        neg_rep = jnp.repeat(rand_scores, p_, axis=0)
+        acc = (pos.reshape(-1)[:, None] == rand[None, :])
+        rr_sum, rr_cnt = mean_reciprocal_rank(
+            pos_flat, neg_rep, pos_mask=mask_flat, neg_mask=~acc)
+        hits, _ = hits_at_k(pos_flat, neg_rep, self.cfg.eval_ks,
+                            pos_mask=mask_flat, neg_mask=~acc)
+        hits_arr = jnp.stack([hits[int(k)] for k in self.cfg.eval_ks])
+        return (jax.lax.psum(rr_sum, self.axis),
+                jax.lax.psum(hits_arr, self.axis),
+                jax.lax.psum(rr_cnt, self.axis),
+                jax.lax.psum(ovf, self.axis))
+
     def _build_programs(self) -> None:
         P, mesh, axis = self._P, self.mesh, self.axis
         n_levels = len(self.cfg.fanouts)
@@ -423,6 +458,13 @@ class StreamingPartitionedNALPTrainer:
                       P(axis), P(), P(), P()),
             out_specs=(P(), P(), P()),
             check_vma=False), donate_argnums=(0,))
+        self._apply_eval = jax.jit(jax.shard_map(
+            self._apply_eval_local, mesh=mesh,
+            in_specs=(P(), P(axis, None, None), P(axis), P(axis), P(axis),
+                      masks_spec, P(axis), P(axis), P(axis), P(axis),
+                      P(axis), P(), P()),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False))
 
     # -- host round --------------------------------------------------------
     def _host_answers(self, recv) -> jax.Array:
@@ -491,6 +533,42 @@ class StreamingPartitionedNALPTrainer:
         self.capacity = request_capacity(self._union, self.num_shards,
                                          self.capacity_factor)
         self._build_programs()
+
+    def evaluate(self, params, anchor_batches, step: int = 0
+                 ) -> Dict[str, float]:
+        """Ranking eval (MRR + hits@k vs the shared random negatives) over
+        the streamed-partitioned path — one plan/host/apply-eval round per
+        batch; metrics psum-reduced across shards."""
+        rr_t, hits_t, cnt_t, ovf_t = 0.0, None, 0.0, 0
+        for i, a in enumerate(anchor_batches):
+            a = np.asarray(a, np.int32)
+            if a.shape[0] != self.batch_size:
+                raise ValueError(
+                    f"eval batch {a.shape[0]} != configured batch_size "
+                    f"{self.batch_size} (pad or re-batch)")
+            (recv, owner, pos_idx, ok, masks_flat, an, pos, pm, hard, hm,
+             rand, ovf) = self._plan(
+                self._tabs, self._sup[0], self._sup[1], self._hard[0],
+                self._hard[1], self._put(a, self.axis),
+                self._put(np.asarray(step + i, np.int32)))
+            ans = self._host_answers(recv)
+            rr, hits, cnt, ovf_n = self._apply_eval(
+                params, ans, owner, pos_idx, ok, masks_flat, an, pos, pm,
+                hard, hm, rand, ovf)
+            rr_t += float(rr)
+            cnt_t += float(cnt)
+            ovf_t += int(ovf_n)
+            h = np.asarray(hits)
+            hits_t = h if hits_t is None else hits_t + h
+        apply_overflow_policy(self, ovf_t,
+                              grow_rebuild=self._grow_rebuild)
+        cnt_t = max(cnt_t, 1.0)
+        if hits_t is None:
+            hits_t = np.zeros(len(self.cfg.eval_ks))
+        out = {"mrr": rr_t / cnt_t}
+        for i, k in enumerate(self.cfg.eval_ks):
+            out[f"hits@{k}"] = float(hits_t[i]) / cnt_t
+        return out
 
     def run_steps(self, state: TrainState, anchor_batches, rng: jax.Array,
                   *, start_step: int = 0):

@@ -123,6 +123,67 @@ def run_scenario() -> dict:
         sp_state, sp_anchors, np.asarray(jax.random.PRNGKey(6)), 0)
     out["streamed_partitioned_loss"] = float(np.asarray(sp_loss))
 
+    # -- typed (hetero) partitioned trainer over the global mesh ----------
+    from gigl_tpu.config.task_config import SamplingOp
+    from gigl_tpu.data.mocking import BIPARTITE_TOY_GRAPH_LP, get_mocked_graph
+    from gigl_tpu.models.hetero_encoders import HeteroGNNEncoder
+    from gigl_tpu.models.link_prediction import (
+        HeteroLinkPredictionGNN,
+        LinkPredictionDecoder,
+    )
+    from gigl_tpu.sampling.hetero_sampler import resolve_path
+    from gigl_tpu.training.dist_hetero import (
+        PartitionedHeteroGraph,
+        PartitionedHeteroNALPTrainer,
+    )
+    from gigl_tpu.training.hetero_dataset import HeteroDeviceGraph
+    from gigl_tpu.training.hetero_trainer import HeteroNALPTrainerConfig
+    from gigl_tpu.types.graph import EdgeType
+
+    hg = get_mocked_graph(BIPARTITE_TOY_GRAPH_LP)
+    buys = EdgeType("user", "buys", "item")
+    rev = EdgeType("item", "rev_buys", "user")
+    hpaths = {
+        "user": resolve_path("user", [
+            SamplingOp(op_name="u1", edge_type=rev, num_nodes_to_sample=5,
+                       sampling_direction="INCOMING"),
+            SamplingOp(op_name="u2", edge_type=buys,
+                       num_nodes_to_sample=3, input_op_names=("u1",),
+                       sampling_direction="INCOMING")]),
+        "item": resolve_path("item", [
+            SamplingOp(op_name="i1", edge_type=buys,
+                       num_nodes_to_sample=5,
+                       sampling_direction="INCOMING"),
+            SamplingOp(op_name="i2", edge_type=rev,
+                       num_nodes_to_sample=3, input_op_names=("i1",),
+                       sampling_direction="INCOMING")]),
+    }
+    hdg = HeteroDeviceGraph.from_hetero(
+        hg, hpaths, supervision_edge_type=buys,
+        supervision_edges=hg.edges[buys], supervision_anchor="src")
+    hpg = PartitionedHeteroGraph.build(hdg, hpaths, mesh,
+                                       anchor_node_type="user")
+    hmodel = HeteroLinkPredictionGNN(
+        encoder=HeteroGNNEncoder(
+            hid_dim=32, out_dim=16, num_layers=2, conv="rgcn",
+            num_bases=2, node_types=("user", "item"),
+            edge_types=("user-buys-item", "item-rev_buys-user")),
+        decoder=LinkPredictionDecoder())
+    hcfg = HeteroNALPTrainerConfig(
+        anchor_node_type="user", candidate_node_type="item",
+        num_random_negs=48, loss_type="retrieval", temperature=0.1,
+        global_candidate_pool=True)
+    htr = PartitionedHeteroNALPTrainer(hmodel, hpg, hpaths, hcfg, mesh,
+                                       capacity_factor=8.0,
+                                       overflow_policy="raise")
+    hstate = htr.init_state(jax.random.PRNGKey(4), batch_size=32)
+    hanchors = (np.arange(2 * 32).reshape(2, 32)
+                % hg.num_nodes["user"]).astype(np.int32)
+    hstate, hlosses = htr.train_steps(hstate, hanchors,
+                                      jax.random.PRNGKey(5))
+    out["hetero_partitioned_losses"] = [float(x)
+                                        for x in np.asarray(hlosses)]
+
     # -- halo ring SpMM over the edge-partitioned graph -------------------
     feats = np.asarray(dg.node_features, np.float32)
     agg, _run, _sched = ring_sharded_aggregate(edges, feats, N, mesh,

@@ -155,3 +155,29 @@ class TestStreamingPartitioned:
             StreamingPartitionedNALPTrainer(
                 _model(), store, mesh, _cfg(num_hard_negs=2),
                 batch_size=32)
+
+
+class TestStreamingPartitionedEval:
+    @pytest.mark.slow
+    def test_evaluate_parity_with_hbm_partitioned(self):
+        """Same draws -> same ranking metrics as the HBM-resident
+        partitioned trainer's evaluate."""
+        mesh = make_mesh(8, axes=(AXIS,))
+        dg, edges = _toy()
+        cfg = _cfg()
+        model = _model()
+        batch = 64
+        hbm = PartitionedNALPTrainer(
+            model, PartitionedGraph.build(dg, mesh), mesh, cfg,
+            capacity_factor=8.0, overflow_policy="raise")
+        st = StreamingPartitionedNALPTrainer(
+            model, _store(dg, edges, cfg), mesh, cfg, batch_size=batch,
+            capacity_factor=8.0, overflow_policy="raise")
+        state = hbm.init_state(jax.random.PRNGKey(0), batch_size=batch)
+        rng = np.random.default_rng(4)
+        anchors = rng.integers(0, N, batch).astype(np.int32)
+        m_h = hbm.evaluate(state.params, [anchors], step=3)
+        m_s = st.evaluate(state.params, [anchors], step=3)
+        for k in m_h:
+            np.testing.assert_allclose(m_s[k], m_h[k], rtol=2e-5,
+                                       err_msg=k)
