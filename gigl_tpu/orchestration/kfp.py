@@ -103,25 +103,42 @@ class KfpOrchestrator:
         logger.info("pipeline spec written to %s", path)
         return spec
 
-    def run(self, spec: Optional[Dict] = None, **compile_kwargs
-            ):  # pragma: no cover - needs cloud SDK past validation
-        """Validate the compiled spec, then submit (submission needs the
-        kfp SDK + a Vertex AI endpoint — absent here, but the validation
-        makes the offline artifact trustworthy before it ever reaches a
-        cloud environment)."""
+    def run(self, spec: Optional[Dict] = None, *, project: str = "",
+            location: str = "us-central1", sync: bool = True,
+            **compile_kwargs) -> List:
+        """Validate the compiled spec, then SUBMIT it as a chain of
+        Vertex AI CustomJobs — one per component, sequential, matching the
+        linear DAG the spec encodes (the reference compiles to KFP IR and
+        submits one VAI PipelineJob, kfp_orchestrator.py:106; here the
+        per-component container commands are identical and the chain is
+        driven client-side). Import-gated on google-cloud-aiplatform —
+        compile()/compile_to_file() stay fully functional offline.
+
+        Returns the list of launched jobs (one per component)."""
         if spec is None:
             spec = self.compile(**compile_kwargs)
         validate_pipeline_spec(spec)
-        try:
-            import kfp  # noqa: F401
-        except ImportError as e:
-            raise RuntimeError(
-                "KFP submission requires the `kfp` SDK and a Vertex AI "
-                "endpoint; compile() is fully functional offline — submit "
-                "the compiled spec from an environment with cloud access."
-            ) from e
-        raise NotImplementedError(
-            "cloud submission is environment-specific; see compile()")
+        launcher = VertexAILauncher(project=project, location=location)
+        jobs = []
+        for comp in spec["components"]:
+            pool = WorkerPoolSpec(machine_type=comp["machine_type"],
+                                  image=comp["image"],
+                                  command=list(comp["command"]))
+            payload = launcher.build_job_payload(
+                f"{spec['pipeline_name']}-{comp['name']}", pool)
+            at = comp.get("accelerator_type")
+            if at:
+                ms = payload["job_spec"]["worker_pool_specs"][0][
+                    "machine_spec"]
+                ms["accelerator_type"] = at
+                ms["accelerator_count"] = comp.get("accelerator_count", 1)
+            # Sequential (each component consumes the previous one's
+            # artifacts — Runner.start_at semantics); sync=False submits
+            # the FIRST component only and returns.
+            jobs.append(launcher.launch(payload, sync=sync))
+            if not sync:
+                break
+        return jobs
 
 
 def validate_pipeline_spec(spec: Dict) -> None:
@@ -217,18 +234,40 @@ class VertexAILauncher:
                          "scheduling": {"timeout": f"{timeout_s}s"}},
         }
 
-    def launch(self, payload: Optional[Dict] = None, **build_kwargs
-               ):  # pragma: no cover - needs cloud SDK past validation
+    def _make_job(self, payload: Dict):  # pragma: no cover - needs SDK
+        """SDK-object factory — the injection point for tests (the same
+        recorded-backend pattern as data/graphdb.NebulaGraphDBClient)."""
+        from google.cloud import aiplatform
+
+        aiplatform.init(project=self.project or None,
+                        location=self.location)
+        return aiplatform.CustomJob(
+            display_name=payload["display_name"],
+            worker_pool_specs=payload["job_spec"]["worker_pool_specs"])
+
+    def launch(self, payload: Optional[Dict] = None, *, sync: bool = True,
+               **build_kwargs):
+        """Validate, then submit a real CustomJob (ref
+        VertexAIService.launch_job, common/services/vertex_ai.py:140-236:
+        CustomJob from worker pool specs, run with the scheduling
+        timeout). Import-gated on google-cloud-aiplatform;
+        build_job_payload() is fully functional offline."""
         if payload is None:
             payload = self.build_job_payload(**build_kwargs)
         validate_job_payload(payload)
         try:
-            from google.cloud import aiplatform  # noqa: F401
+            job = self._make_job(payload)
         except ImportError as e:
             raise RuntimeError(
                 "Vertex AI submission requires google-cloud-aiplatform; "
                 "build_job_payload() is fully functional offline.") from e
-        raise NotImplementedError
+        timeout_s = int(
+            payload["job_spec"]["scheduling"]["timeout"].rstrip("s"))
+        if sync:
+            job.run(sync=True, timeout=timeout_s)
+        else:
+            job.submit()
+        return job
 
 
 def validate_job_payload(payload: Dict) -> None:

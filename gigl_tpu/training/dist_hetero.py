@@ -795,6 +795,36 @@ class PartitionedHeteroNALPTrainer:
             out[f"hits@{k}"] = float(hits_t[i]) / cnt_t
         return out
 
+    def fit(
+        self,
+        state: TrainState,
+        train_anchors: np.ndarray,
+        val_anchors: np.ndarray,
+        *,
+        batch_size: int,
+        num_epochs: int = 1,
+        val_every_n_batches: int = 100,
+        num_val_batches: int = 8,
+        early_stop_patience: int = 5,
+        log_every: int = 50,
+        scalar_logger=None,
+        checkpoint_dir: Optional[str] = None,
+    ) -> Tuple[TrainState, Dict[str, float]]:
+        """Training loop with val cadence + early stopping on val MRR —
+        the SHARED fit loop (training/fit_loop.py) over the typed
+        partitioned backend (frozen tabularized tables stay fixed for the
+        run; call refresh_tables(hdg, epoch) between fits to resample)."""
+        from gigl_tpu.training.fit_loop import nalp_fit_loop
+
+        return nalp_fit_loop(
+            self, state, train_anchors, val_anchors,
+            batch_size=batch_size, num_epochs=num_epochs,
+            val_every_n_batches=val_every_n_batches,
+            num_val_batches=num_val_batches,
+            early_stop_patience=early_stop_patience, log_every=log_every,
+            scalar_logger=scalar_logger, checkpoint_dir=checkpoint_dir,
+            num_shards=self.num_shards)
+
     def encode_batch(self, params, node_ids,
                      node_type: Optional[str] = None) -> jnp.ndarray:
         nt = str(node_type or self.cfg.anchor_node_type)

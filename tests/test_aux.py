@@ -167,6 +167,7 @@ class TestComponentCli:
 
 
 class TestScalarLogger:
+    @pytest.mark.slow
     def test_logs_train_and_eval_scalars(self, tmp_path):
         import json
 
@@ -285,3 +286,90 @@ class TestJobPayloadValidation:
         p["job_spec"]["scheduling"]["timeout"] = "1 day"
         with pytest.raises(ValueError, match="timeout"):
             validate_job_payload(p)
+
+
+class _FakeCustomJob:
+    def __init__(self, payload):
+        self.payload = payload
+        self.ran = self.submitted = False
+        self.timeout = None
+
+    def run(self, sync=True, timeout=None):
+        self.ran, self.timeout = True, timeout
+
+    def submit(self):
+        self.submitted = True
+
+
+class TestGatedCloudSubmission:
+    """The submission boundary is now a REAL import-gated path (same
+    recorded-backend test pattern as the Nebula client): validate, build
+    the SDK CustomJob, run with the scheduling timeout."""
+
+    def test_launch_runs_job_with_timeout(self):
+        from gigl_tpu.orchestration.kfp import (
+            VertexAILauncher,
+            WorkerPoolSpec,
+        )
+
+        launcher = VertexAILauncher(project="p")
+        made = []
+        launcher._make_job = lambda payload: (
+            made.append(_FakeCustomJob(payload)) or made[-1])
+        job = launcher.launch(
+            job_name="j", leader=WorkerPoolSpec(command=["python"]),
+            timeout_s=1234)
+        assert job.ran and job.timeout == 1234 and not job.submitted
+        assert job.payload["display_name"] == "j"
+
+    def test_launch_async_submits(self):
+        from gigl_tpu.orchestration.kfp import (
+            VertexAILauncher,
+            WorkerPoolSpec,
+        )
+
+        launcher = VertexAILauncher(project="p")
+        launcher._make_job = _FakeCustomJob
+        job = launcher.launch(
+            job_name="j", leader=WorkerPoolSpec(command=["python"]),
+            sync=False)
+        assert job.submitted and not job.ran
+
+    def test_launch_without_cloud_env_fails_cleanly(self):
+        """Without the SDK the gate raises RuntimeError naming the
+        package; with the SDK but no ADC credentials (this CI), the
+        real auth error surfaces — either way launch() refuses cleanly
+        and the offline builders stay usable."""
+        import pytest
+
+        from gigl_tpu.orchestration.kfp import (
+            VertexAILauncher,
+            WorkerPoolSpec,
+        )
+
+        with pytest.raises(Exception, match="google-cloud-aiplatform|"
+                                            "credentials|[Pp]roject"):
+            VertexAILauncher().launch(
+                job_name="j", leader=WorkerPoolSpec(command=["python"]))
+
+    def test_orchestrator_run_chains_component_jobs(self, monkeypatch):
+        from gigl_tpu.orchestration import kfp as kfp_mod
+        from gigl_tpu.orchestration.kfp import KfpOrchestrator
+
+        made = []
+        monkeypatch.setattr(
+            kfp_mod.VertexAILauncher, "_make_job",
+            lambda self, payload: (
+                made.append(_FakeCustomJob(payload)) or made[-1]))
+        orch = KfpOrchestrator()
+        spec = orch.compile("job", "gs://cfg.yaml")
+        jobs = orch.run(spec=spec, project="p")
+        assert len(jobs) == len(spec["components"])
+        assert all(j.ran for j in jobs)
+        # trainer component carries the TPU accelerator into machine_spec
+        trainer = next(j for j in jobs
+                       if j.payload["display_name"].endswith("-trainer"))
+        ms = trainer.payload["job_spec"]["worker_pool_specs"][0][
+            "machine_spec"]
+        assert ms["accelerator_type"] == "TPU_V5E"
+        assert ms["accelerator_count"] == 1

@@ -136,6 +136,7 @@ class TestPartitionedHeteroTrainer:
             state.params, [np.arange(B, dtype=np.int32) % n_users])
         assert metrics["mrr"] > 0.3, metrics
 
+    @pytest.mark.slow
     def test_encode_per_type(self):
         mesh, g, hdg, paths, model, cfg, trainer = _setup()
         state = trainer.init_state(jax.random.PRNGKey(0), batch_size=16)
@@ -257,6 +258,7 @@ class TestPartitionedHeteroTabularized:
 
 
 class TestHeteroGlobalCandidatePool:
+    @pytest.mark.slow
     def test_first_step_equals_replicated_full_batch(self):
         """global_candidate_pool over the typed partitioned trainer: the
         first step equals the replicated hetero trainer's full-batch loss
@@ -405,3 +407,17 @@ class TestHeteroGrowPolicy:
         state, losses = grow.train_steps(state, anchors,
                                          jax.random.PRNGKey(2))
         assert np.isfinite(np.asarray(losses)).all()
+
+
+class TestHeteroPartitionedFit:
+    @pytest.mark.slow
+    def test_fit_trains_with_val_cadence_and_early_stop(self):
+        mesh, g, hdg, paths, model, cfg, trainer = _setup()
+        n_users = g.num_nodes["user"]
+        users = np.arange(n_users)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=16)
+        state, metrics = trainer.fit(
+            state, users, users, batch_size=16, num_epochs=4,
+            val_every_n_batches=4, num_val_batches=2,
+            early_stop_patience=3, log_every=0)
+        assert metrics["mrr"] > 0.3, metrics

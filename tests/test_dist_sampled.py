@@ -204,6 +204,7 @@ class TestPartitionedNALPTrainer:
         assert loss_dist == pytest.approx(np.mean(per_shard), rel=1e-4)
         assert int(new_state.step) == 1
 
+    @pytest.mark.slow
     def test_training_reduces_loss(self):
         mesh, dg, model, cfg, trainer = self._setup()
         B, K = 64, 30
@@ -216,6 +217,7 @@ class TestPartitionedNALPTrainer:
         assert np.isfinite(losses).all()
         assert losses[-5:].mean() < losses[:5].mean()
 
+    @pytest.mark.slow
     def test_evaluate_and_encode(self):
         mesh, dg, model, cfg, trainer = self._setup()
         state = trainer.init_state(jax.random.PRNGKey(0), batch_size=64)
@@ -241,6 +243,7 @@ class TestPartitionedNALPTrainer:
                 _model(), pg, mesh,
                 NALPTrainerConfig(fanouts=(5,), num_random_negs=7))
 
+    @pytest.mark.slow
     def test_uneven_nodes_padding(self):
         """N not divisible by P: trailing pad rows are empty and unreachable."""
         mesh = _mesh()
@@ -400,6 +403,7 @@ class TestPartitionedTabularized:
                                                  rel=1e-4)
         assert trainer.overflow_total == 0
 
+    @pytest.mark.slow
     def test_quantized_tabularized_trains(self):
         mesh = _mesh()
         dg = _toy()
@@ -460,6 +464,7 @@ class TestOverflowSurfacing:
                                       capacity_factor=1.0,
                                       overflow_policy=policy)
 
+    @pytest.mark.slow
     def test_warn_counts_dropped_requests(self):
         trainer = self._skewed_setup("warn")
         state = trainer.init_state(jax.random.PRNGKey(0), batch_size=64)
@@ -469,6 +474,7 @@ class TestOverflowSurfacing:
         assert np.isfinite(np.asarray(losses)).all()
         assert trainer.overflow_total > 0
 
+    @pytest.mark.slow
     def test_raise_policy(self):
         trainer = self._skewed_setup("raise")
         state = trainer.init_state(jax.random.PRNGKey(0), batch_size=64)
@@ -496,6 +502,7 @@ class TestOverflowSurfacing:
         assert trainer.capacity_factor >= 8.0 or \
             trainer.overflow_total == before
 
+    @pytest.mark.slow
     def test_no_overflow_under_uniform_access(self):
         mesh = _mesh()
         dg = _toy()
@@ -531,6 +538,7 @@ class TestQuantizedPartitionedGraph:
         np.testing.assert_array_equal(np.asarray(deg_q),
                                       np.asarray(dg.degrees))
 
+    @pytest.mark.slow
     def test_training_runs_quantized(self):
         mesh = _mesh()
         dg = _toy()
@@ -772,6 +780,7 @@ class TestPartitionedCmsCorrection:
     so the sketch state equals the replicated full-batch trainer's
     bit-for-bit and every shard stays in sync."""
 
+    @pytest.mark.slow
     def test_sketch_state_matches_replicated(self):
         mesh = _mesh()
         dg = _toy()
@@ -855,6 +864,7 @@ class TestGlobalCandidatePool:
     full batch (same draws, same global pool), unlike the per-shard-pool
     default which only matches per-shard replicated computations."""
 
+    @pytest.mark.slow
     def test_first_step_equals_replicated_full_batch(self):
         mesh = _mesh()
         dg = _toy()
@@ -880,6 +890,7 @@ class TestGlobalCandidatePool:
                                         jax.random.PRNGKey(1))
         assert float(losses[0]) == pytest.approx(float(loss_rep), rel=1e-4)
 
+    @pytest.mark.slow
     def test_with_cms_and_hard_negatives_trains(self):
         mesh = _mesh()
         n, e, d = 256, 2048, 16
@@ -948,6 +959,7 @@ class TestSingleShardTrainerParity:
                                         jax.random.PRNGKey(1))
         assert float(losses[0]) == pytest.approx(float(loss_rep), rel=1e-4)
 
+    @pytest.mark.slow
     def test_edge_scorer_terms_survive_the_ring(self):
         """global_candidate_pool + edge_scorer: the label-edge score terms
         ride as the own-block bias — first step equals the replicated

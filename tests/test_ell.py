@@ -81,6 +81,7 @@ class TestEllVsCooParity:
         np.testing.assert_allclose(np.asarray(z_coo), np.asarray(z_ell),
                                    rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.slow
     def test_edge_attr_parity_gine(self):
         # GINE adds projected edge features to neighbor features, so the
         # input dim must equal hid_dim (same constraint on both paths;

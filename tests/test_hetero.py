@@ -198,7 +198,11 @@ class TestTypedSampling:
 
 
 class TestHeteroEncoders:
-    @pytest.mark.parametrize("conv", ["hgt", "simple_hgn", "rgcn"])
+    @pytest.mark.parametrize("conv", [
+        pytest.param("hgt", marks=pytest.mark.slow),  # heaviest compile;
+        # hgt is exercised by the trainer/global-pool tests anyway
+        "simple_hgn", "rgcn",
+    ])
     def test_forward_shapes(self, conv):
         g = get_mocked_graph(HETEROGENEOUS_TOY_GRAPH)
         et = EdgeType("author", "writes", "paper")
@@ -303,6 +307,7 @@ class TestHeteroTrainer:
         metrics = trainer.evaluate(state.params, [anchors[:32]])
         assert metrics["mrr"] > 0.3, metrics
 
+    @pytest.mark.slow
     def test_simple_hgn_trains(self):
         trainer, g = self._make_trainer(conv="simple_hgn")
         state = trainer.init_state(jax.random.PRNGKey(0), batch_size=16)

@@ -60,6 +60,7 @@ class TestExactPaths:
                     if str(et.dst_node_type) == nt}
             assert lvl1 == want
 
+    @pytest.mark.slow
     def test_embeddings_invariant_to_extra_fanout(self):
         """Once fanout >= degree the draw is take-all: growing the fanout
         further must not change a single embedding (exactness)."""

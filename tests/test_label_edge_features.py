@@ -267,6 +267,7 @@ class TestHeteroLabelEdgeFeatures:
                     assert ef[i, j, 0] == i          # anchor (src)
                     assert ef[i, j, 1] == pos[i, j]  # sampled item (dst)
 
+    @pytest.mark.slow
     def test_scorer_changes_the_loss(self):
         from gigl_tpu.training.hetero_trainer import HeteroNALPTrainer
 

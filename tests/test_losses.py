@@ -209,6 +209,7 @@ class TestSSLLosses:
 
 
 class TestCountMinSketch:
+    @pytest.mark.slow
     def test_counts_overestimate_never_under(self):
         sketch = cms_init(depth=4, width=64)
         rng = np.random.default_rng(7)

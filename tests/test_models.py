@@ -237,7 +237,10 @@ class TestAuxLayers:
         out = layer.apply(params, x)
         assert out.shape == x.shape
 
-    @pytest.mark.parametrize("mode", ["cat", "max", "lstm"])
+    @pytest.mark.parametrize("mode", [
+        "cat", "max",
+        pytest.param("lstm", marks=pytest.mark.slow),  # lax.scan LSTM: slow compile
+    ])
     def test_jumping_knowledge(self, mode):
         xs = [jnp.ones((4, 8)), jnp.full((4, 8), 2.0)]
         jk = JumpingKnowledge(mode=mode, out_dim=5)

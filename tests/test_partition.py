@@ -107,6 +107,7 @@ class TestShardedFeatureTraining:
         return NALPTrainer(model, dg, cfg,
                            optimizer_args={"learning_rate": "0.01"})
 
+    @pytest.mark.slow
     def test_sharded_matches_replicated(self):
         trainer = self._setup()
         mesh = make_mesh(8)

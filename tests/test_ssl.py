@@ -149,6 +149,7 @@ class TestSSLTrainer:
             losses.append(float(loss))
         assert all(np.isfinite(l) for l in losses), (task, losses)
 
+    @pytest.mark.slow
     def test_bgrl_target_tracks_online(self):
         dg = self._graph()
         enc = GNNEncoder(hid_dim=16, out_dim=16, num_layers=2,

@@ -126,6 +126,7 @@ class TestUDLEdgeSplitStrategy:
     SUPERVISION sets; full structural graph stays the message graph
     (ref UserDefinedLabelsNodeAnchorBasedLinkPredictionSplitStrategy)."""
 
+    @pytest.mark.slow
     def test_end_to_end(self):
         g, _, _, _ = _clustered_graph()
         cfg = _nalp_config(num_epochs="3", val_every_num_batches="4",
@@ -231,6 +232,7 @@ class TestRootNodeDownsampling:
 
 
 class TestPerfKnobArgs:
+    @pytest.mark.slow
     def test_tabularized_knobs_via_trainer_args(self):
         """cached_hop / fused_cache / use_bf16 are config-surface knobs
         (docs/performance.md) reachable from the flat trainerArgs map."""
