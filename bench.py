@@ -49,15 +49,21 @@ import numpy as np
 BASELINE_EDGES_PER_S = 4.5956e7
 
 
-def bench_partitioned(model, dg, base_cfg, B, R, FANOUTS, K=300):
+def bench_partitioned(model, dg, base_cfg, B, R, FANOUTS, K=2000):
     """Partitioned (scale-path) tabularized step on a 1-chip mesh.
 
     The all_to_all collectives degenerate on one chip, so this measures the
     per-step overhead the routed design adds ON TOP of the replicated fast
     path (id bucketing sort + un-permute + degenerate collectives); the
     cross-chip byte cost rides ICI on real pods. Printed as a secondary
-    JSON line; VERDICT r2 item 1 target: >= 50% of the replicated
-    tabularized edges/s."""
+    JSON line.
+
+    K MUST match the flagship's scan-chunk length: the ~28 ms fixed
+    dispatch+sync round trip is 14 us/step at K=2000 but 93 us/step at
+    the K=300 this bench used through round 3 — which alone accounted
+    for roughly half of the reported "partitioned tax" (the r3
+    frac_of_replicated 0.64 band mixes methodology bias with real
+    routing overhead)."""
     import dataclasses
     import jax
 
@@ -79,7 +85,7 @@ def bench_partitioned(model, dg, base_cfg, B, R, FANOUTS, K=300):
                                         jax.random.PRNGKey(1))
     _ = float(np.asarray(losses)[-1])  # warmup + full sync
     best_dt = float("inf")
-    for trial in range(2):
+    for trial in range(3):
         t0 = time.perf_counter()
         state, losses = trainer.train_steps(state, anchors,
                                             jax.random.PRNGKey(2 + trial))
@@ -92,9 +98,15 @@ def bench_partitioned(model, dg, base_cfg, B, R, FANOUTS, K=300):
 
 
 def bench_routed_gather_us(dg, G=8192, D=129):
-    """Routed-lookup microbench: us per routed_gather call and ns/row on a
-    1-chip mesh (isolates the routing overhead: argsort + bucket scatter +
-    two degenerate all_to_alls + un-permute)."""
+    """Routed-lookup microbench: us per routed_gather call and ns/row on
+    a 1-chip mesh (isolates the routing overhead: counting-sort bucket
+    scatter + two degenerate all_to_alls + un-permute).
+
+    Methodology: the remote device has a ~28 ms fixed dispatch+sync round
+    trip per program; through round 3 this bench spread it over only 50
+    calls (~560 us/call of pure bias — the dominant part of the reported
+    number!). Now two scan programs of 250 and 500 calls are timed and
+    the DIFFERENCE taken, so the fixed round trip cancels exactly."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -111,26 +123,37 @@ def bench_routed_gather_us(dg, G=8192, D=129):
         np.random.default_rng(1).integers(0, n, G).astype(np.int32),
         NamedSharding(mesh, P("data")))
 
-    def many(t, i):
-        # 50 dependent gathers per program: amortizes dispatch.
-        # force_general: measure the GENERAL routing path (bucketing +
-        # collectives), not the num_shards==1 closed form the trainers
-        # take on one chip.
-        acc = jnp.zeros((), jnp.float32)
-        for j in range(50):
-            v, _ok = routed_gather(t, i + j % 3, axis="data",
-                                   capacity_factor=2.0,
-                                   force_general=True)
-            acc = acc + v[0, 0]
-        return acc
+    def make(n_iters):
+        def many(t, i):
+            # force_general: measure the GENERAL routing path (bucketing
+            # + collectives), not the num_shards==1 closed form the
+            # trainers take on one chip. Scan keeps the program small.
+            def body(acc, j):
+                v, _ok = routed_gather(t, i + j % 3, axis="data",
+                                       capacity_factor=2.0,
+                                       force_general=True)
+                return acc + v[0, 0], None
 
-    fn = jax.jit(jax.shard_map(many, mesh=mesh, in_specs=(P("data"),
-                                                          P("data")),
-                               out_specs=P(), check_vma=False))
-    _ = float(fn(table, ids))  # compile + sync
-    t0 = time.perf_counter()
-    _ = float(fn(table, ids))
-    dt = (time.perf_counter() - t0) / 50
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                  jnp.arange(n_iters, dtype=jnp.int32))
+            return acc
+
+        return jax.jit(jax.shard_map(
+            many, mesh=mesh, in_specs=(P("data"), P("data")),
+            out_specs=P(), check_vma=False))
+
+    f_small, f_big = make(250), make(500)
+    _ = float(f_small(table, ids))  # compile + sync
+    _ = float(f_big(table, ids))
+    t_small = t_big = float("inf")
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        _ = float(f_small(table, ids))
+        t_small = min(t_small, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _ = float(f_big(table, ids))
+        t_big = min(t_big, time.perf_counter() - t0)
+    dt = max(t_big - t_small, 1e-9) / 250
     return dt * 1e6, dt / G * 1e9
 
 
@@ -214,27 +237,38 @@ def bench_largeN(K=200):
     k1, k2 = FANOUTS
     edges_per_s = (2 * k1 + k1 * k2) * (B + B + R) / best_dt
 
-    # Plain-gather locality at 20M rows: 50 dependent 8192-row gathers of
-    # the packed int8 table in ONE program (bench.py-safe shape).
+    # Plain-gather locality at 20M rows: scan programs of 250/500
+    # 8192-row gathers of the packed int8 table, timed by DIFFERENCE so
+    # the fixed dispatch round trip cancels (see bench_routed_gather_us).
     table = trainer.pg.feat_deg
     ids = jax.device_put(
         (np.random.default_rng(3).integers(0, N, 8192)).astype(np.int32),
         NamedSharding(mesh, P("data")))
 
-    def many(t, i):
-        acc = jnp.zeros((), jnp.int32)
-        for j in range(50):
-            rows = t[jnp.clip(i + j, 0, t.shape[0] - 1)]
-            acc = acc + rows[0, 0].astype(jnp.int32)
-        return acc
+    def make(n_iters):
+        def many(t, i):
+            def body(acc, j):
+                rows = t[jnp.clip(i + j, 0, t.shape[0] - 1)]
+                return acc + rows[0, 0].astype(jnp.int32), None
 
-    fn = jax.jit(jax.shard_map(many, mesh=mesh,
-                               in_specs=(P("data"), P("data")),
-                               out_specs=P(), check_vma=False))
-    _ = int(fn(table, ids))
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32),
+                                  jnp.arange(n_iters, dtype=jnp.int32))
+            return acc
+
+        return jax.jit(jax.shard_map(many, mesh=mesh,
+                                     in_specs=(P("data"), P("data")),
+                                     out_specs=P(), check_vma=False))
+
+    f_small, f_big = make(250), make(500)
+    _ = int(f_small(table, ids))
+    _ = int(f_big(table, ids))
     t0 = _t.perf_counter()
-    _ = int(fn(table, ids))
-    ns_row = (_t.perf_counter() - t0) / 50 / 8192 * 1e9
+    _ = int(f_small(table, ids))
+    t_small = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    _ = int(f_big(table, ids))
+    t_big = _t.perf_counter() - t0
+    ns_row = max(t_big - t_small, 1e-9) / 250 / 8192 * 1e9
     return edges_per_s, ns_row
 
 
