@@ -210,6 +210,7 @@ def bench_largeN(K=200):
     mesh = make_mesh(1, axes=("data",))
     t0 = _t.perf_counter()
     pg = PartitionedGraph.build(hostdg, mesh, quantize_features=True)
+    hostdg.node_features = None  # actually frees the ~10 GB fp32 array
     del feats, src, dst
     cfg = NALPTrainerConfig(fanouts=FANOUTS, num_random_negs=R,
                             loss_type="retrieval", num_positives=1,

@@ -269,29 +269,31 @@ def milestone_5_partitioned_hetero_multidevice():
 
     # Measure all_to_all payload bytes/step by counting collective
     # operand sizes while the step program TRACES (one scan body).
-    a2a_bytes, other_bytes = [], []
-    orig_a2a, orig_ag = jax.lax.all_to_all, jax.lax.all_gather
+    a2a_bytes = []
+    orig_a2a = jax.lax.all_to_all
     jax.lax.all_to_all = (lambda x, *a, **k: (
         a2a_bytes.append(x.size * x.dtype.itemsize), orig_a2a(x, *a, **k)
     )[1])
-    jax.lax.all_gather = (lambda x, *a, **k: (
-        other_bytes.append(x.size * x.dtype.itemsize),
-        orig_ag(x, *a, **k))[1])
     try:
         state, _ = tr.train_steps(
             state, (users[:B] % g.num_nodes["user"])[None, :],
             jax.random.PRNGKey(1))
     finally:
-        jax.lax.all_to_all, jax.lax.all_gather = orig_a2a, orig_ag
+        jax.lax.all_to_all = orig_a2a
     a2a_per_step = int(sum(a2a_bytes))
 
     rng = np.random.default_rng(0)
     epochs = 3 if QUICK else 10
     steps = 0
+    nb = len(users) // B
+    # Warm up the (nb, B)-shaped scan program OUTSIDE the timed loop —
+    # otherwise the published edges/s mostly measures jit compile (the
+    # dispatch-bias class bench.py's methodology fix removed).
+    warm = (users[: nb * B].reshape(nb, B)).astype(np.int32)
+    state, _ = tr.train_steps(state, warm, jax.random.PRNGKey(9))
     t0 = time.time()
     for ep in range(epochs):
         order = rng.permutation(users)
-        nb = len(order) // B
         batches = order[: nb * B].reshape(nb, B)
         state, losses = tr.train_steps(state, batches,
                                        jax.random.PRNGKey(10 + ep))
@@ -335,16 +337,19 @@ def main():
         with open(path) as f:
             doc = json.load(f)
         pub = doc.setdefault("published", {})
-        pub["milestones"] = {
+        # MERGE into the existing milestones (publishing from a <8-device
+        # machine must not erase the previously published m5 baselines).
+        ms = pub.setdefault("milestones", {})
+        ms.update({
             "date": str(date.today()),
             "mode": "quick" if QUICK else "full",
             "m1_cora_like_full_batch_accuracy": round(float(acc1), 4),
             "m2_arxiv_style_gat_sampled_accuracy": round(float(acc2), 4),
             "m3_products_style_ssl_mrr": round(float(mrr3), 4),
             "m4_mag_style_rgcn_mrr": round(float(mrr4), 4),
-        }
+        })
         if m5 is not None:
-            pub["milestones"].update({
+            ms.update({
                 "m5_partitioned_hetero_mrr": round(float(m5["mrr"]), 4),
                 "m5_partitioned_hetero_edges_per_s_virtual8":
                     round(float(m5["edges_per_s"]), 1),

@@ -113,9 +113,16 @@ class WarehouseGraphValidator:
         dst_node_column_name: str,
     ) -> bool:
         """True if any edge row has a NULL src or dst endpoint."""
-        from gigl_tpu.data.warehouse import _IDENT, parse_bq_table_path
+        from gigl_tpu.data.warehouse import _IDENT
 
-        for part in parse_bq_table_path(edge_table):
+        # Accept 2-part (dataset.table — the BigQuery default-project
+        # convention the warehouse backends support) or 3-part paths.
+        parts = edge_table.replace(":", ".").split(".")
+        if len(parts) not in (2, 3):
+            raise ValueError(
+                f"edge_table must be dataset.table or "
+                f"project.dataset.table, got {edge_table!r}")
+        for part in parts:
             if not _IDENT.match(part):
                 raise ValueError(
                     f"invalid BQ path component {part!r} in {edge_table!r}")

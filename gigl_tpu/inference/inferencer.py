@@ -60,6 +60,7 @@ def run_full_graph_inference(
     *,
     edge_attr=None,
     export_batch: int = 65536,
+    allow_zero_features: bool = False,
 ) -> int:
     """Layerwise FULL-neighborhood inference in one device program.
 
@@ -78,13 +79,18 @@ def run_full_graph_inference(
     et = graph.metadata.edge_types[0]
     n = graph.num_nodes[nt]
     if nt not in graph.node_features:
-        # A config mistake (wrong node-type name) must not silently yield
-        # the embeddings of a zeros-feature graph.
-        raise ValueError(
-            f"node type {nt!r} has no feature table (have "
-            f"{sorted(graph.node_features)}); fix the graph's node_features"
-            f" or pass features explicitly")
-    feats = graph.node_features[nt]
+        # A config mistake (wrong node-type name) must not SILENTLY yield
+        # the embeddings of a zeros-feature graph; structure-only graphs
+        # opt in explicitly.
+        if not allow_zero_features:
+            raise ValueError(
+                f"node type {nt!r} has no feature table (have "
+                f"{sorted(graph.node_features)}); fix the graph's "
+                f"node_features, or pass allow_zero_features=True for a "
+                f"deliberately structure-only graph")
+        feats = np.zeros((n, 1), np.float32)
+    else:
+        feats = graph.node_features[nt]
     ell = EllGraph.from_csr(graph.csr(et, anchor="dst"))
     x = jnp.asarray(np.asarray(feats), jnp.float32)
     emb = jax.jit(

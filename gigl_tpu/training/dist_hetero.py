@@ -673,7 +673,7 @@ class PartitionedHeteroNALPTrainer:
                 partial(self._encode_local, node_type=node_type),
                 mesh=self.mesh,
                 in_specs=self._graph_specs[:4]
-                + (self._graph_specs[8], P(), P(self.axis)),
+                + (self._graph_specs[10], P(), P(self.axis)),
                 out_specs=P(self.axis),
                 check_vma=False,
             ))

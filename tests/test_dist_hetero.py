@@ -421,3 +421,18 @@ class TestHeteroPartitionedFit:
             val_every_n_batches=4, num_val_batches=2,
             early_stop_patience=3, log_every=0)
         assert metrics["mrr"] > 0.3, metrics
+
+
+class TestTabularizedEncodeBatch:
+    def test_encode_batch_works_tabularized(self):
+        """Regression: the encode program's spec tuple must track the
+        graph-spec layout — a stale index crashed encode_batch (and
+        run_partitioned_inference) on any TABULARIZED hetero trainer
+        while training worked."""
+        tab = TestPartitionedHeteroTabularized()
+        mesh, g, hdg, paths, model, cfg, trainer = tab._setup_tab()
+        state = trainer.init_state(jax.random.PRNGKey(0), batch_size=16)
+        u = trainer.encode_batch(state.params, np.arange(16), "user")
+        it = trainer.encode_batch(state.params, np.arange(16), "item")
+        assert u.shape == (16, 16) and it.shape == (16, 16)
+        assert np.isfinite(np.asarray(u)).all()

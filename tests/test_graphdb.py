@@ -262,9 +262,18 @@ class TestNebulaClientAdapter:
         assert pool.closed and not neb.is_connected()
         assert not neb.execute_query("x").is_succeeded()
 
-    def test_import_gate_message_without_nebula3(self):
+    def test_import_gate_message_without_nebula3(self, monkeypatch):
+        import sys
+
         from gigl_tpu.data.graphdb import NebulaGraphDBClient
 
+        # Simulate the package being absent even on machines where
+        # nebula3-python IS installed (a None entry makes the import
+        # machinery raise ImportError for nebula3 and its submodules).
+        monkeypatch.setitem(sys.modules, "nebula3", None)
+        monkeypatch.setitem(sys.modules, "nebula3.Config", None)
+        monkeypatch.setitem(sys.modules, "nebula3.gclient.net.SessionPool",
+                            None)
         c = NebulaGraphDBClient({"space": "s"})
         with pytest.raises(ImportError, match="nebula3-python"):
             c.connect()
