@@ -134,9 +134,11 @@ class StreamingPartitionedNALPTrainer:
 
     API mirrors PartitionedNALPTrainer where applicable; the K-step scan
     is replaced by per-step plan/host/apply because the owner-side gather
-    leaves the device. Scope (v1): tabularized mode only, per-shard
-    candidate pool (``global_candidate_pool`` raises), no CMS correction,
-    no label-edge features.
+    leaves the device. Scope: tabularized mode only; per-shard candidate
+    pool by default or the ring global pool
+    (``cfg.global_candidate_pool``); ``answer_dtype="bfloat16"`` halves
+    the host->device answer payload. Not wired: CMS correction,
+    label-edge features (use the HBM PartitionedNALPTrainer for those).
     """
 
     def __init__(self, model, store: HostGraphStore, mesh,
@@ -144,17 +146,18 @@ class StreamingPartitionedNALPTrainer:
                  optimizer_args: Optional[Dict[str, Any]] = None,
                  axis: str = DATA_AXIS, capacity_factor: float = 4.0,
                  overflow_policy: str = "warn",
-                 host_store: Optional[ShardedHostStore] = None):
+                 host_store: Optional[ShardedHostStore] = None,
+                 answer_dtype: str = "float32"):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         cfg = config
         if not getattr(cfg, "cached_hop", False):
             raise ValueError("StreamingPartitionedNALPTrainer is "
                              "tabularized-only: set cached_hop=True")
-        if getattr(cfg, "global_candidate_pool", False):
-            raise ValueError("global_candidate_pool is not supported on "
-                             "the streamed-partitioned path (per-shard "
-                             "pool + all_gather only)")
+        if (getattr(cfg, "global_candidate_pool", False)
+                and getattr(cfg, "loss_type", "retrieval") != "retrieval"):
+            raise ValueError("global_candidate_pool is a retrieval-loss "
+                             "contract (ring sampled softmax)")
         if getattr(cfg, "use_cms_correction", False):
             raise ValueError("CMS correction is not wired for the "
                              "streamed-partitioned path")
@@ -239,6 +242,19 @@ class StreamingPartitionedNALPTrainer:
         self._union = sum(int(np.prod(s)) for shapes in self._group_shapes
                           for s in shapes)
         self.capacity = request_capacity(self._union, p, capacity_factor)
+        # "bfloat16" halves the host->device answer payload (the streamed
+        # path's PCIe bound); the encoder upcasts. Degree counts > 256
+        # round in bf16 (only the gcn-normalization weights notice).
+        if answer_dtype in ("bfloat16", "bf16"):
+            import ml_dtypes
+
+            self._answer_np_dtype = ml_dtypes.bfloat16
+        elif answer_dtype in ("float32", "f32"):
+            self._answer_np_dtype = np.float32
+        else:
+            raise ValueError(f"unknown answer_dtype {answer_dtype!r}")
+        self._global_pool = bool(getattr(cfg, "global_candidate_pool",
+                                         False))
         self._build_programs()
 
     # -- static shape bookkeeping -----------------------------------------
@@ -345,6 +361,7 @@ class StreamingPartitionedNALPTrainer:
     def _embed_groups(self, params, rows, masks_flat, train, rng):
         """Split the un-routed fused rows per group/level and encode."""
         d = self.feat_dim
+        rows = rows.astype(jnp.float32)
         feats = rows[:, :d]
         degs = rows[:, d]
         cache = rows[:, d + 1:]
@@ -385,6 +402,40 @@ class StreamingPartitionedNALPTrainer:
             embs = self._embed_groups(p, rows, masks_flat, True, rng)
             q, pos_e, rand_l = embs[0], embs[1], embs[2]
             hard_e = embs[3] if self.cfg.num_hard_negs > 0 else None
+            if self._global_pool:
+                # Ring/streaming-logsumexp retrieval over the GLOBAL pool
+                # with candidates kept sharded (same contract as
+                # PartitionedNALPTrainer._ring_loss_local, minus CMS and
+                # edge bias which this path does not carry).
+                from gigl_tpu.losses.sharded_retrieval import (
+                    ring_candidate_pool,
+                    ring_retrieval_loss,
+                )
+
+                cfg = self.cfg
+                b, p_, _d = pos_e.shape
+                r_per = cfg.num_random_negs // self.num_shards
+                shard = jax.lax.axis_index(self.axis)
+                rand_ids_local = jax.lax.dynamic_slice_in_dim(
+                    batch.random_neg, shard * r_per, r_per)
+                q_rows = jnp.repeat(q, p_, axis=0)
+                cand_local, cand_ids, cmask, pos_qids = ring_candidate_pool(
+                    batch, pos_e, hard_e, rand_l, rand_ids_local)
+                ce_sum, count = ring_retrieval_loss(
+                    q_rows, cand_local, axis=self.axis,
+                    temperature=cfg.temperature,
+                    decode_all_pairs=lambda a, c: self.model.apply(
+                        p, a, c, method="decode_all_pairs"),
+                    label_local_cols=jnp.arange(b * p_, dtype=jnp.int32),
+                    query_ids=jnp.repeat(batch.anchors, p_, axis=0),
+                    own_pos_ids=batch.pos.reshape(-1),
+                    candidate_ids=cand_ids,
+                    pos_col_query_ids=pos_qids,
+                    candidate_mask=cmask,
+                    query_mask=batch.pos_mask.reshape(-1),
+                    remove_accidental_hits=cfg.remove_accidental_hits)
+                total = jax.lax.psum(count, self.axis).astype(jnp.float32)
+                return ce_sum * self.num_shards / jnp.maximum(total, 1.0)
             rand_emb = jax.lax.all_gather(rand_l, self.axis, axis=0,
                                           tiled=True)
             loss, _cms = nalp_loss_from_embeddings(
@@ -476,14 +527,16 @@ class StreamingPartitionedNALPTrainer:
         for sh in recv.addressable_shards:
             s = int(sh.index[0].start) // p
             ids = np.asarray(sh.data)          # [P, C] global ids
-            blocks[s] = self.host.answer_shard(s, ids).astype(np.float32)
+            blocks[s] = self.host.answer_shard(s, ids).astype(
+                self._answer_np_dtype)
         sharding = self._NS(self.mesh, self._P(self.axis, None, None))
 
         def cb(index):
             s = int(index[0].start) // p
             return blocks[s]
 
-        return jax.make_array_from_callback((p * p, cap, w), sharding, cb)
+        return jax.make_array_from_callback(
+            (p * p, cap, w), sharding, cb)
 
     # -- public API --------------------------------------------------------
     def init_state(self, rng: jax.Array,

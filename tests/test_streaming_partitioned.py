@@ -144,10 +144,13 @@ class TestStreamingPartitioned:
                 _model(), store, mesh,
                 NALPTrainerConfig(fanouts=(5, 3), num_random_negs=64),
                 batch_size=32)
-        with pytest.raises(ValueError, match="global_candidate_pool"):
+        with pytest.raises(ValueError, match="retrieval-loss"):
             StreamingPartitionedNALPTrainer(
                 _model(), store, mesh,
-                _cfg(global_candidate_pool=True), batch_size=32)
+                NALPTrainerConfig(fanouts=(5, 3), num_random_negs=64,
+                                  loss_type="margin", cached_hop=True,
+                                  seed=7, global_candidate_pool=True),
+                batch_size=32)
         with pytest.raises(ValueError, match="divisible"):
             StreamingPartitionedNALPTrainer(_model(), store, mesh, _cfg(),
                                             batch_size=30)
@@ -181,3 +184,54 @@ class TestStreamingPartitionedEval:
         for k in m_h:
             np.testing.assert_allclose(m_s[k], m_h[k], rtol=2e-5,
                                        err_msg=k)
+
+
+class TestStreamingPartitionedRingAndBf16:
+    @pytest.mark.slow
+    def test_ring_global_pool_parity_with_hbm(self):
+        """global_candidate_pool on the streamed-partitioned path computes
+        the same ring losses as the HBM partitioned trainer."""
+        mesh = make_mesh(8, axes=(AXIS,))
+        dg, edges = _toy()
+        cfg = _cfg(global_candidate_pool=True)
+        model = _model()
+        batch = 64
+        hbm = PartitionedNALPTrainer(
+            model, PartitionedGraph.build(dg, mesh), mesh, cfg,
+            capacity_factor=8.0, overflow_policy="raise")
+        st = StreamingPartitionedNALPTrainer(
+            model, _store(dg, edges, cfg), mesh, cfg, batch_size=batch,
+            capacity_factor=8.0, overflow_policy="raise")
+        state_h = hbm.init_state(jax.random.PRNGKey(0), batch_size=batch)
+        state_s = st.init_state(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(5)
+        anchors = rng.integers(0, N, (3, batch)).astype(np.int32)
+        state_h, losses_h = hbm.train_steps(state_h, anchors,
+                                            jax.random.PRNGKey(7))
+        rngs = np.asarray(jax.random.split(jax.random.PRNGKey(7), 3))
+        losses_s = []
+        for i in range(3):
+            state_s, l = st.train_step(state_s, anchors[i], rngs[i], i)
+            losses_s.append(float(l))
+        np.testing.assert_allclose(losses_s, np.asarray(losses_h),
+                                   rtol=2e-5)
+
+    def test_bfloat16_answers_train_close_to_fp32(self):
+        mesh = make_mesh(8, axes=(AXIS,))
+        dg, edges = _toy()
+        cfg = _cfg()
+        model = _model()
+        st32 = StreamingPartitionedNALPTrainer(
+            model, _store(dg, edges, cfg), mesh, cfg, batch_size=32,
+            capacity_factor=8.0, overflow_policy="raise")
+        st16 = StreamingPartitionedNALPTrainer(
+            model, _store(dg, edges, cfg), mesh, cfg, batch_size=32,
+            capacity_factor=8.0, overflow_policy="raise",
+            answer_dtype="bfloat16")
+        s32 = st32.init_state(jax.random.PRNGKey(0))
+        s16 = st16.init_state(jax.random.PRNGKey(0))
+        a = np.random.default_rng(6).integers(0, N, 32).astype(np.int32)
+        r = np.asarray(jax.random.PRNGKey(1))
+        _, l32 = st32.train_step(s32, a, r, 0)
+        _, l16 = st16.train_step(s16, a, r, 0)
+        np.testing.assert_allclose(float(l16), float(l32), rtol=0.05)
