@@ -136,9 +136,10 @@ class StreamingPartitionedNALPTrainer:
     is replaced by per-step plan/host/apply because the owner-side gather
     leaves the device. Scope: tabularized mode only; per-shard candidate
     pool by default or the ring global pool
-    (``cfg.global_candidate_pool``); ``answer_dtype="bfloat16"`` halves
-    the host->device answer payload. Not wired: CMS correction,
-    label-edge features (use the HBM PartitionedNALPTrainer for those).
+    (``cfg.global_candidate_pool``); CMS logQ correction
+    (``cfg.use_cms_correction``) with psum-reduced sketch deltas;
+    ``answer_dtype="bfloat16"`` halves the host->device answer payload.
+    Not wired: label-edge features (use the HBM PartitionedNALPTrainer).
     """
 
     def __init__(self, model, store: HostGraphStore, mesh,
@@ -158,9 +159,6 @@ class StreamingPartitionedNALPTrainer:
                 and getattr(cfg, "loss_type", "retrieval") != "retrieval"):
             raise ValueError("global_candidate_pool is a retrieval-loss "
                              "contract (ring sampled softmax)")
-        if getattr(cfg, "use_cms_correction", False):
-            raise ValueError("CMS correction is not wired for the "
-                             "streamed-partitioned path")
         if store.sup_edge_features is not None:
             raise ValueError("label-edge features are not streamed on the "
                              "partitioned path; use StreamingNALPTrainer "
@@ -405,8 +403,8 @@ class StreamingPartitionedNALPTrainer:
             if self._global_pool:
                 # Ring/streaming-logsumexp retrieval over the GLOBAL pool
                 # with candidates kept sharded (same contract as
-                # PartitionedNALPTrainer._ring_loss_local, minus CMS and
-                # edge bias which this path does not carry).
+                # PartitionedNALPTrainer._ring_loss_local, minus edge
+                # bias which this path does not carry).
                 from gigl_tpu.losses.sharded_retrieval import (
                     ring_candidate_pool,
                     ring_retrieval_loss,
@@ -421,6 +419,29 @@ class StreamingPartitionedNALPTrainer:
                 q_rows = jnp.repeat(q, p_, axis=0)
                 cand_local, cand_ids, cmask, pos_qids = ring_candidate_pool(
                     batch, pos_e, hard_e, rand_l, rand_ids_local)
+                cms = state.cms
+                log_q = None
+                if cms is not None:
+                    # Global counts: each shard's local candidates appear
+                    # once in the global pool -> one psum of the delta
+                    # (same contract as the HBM ring path).
+                    from gigl_tpu.losses.count_min_sketch import (
+                        CountMinSketch,
+                        cms_add,
+                        cms_sampling_probability,
+                    )
+
+                    zero = CountMinSketch(jnp.zeros_like(cms.table),
+                                          jnp.zeros_like(cms.total))
+                    delta = cms_add(zero, cand_ids)
+                    cms = CountMinSketch(
+                        table=cms.table + jax.lax.psum(delta.table,
+                                                       self.axis),
+                        total=cms.total + jax.lax.psum(delta.total,
+                                                       self.axis))
+                    log_q = jnp.log(jnp.clip(
+                        cms_sampling_probability(cms, cand_ids), 1e-10,
+                        None)).astype(jnp.float32)
                 ce_sum, count = ring_retrieval_loss(
                     q_rows, cand_local, axis=self.axis,
                     temperature=cfg.temperature,
@@ -432,25 +453,30 @@ class StreamingPartitionedNALPTrainer:
                     candidate_ids=cand_ids,
                     pos_col_query_ids=pos_qids,
                     candidate_mask=cmask,
+                    candidate_log_q=log_q,
                     query_mask=batch.pos_mask.reshape(-1),
                     remove_accidental_hits=cfg.remove_accidental_hits)
                 total = jax.lax.psum(count, self.axis).astype(jnp.float32)
-                return ce_sum * self.num_shards / jnp.maximum(total, 1.0)
+                loss = ce_sum * self.num_shards / jnp.maximum(total, 1.0)
+                return loss, cms
             rand_emb = jax.lax.all_gather(rand_l, self.axis, axis=0,
                                           tiled=True)
-            loss, _cms = nalp_loss_from_embeddings(
+            loss, cms = nalp_loss_from_embeddings(
                 self.model, p, self.cfg, batch, q, pos_e, hard_e,
-                rand_emb, None)
-            return loss
+                rand_emb, state.cms,
+                cms_reduce=(lambda x: jax.lax.psum(x, self.axis))
+                if state.cms is not None else None)
+            return loss, cms
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        (loss, cms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
         grads = jax.lax.pmean(grads, self.axis)
         loss = jax.lax.pmean(loss, self.axis)
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, opt_state=opt_state,
-                               step=state.step + 1, cms=state.cms)
+                               step=state.step + 1, cms=cms)
         return new_state, loss, jax.lax.psum(ovf, self.axis)
 
     def _apply_eval_local(self, params, ans, owner, pos_idx, ok,
@@ -552,9 +578,13 @@ class StreamingPartitionedNALPTrainer:
             feats.append(jnp.zeros(shape + (d,), jnp.float32))
             masks.append(jnp.ones(shape, bool))
             params = self.model.init(rng, feats, masks)
+        from gigl_tpu.losses.count_min_sketch import cms_init
+
+        cms = (cms_init()
+               if getattr(self.cfg, "use_cms_correction", False) else None)
         return put_replicated(
             TrainState(params=params, opt_state=self.tx.init(params),
-                       step=jnp.zeros((), jnp.int32), cms=None), self.mesh)
+                       step=jnp.zeros((), jnp.int32), cms=cms), self.mesh)
 
     def _put(self, x, *cols):
         return jax.device_put(np.asarray(x),

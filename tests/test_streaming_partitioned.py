@@ -235,3 +235,36 @@ class TestStreamingPartitionedRingAndBf16:
         _, l32 = st32.train_step(s32, a, r, 0)
         _, l16 = st16.train_step(s16, a, r, 0)
         np.testing.assert_allclose(float(l16), float(l32), rtol=0.05)
+
+
+class TestStreamingPartitionedCms:
+    @pytest.mark.slow
+    def test_cms_parity_with_hbm_ring(self):
+        """use_cms_correction over the streamed-partitioned ring path:
+        losses AND sketch state match the HBM partitioned trainer."""
+        mesh = make_mesh(8, axes=(AXIS,))
+        dg, edges = _toy()
+        cfg = _cfg(global_candidate_pool=True, use_cms_correction=True)
+        model = _model()
+        batch = 64
+        hbm = PartitionedNALPTrainer(
+            model, PartitionedGraph.build(dg, mesh), mesh, cfg,
+            capacity_factor=8.0, overflow_policy="raise")
+        st = StreamingPartitionedNALPTrainer(
+            model, _store(dg, edges, cfg), mesh, cfg, batch_size=batch,
+            capacity_factor=8.0, overflow_policy="raise")
+        state_h = hbm.init_state(jax.random.PRNGKey(0), batch_size=batch)
+        state_s = st.init_state(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(8)
+        anchors = rng.integers(0, N, (3, batch)).astype(np.int32)
+        state_h, losses_h = hbm.train_steps(state_h, anchors,
+                                            jax.random.PRNGKey(2))
+        rngs = np.asarray(jax.random.split(jax.random.PRNGKey(2), 3))
+        losses_s = []
+        for i in range(3):
+            state_s, l = st.train_step(state_s, anchors[i], rngs[i], i)
+            losses_s.append(float(l))
+        np.testing.assert_allclose(losses_s, np.asarray(losses_h),
+                                   rtol=2e-5)
+        np.testing.assert_array_equal(
+            np.asarray(state_s.cms.table), np.asarray(state_h.cms.table))
