@@ -750,30 +750,23 @@ class PartitionedNALPTrainer:
         UNION of their node ids with one routed gather, and encode.
         Returns (embeddings per group, overflow_count)."""
         feat_deg_l = g[0]
-        if self._cached:
-            # Joint expansion: one routed round trip per hop for ALL
-            # groups (3x fewer collectives at P > 1; measured on the real
-            # chip at P=1 too — 598M edges/s joint vs 498M with per-group
-            # expansion: fewer, larger gathers win even when the routed
-            # gather degenerates to a plain gather).
-            trees, ovf = self._sample_trees_joint(g, groups)
-        else:
-            trees, ovf = [], jnp.zeros((), jnp.int32)
-            for (r, off) in groups:
-                ids, masks, o = self._sample_tree(g, r, off)
-                trees.append((ids, masks))
-                ovf += o
         d = self.pg.feat_dim
         rngs = {"dropout": rng} if (train and rng is not None) else None
         cached_mode = self._cached
         outs = []
         if self.num_shards == 1:
-            # Closed form (see feature_lookup.routed_gather): the union
-            # gather is a plain gather anyway, so hydrate PER LEVEL and
-            # skip the union concat + per-level slice copies (measured
-            # ~2 HBM passes over the gathered rows at bench shape).
+            # Closed form (see feature_lookup.routed_gather): every routed
+            # lookup is a plain gather, so run each group as one FULLY
+            # INLINE expand -> hydrate-per-level -> encode chain — the
+            # independent chains overlap on the chip exactly like the
+            # replicated trainer's (measured on v5e: inline per-group
+            # 197.5 us vs joint-expansion 253.6 us vs replicated 169.1 us
+            # for the 3-group encode at bench shape).
+            ovf = jnp.zeros((), jnp.int32)
             rows_max = feat_deg_l.shape[0] - 1
-            for (ids, masks), (roots, _off) in zip(trees, groups):
+            for (r, off) in groups:
+                ids, masks, o = self._sample_tree(g, r, off)
+                ovf += o
                 feats, degs, cached = [], [], []
                 for lvl in ids:
                     rows = feat_deg_l[jnp.clip(lvl, 0, rows_max)]
@@ -787,8 +780,18 @@ class PartitionedNALPTrainer:
                     params, feats, masks, None, train=train,
                     hop_degrees=degs,
                     cached_agg=cached if cached_mode else None, rngs=rngs)
-                outs.append(emb.reshape(roots.shape + (emb.shape[-1],)))
+                outs.append(emb.reshape(r.shape + (emb.shape[-1],)))
             return outs, ovf
+        if self._cached:
+            # Joint expansion at P > 1: one routed round trip per hop for
+            # ALL groups (3x fewer collectives).
+            trees, ovf = self._sample_trees_joint(g, groups)
+        else:
+            trees, ovf = [], jnp.zeros((), jnp.int32)
+            for (r, off) in groups:
+                ids, masks, o = self._sample_tree(g, r, off)
+                trees.append((ids, masks))
+                ovf += o
         flats = []
         for ids, _ in trees:
             for lvl in ids:
@@ -883,12 +886,22 @@ class PartitionedNALPTrainer:
             loss, cms = self._ring_loss_local(params, batch, q, pos, hard,
                                               rand_l, cms)
             return loss, (cms, ovf)
-        # Candidate embeddings shared across the global batch.
-        rand = jax.lax.all_gather(rand_l, self.axis, axis=0, tiled=True)
+        # Candidate embeddings shared across the global batch. All
+        # collectives below take the P==1 closed form: even degenerate
+        # self-collectives execute with real runtime latency on TPU
+        # (measured: the P=1 step's gap vs the replicated trainer is
+        # almost entirely backward-side collective overhead).
+        if self.num_shards == 1:
+            rand = rand_l
+            cms_reduce = None
+        else:
+            rand = jax.lax.all_gather(rand_l, self.axis, axis=0,
+                                      tiled=True)
+            cms_reduce = ((lambda x: jax.lax.psum(x, self.axis))
+                          if cms is not None else None)
         loss, cms = nalp_loss_from_embeddings(
             self.model, params, self.cfg, batch, q, pos, hard, rand, cms,
-            cms_reduce=(lambda x: jax.lax.psum(x, self.axis))
-            if cms is not None else None)
+            cms_reduce=cms_reduce)
         return loss, (cms, ovf)
 
     def _ring_loss_local(self, params, batch, q, pos, hard, rand_emb_l,
@@ -964,8 +977,9 @@ class PartitionedNALPTrainer:
             lambda p: self._loss_local(g, p, state.cms, anchors,
                                        state.step, rng),
             has_aux=True)(state.params)
-        grads = jax.lax.pmean(grads, self.axis)
-        loss = jax.lax.pmean(loss, self.axis)
+        if self.num_shards > 1:
+            grads = jax.lax.pmean(grads, self.axis)
+            loss = jax.lax.pmean(loss, self.axis)
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
@@ -981,7 +995,9 @@ class PartitionedNALPTrainer:
 
         state, (losses, ovfs) = jax.lax.scan(body, state,
                                              (anchors_kb, rngs))
-        return state, losses, jax.lax.psum(ovfs, self.axis)
+        if self.num_shards > 1:
+            ovfs = jax.lax.psum(ovfs, self.axis)
+        return state, losses, ovfs
 
     def _eval_local(self, g, params, anchors, step):
         """Ref parity eval (modeling_task_spec:534-546): positives ranked
@@ -1233,8 +1249,9 @@ class PartitionedNodeClassificationTrainer(PartitionedNALPTrainer):
         (loss, ovf), grads = jax.value_and_grad(
             lambda p: self._nc_loss_local(g, labels_l, p, nodes, rng),
             has_aux=True)(state.params)
-        grads = jax.lax.pmean(grads, self.axis)
-        loss = jax.lax.pmean(loss, self.axis)
+        if self.num_shards > 1:
+            grads = jax.lax.pmean(grads, self.axis)
+            loss = jax.lax.pmean(loss, self.axis)
         updates, opt_state = self.tx.update(grads, state.opt_state,
                                             state.params)
         params = optax.apply_updates(state.params, updates)
@@ -1249,7 +1266,9 @@ class PartitionedNodeClassificationTrainer(PartitionedNALPTrainer):
             return self._nc_step_local(g, labels_l, st, nb, r)
 
         state, (losses, ovfs) = jax.lax.scan(body, state, (nodes_kb, rngs))
-        return state, losses, jax.lax.psum(ovfs, self.axis)
+        if self.num_shards > 1:
+            ovfs = jax.lax.psum(ovfs, self.axis)
+        return state, losses, ovfs
 
     def _nc_eval_local(self, g, labels_l, params, nodes):
         g = self._unblock(g)

@@ -6,7 +6,11 @@ Times, at the bench shape, K-step scan programs for:
   r_enc   - replicated 3-group encode only  p_enc   - partitioned encode only
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
