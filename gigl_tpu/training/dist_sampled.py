@@ -418,10 +418,26 @@ class PartitionedGraph:
                     w = jax.lax.rsqrt(
                         deg_n.reshape(chunk, k_last) + 1.0)
                     out = masked_sum(x * w[..., None], m)
+                if self.quantized:
+                    # Quantize per chunk: the full fp32 cache (N x D x 4 B
+                    # — 6 GB at N=12M) must never materialize on a
+                    # quantized graph, or the build itself OOMs the HBM
+                    # the quantization exists to save.
+                    absmax = jnp.maximum(
+                        jnp.abs(out).max(axis=1, keepdims=True), 1e-12)
+                    scale_c = (absmax / 127.0).astype(jnp.float32)
+                    qc = jnp.clip(jnp.round(out / scale_c), -127,
+                                  127).astype(jnp.int8)
+                    return (qc, scale_c[:, 0]), (~ok).sum()
                 return out, (~ok).sum()
 
             cache, ovf = jax.lax.map(cache_chunk, local_ids)
-            cache = cache.reshape(rows_pad, d)[:rows]
+            if self.quantized:
+                qc, scale_c = cache
+                cache = (qc.reshape(rows_pad, d)[:rows],
+                         scale_c.reshape(rows_pad)[:rows])
+            else:
+                cache = cache.reshape(rows_pad, d)[:rows]
 
             def table_chunk_for(k):
                 def tchunk(lid):
@@ -444,11 +460,12 @@ class PartitionedGraph:
             msg_w = jax.device_put(
                 np.zeros((num_shards, 1), np.float32),
                 NamedSharding(mesh, P(axis, None)))
+        cache_spec = (P(axis), P(axis)) if self.quantized else P(axis)
         build = jax.jit(jax.shard_map(
             build_local, mesh=mesh,
             in_specs=(P(axis), P(axis, None), P(axis, None),
                       P(axis, None), P()),
-            out_specs=(P(axis), P()) + tuple(P(axis) for _ in tab_ks),
+            out_specs=(cache_spec, P()) + tuple(P(axis) for _ in tab_ks),
             check_vma=False))
         # np scalar (not jnp): a committed single-device array can't be
         # resharded to a replicated spec across real process boundaries.
@@ -468,23 +485,18 @@ class PartitionedGraph:
                 out_shardings=row_sh)
             fd = fuse(self.feat_deg, cache)
         else:
-            def fuse_q(fd, c):
+            def fuse_q(fd, qc, scale_c):
                 qf = fd[:, :d]
                 tail = jax.lax.bitcast_convert_type(
                     fd[:, d:].reshape(-1, 2, 4), jnp.float32)  # [N, 2]
-                absmax = jnp.maximum(
-                    jnp.abs(c).max(axis=1, keepdims=True), 1e-12)
-                scale_c = absmax / 127.0
-                qc = jnp.clip(jnp.round(c / scale_c), -127,
-                              127).astype(jnp.int8)
                 new_tail = jnp.stack(
-                    [tail[:, 0], scale_c[:, 0], tail[:, 1]], axis=1)
+                    [tail[:, 0], scale_c, tail[:, 1]], axis=1)
                 tail_i8 = jax.lax.bitcast_convert_type(
                     new_tail, jnp.int8).reshape(-1, 12)
                 return jnp.concatenate([qf, qc, tail_i8], axis=1)
 
-            fd = jax.jit(fuse_q, out_shardings=row_sh)(self.feat_deg,
-                                                       cache)
+            fd = jax.jit(fuse_q, out_shardings=row_sh)(
+                self.feat_deg, cache[0], cache[1])
         import dataclasses
 
         return dataclasses.replace(
