@@ -138,8 +138,12 @@ class StreamingPartitionedNALPTrainer:
     pool by default or the ring global pool
     (``cfg.global_candidate_pool``); CMS logQ correction
     (``cfg.use_cms_correction``) with psum-reduced sketch deltas;
-    ``answer_dtype="bfloat16"`` halves the host->device answer payload.
-    Not wired: label-edge features (use the HBM PartitionedNALPTrainer).
+    ``answer_dtype="bfloat16"`` halves the host->device answer payload;
+    label-edge features (ref nalp_data_loader.py:44-46) hydrate
+    owner-side along the routed positive/hard-negative draws — the
+    supervision/hard-neg edge features stay sharded in device HBM with
+    their CSR blocks (edge-feature bytes are adjacency-scale, not
+    node-feature-scale) and ride the ring loss as the own-block bias.
     """
 
     def __init__(self, model, store: HostGraphStore, mesh,
@@ -159,10 +163,6 @@ class StreamingPartitionedNALPTrainer:
                 and getattr(cfg, "loss_type", "retrieval") != "retrieval"):
             raise ValueError("global_candidate_pool is a retrieval-loss "
                              "contract (ring sampled softmax)")
-        if store.sup_edge_features is not None:
-            raise ValueError("label-edge features are not streamed on the "
-                             "partitioned path; use StreamingNALPTrainer "
-                             "or the HBM PartitionedNALPTrainer")
         if overflow_policy not in ("warn", "raise", "silent", "grow"):
             raise ValueError(
                 "overflow_policy must be warn | raise | silent | grow")
@@ -210,18 +210,46 @@ class StreamingPartitionedNALPTrainer:
             tabs.append(jax.device_put(pad, row_sh))
         self._tabs = tuple(tabs)
         self._tab_index = {k: i for i, k in enumerate(self._tab_ks)}
-        a, b = _shard_csr(store.supervision_indptr,
-                          store.supervision_indices, p, rows)
+        # Supervision / hard-neg CSR blocks; label-edge features (when the
+        # store carries them) are sharded CSR-slot-aligned in device HBM —
+        # same placement as the HBM PartitionedGraph (dist_sampled
+        # .build:239-258) — and hydrated owner-side by the routed draws.
+        ef_sh = NamedSharding(mesh, P(axis, None, None))
+        self._has_sup_ef = store.sup_edge_features is not None
+        if self._has_sup_ef:
+            a, b, ef = _shard_csr(
+                store.supervision_indptr, store.supervision_indices, p,
+                rows, weights=np.asarray(store.sup_edge_features,
+                                         np.float32))
+            self._sup_ef = jax.device_put(ef, ef_sh)
+        else:
+            a, b = _shard_csr(store.supervision_indptr,
+                              store.supervision_indices, p, rows)
+            self._sup_ef = jax.device_put(
+                np.zeros((p, 1, 0), np.float32), ef_sh)
         self._sup = (jax.device_put(a, blk_sh), jax.device_put(b, blk_sh))
+        self._has_hard_ef = (store.hard_neg_indptr is not None
+                             and store.hard_neg_edge_features is not None)
         if store.hard_neg_indptr is not None:
-            a, b = _shard_csr(store.hard_neg_indptr, store.hard_neg_indices,
-                              p, rows)
+            if self._has_hard_ef:
+                a, b, ef = _shard_csr(
+                    store.hard_neg_indptr, store.hard_neg_indices, p, rows,
+                    weights=np.asarray(store.hard_neg_edge_features,
+                                       np.float32))
+                self._hard_ef = jax.device_put(ef, ef_sh)
+            else:
+                a, b = _shard_csr(store.hard_neg_indptr,
+                                  store.hard_neg_indices, p, rows)
+                self._hard_ef = jax.device_put(
+                    np.zeros((p, 1, 0), np.float32), ef_sh)
             self._hard = (jax.device_put(a, blk_sh),
                           jax.device_put(b, blk_sh))
         else:
             self._hard = (jax.device_put(
                 np.zeros((p, rows + 1), np.int32), blk_sh),
                 jax.device_put(np.zeros((p, 1), np.int32), blk_sh))
+            self._hard_ef = jax.device_put(
+                np.zeros((p, 1, 0), np.float32), ef_sh)
         # Host store: this process's shards only.
         if host_store is None:
             local = sorted({d.process_index for d in mesh.devices.flat})
@@ -295,15 +323,26 @@ class StreamingPartitionedNALPTrainer:
         return levels, ovf
 
     def _plan_local(self, tabs, sup_ip, sup_ix, hard_ip, hard_ix,
-                    anchors, step):
+                    sup_ef, hard_ef, anchors, step):
         """Batch draws + tree expansion + routing; ends at the request
-        all_to_all (the front half of routed_gather)."""
+        all_to_all (the front half of routed_gather). Label-edge features
+        hydrate owner-side along the routed positive/hard-neg draws (ref
+        nalp_data_loader.py:44-46); zero-width placeholders keep the SPMD
+        arity fixed when the store carries none."""
         cfg = self.cfg
         anchors = anchors.astype(jnp.int32)
-        pos, pos_mask, ok_p = routed_sample_neighbors(
-            sup_ip[0], sup_ix[0], anchors, cfg.num_positives,
-            axis=self.axis, seed=cfg.seed, hop=1_000_003 + step,
-            capacity_factor=self.capacity_factor)
+        if self._has_sup_ef:
+            pos, pos_mask, ok_p, pos_ef = routed_sample_neighbors(
+                sup_ip[0], sup_ix[0], anchors, cfg.num_positives,
+                axis=self.axis, seed=cfg.seed, hop=1_000_003 + step,
+                capacity_factor=self.capacity_factor,
+                local_edge_feats=sup_ef[0])
+        else:
+            pos, pos_mask, ok_p = routed_sample_neighbors(
+                sup_ip[0], sup_ix[0], anchors, cfg.num_positives,
+                axis=self.axis, seed=cfg.seed, hop=1_000_003 + step,
+                capacity_factor=self.capacity_factor)
+            pos_ef = jnp.zeros(pos.shape + (0,), jnp.float32)
         ovf = jnp.sum(~ok_p, dtype=jnp.int32)
         bits = counter_rng_uniform(
             jnp.arange(cfg.num_random_negs, dtype=jnp.int32),
@@ -315,14 +354,23 @@ class StreamingPartitionedNALPTrainer:
                                                   r_per)
         h = cfg.num_hard_negs
         if h > 0:
-            hard, hard_mask, ok_h = routed_sample_neighbors(
-                hard_ip[0], hard_ix[0], anchors, h, axis=self.axis,
-                seed=cfg.seed, hop=2_000_003 + step,
-                capacity_factor=self.capacity_factor)
+            if self._has_hard_ef:
+                hard, hard_mask, ok_h, hn_ef = routed_sample_neighbors(
+                    hard_ip[0], hard_ix[0], anchors, h, axis=self.axis,
+                    seed=cfg.seed, hop=2_000_003 + step,
+                    capacity_factor=self.capacity_factor,
+                    local_edge_feats=hard_ef[0])
+            else:
+                hard, hard_mask, ok_h = routed_sample_neighbors(
+                    hard_ip[0], hard_ix[0], anchors, h, axis=self.axis,
+                    seed=cfg.seed, hop=2_000_003 + step,
+                    capacity_factor=self.capacity_factor)
+                hn_ef = jnp.zeros(hard.shape + (0,), jnp.float32)
             ovf += jnp.sum(~ok_h, dtype=jnp.int32)
         else:
             hard = jnp.zeros(anchors.shape + (0,), jnp.int32)
             hard_mask = jnp.zeros(anchors.shape + (0,), bool)
+            hn_ef = jnp.zeros(hard.shape + (0,), jnp.float32)
         groups = [anchors, pos, rand_local] + ([hard] if h > 0 else [])
         roots_concat = jnp.concatenate([g.reshape(-1) for g in groups])
         levels, ovf2 = self._expand_joint(tabs, roots_concat)
@@ -338,7 +386,7 @@ class StreamingPartitionedNALPTrainer:
             self.num_shards, self.capacity)
         recv = jax.lax.all_to_all(req, self.axis, 0, 0, tiled=True)
         return (recv, owner, pos_idx, ok, masks_flat, anchors, pos,
-                pos_mask, hard, hard_mask, rand, ovf)
+                pos_mask, hard, hard_mask, pos_ef, hn_ef, rand, ovf)
 
     def _split_levels(self, levels):
         """Un-concat the joint levels back into per-group trees of
@@ -385,8 +433,8 @@ class StreamingPartitionedNALPTrainer:
         return embs
 
     def _apply_local(self, state, ans, owner, pos_idx, ok, masks_flat,
-                     anchors, pos, pos_mask, hard, hard_mask, rand, ovf,
-                     rng):
+                     anchors, pos, pos_mask, hard, hard_mask, pos_ef,
+                     hard_ef, rand, ovf, rng):
         """Answer all_to_all + un-permute (the back half of routed_gather)
         -> encode -> loss -> pmean'd grads -> update."""
         back = jax.lax.all_to_all(ans, self.axis, 0, 0, tiled=True)
@@ -394,7 +442,11 @@ class StreamingPartitionedNALPTrainer:
         ovf = ovf + jnp.sum(~ok_req, dtype=jnp.int32)
         batch = NALPBatch(anchors=anchors, pos=pos, pos_mask=pos_mask,
                           hard_neg=hard, hard_neg_mask=hard_mask,
-                          random_neg=rand)
+                          random_neg=rand,
+                          pos_edge_feats=(pos_ef if self._has_sup_ef
+                                          else None),
+                          hard_neg_edge_feats=(hard_ef if self._has_hard_ef
+                                               else None))
 
         def loss_fn(p):
             embs = self._embed_groups(p, rows, masks_flat, True, rng)
@@ -403,10 +455,11 @@ class StreamingPartitionedNALPTrainer:
             if self._global_pool:
                 # Ring/streaming-logsumexp retrieval over the GLOBAL pool
                 # with candidates kept sharded (same contract as
-                # PartitionedNALPTrainer._ring_loss_local, minus edge
-                # bias which this path does not carry).
+                # PartitionedNALPTrainer._ring_loss_local, incl. the
+                # label-edge score terms as the own-block bias).
                 from gigl_tpu.losses.sharded_retrieval import (
                     ring_candidate_pool,
+                    ring_own_block_edge_bias,
                     ring_retrieval_loss,
                 )
 
@@ -419,6 +472,12 @@ class StreamingPartitionedNALPTrainer:
                 q_rows = jnp.repeat(q, p_, axis=0)
                 cand_local, cand_ids, cmask, pos_qids = ring_candidate_pool(
                     batch, pos_e, hard_e, rand_l, rand_ids_local)
+                bias = None
+                if getattr(self.model, "edge_scorer", None) is not None:
+                    bias = ring_own_block_edge_bias(
+                        lambda ef: self.model.apply(p, ef,
+                                                    method="edge_score"),
+                        batch, cand_local.shape[0])
                 cms = state.cms
                 log_q = None
                 if cms is not None:
@@ -455,7 +514,8 @@ class StreamingPartitionedNALPTrainer:
                     candidate_mask=cmask,
                     candidate_log_q=log_q,
                     query_mask=batch.pos_mask.reshape(-1),
-                    remove_accidental_hits=cfg.remove_accidental_hits)
+                    remove_accidental_hits=cfg.remove_accidental_hits,
+                    own_block_bias=bias)
                 total = jax.lax.psum(count, self.axis).astype(jnp.float32)
                 loss = ce_sum * self.num_shards / jnp.maximum(total, 1.0)
                 return loss, cms
@@ -481,7 +541,7 @@ class StreamingPartitionedNALPTrainer:
 
     def _apply_eval_local(self, params, ans, owner, pos_idx, ok,
                           masks_flat, anchors, pos, pos_mask, hard,
-                          hard_mask, rand, ovf):
+                          hard_mask, pos_ef, hard_ef, rand, ovf):
         """Eval counterpart of _apply_local: same un-route + encode, then
         the reference ranking metrics (positives vs shared random
         negatives), psum-reduced — mirrors
@@ -523,23 +583,24 @@ class StreamingPartitionedNALPTrainer:
         self._plan = jax.jit(jax.shard_map(
             self._plan_local, mesh=mesh,
             in_specs=(tabs_spec, P(axis, None), P(axis, None),
-                      P(axis, None), P(axis, None), P(axis), P()),
+                      P(axis, None), P(axis, None), P(axis, None, None),
+                      P(axis, None, None), P(axis), P()),
             out_specs=(P(axis, None), P(axis), P(axis), P(axis),
                        masks_spec, P(axis), P(axis), P(axis),
-                       P(axis), P(axis), P(), P()),
+                       P(axis), P(axis), P(axis), P(axis), P(), P()),
             check_vma=False))
         self._apply = jax.jit(jax.shard_map(
             self._apply_local, mesh=mesh,
             in_specs=(P(), P(axis, None, None), P(axis), P(axis), P(axis),
                       masks_spec, P(axis), P(axis), P(axis), P(axis),
-                      P(axis), P(), P(), P()),
+                      P(axis), P(axis), P(axis), P(), P(), P()),
             out_specs=(P(), P(), P()),
             check_vma=False), donate_argnums=(0,))
         self._apply_eval = jax.jit(jax.shard_map(
             self._apply_eval_local, mesh=mesh,
             in_specs=(P(), P(axis, None, None), P(axis), P(axis), P(axis),
                       masks_spec, P(axis), P(axis), P(axis), P(axis),
-                      P(axis), P(), P()),
+                      P(axis), P(axis), P(axis), P(), P()),
             out_specs=(P(), P(), P(), P()),
             check_vma=False))
 
@@ -577,7 +638,19 @@ class StreamingPartitionedNALPTrainer:
                 shape = shape + (int(k),)
             feats.append(jnp.zeros(shape + (d,), jnp.float32))
             masks.append(jnp.ones(shape, bool))
-            params = self.model.init(rng, feats, masks)
+            if hasattr(type(self.model), "warmup"):
+                # Touch every parameterized submodule (edge scorer, MLP
+                # decoders) at init — same as the HBM partitioned trainer.
+                lef = None
+                if self._has_sup_ef:
+                    lef = jnp.zeros(
+                        (1, self.store.sup_edge_features.shape[-1]),
+                        jnp.float32)
+                params = self.model.init(rng, feats, masks,
+                                         label_edge_feats=lef,
+                                         method="warmup")
+            else:
+                params = self.model.init(rng, feats, masks)
         from gigl_tpu.losses.count_min_sketch import cms_init
 
         cms = (cms_init()
@@ -600,14 +673,15 @@ class StreamingPartitionedNALPTrainer:
             raise ValueError(f"anchors batch {anchors.shape[0]} != "
                              f"configured batch_size {self.batch_size}")
         (recv, owner, pos_idx, ok, masks_flat, a, pos, pm, hard, hm,
-         rand, ovf) = self._plan(
+         pef, hef, rand, ovf) = self._plan(
             self._tabs, self._sup[0], self._sup[1], self._hard[0],
-            self._hard[1], self._put(anchors, self.axis),
+            self._hard[1], self._sup_ef, self._hard_ef,
+            self._put(anchors, self.axis),
             self._put(np.asarray(step, np.int32)))
         ans = self._host_answers(recv)
         state, loss, ovf_t = self._apply(
             state, ans, owner, pos_idx, ok, masks_flat, a, pos, pm, hard,
-            hm, rand, ovf, self._put(np.asarray(rng)))
+            hm, pef, hef, rand, ovf, self._put(np.asarray(rng)))
         apply_overflow_policy(self, int(np.asarray(ovf_t)),
                               grow_rebuild=self._grow_rebuild)
         return state, loss
@@ -630,14 +704,15 @@ class StreamingPartitionedNALPTrainer:
                     f"eval batch {a.shape[0]} != configured batch_size "
                     f"{self.batch_size} (pad or re-batch)")
             (recv, owner, pos_idx, ok, masks_flat, an, pos, pm, hard, hm,
-             rand, ovf) = self._plan(
+             pef, hef, rand, ovf) = self._plan(
                 self._tabs, self._sup[0], self._sup[1], self._hard[0],
-                self._hard[1], self._put(a, self.axis),
+                self._hard[1], self._sup_ef, self._hard_ef,
+                self._put(a, self.axis),
                 self._put(np.asarray(step + i, np.int32)))
             ans = self._host_answers(recv)
             rr, hits, cnt, ovf_n = self._apply_eval(
                 params, ans, owner, pos_idx, ok, masks_flat, an, pos, pm,
-                hard, hm, rand, ovf)
+                hard, hm, pef, hef, rand, ovf)
             rr_t += float(rr)
             cnt_t += float(cnt)
             ovf_t += int(ovf_n)

@@ -100,5 +100,14 @@ def test_two_process_trainer_parity():
                                ref["partitioned_mrr"], rtol=2e-5)
     np.testing.assert_allclose(got["streamed_loss"], ref["streamed_loss"],
                                rtol=2e-5)
+    np.testing.assert_allclose(
+        got["streamed_partitioned_loss"], ref["streamed_partitioned_loss"],
+        rtol=2e-5, err_msg="streamed-partitioned trainer (per-process host "
+        "feature shards + routed lookups) diverges across the process "
+        "boundary")
+    np.testing.assert_allclose(
+        got["hetero_partitioned_losses"], ref["hetero_partitioned_losses"],
+        rtol=2e-5, err_msg="typed partitioned trainer diverges across the "
+        "process boundary")
     np.testing.assert_allclose(got["halo_sumsq"], ref["halo_sumsq"],
                                rtol=2e-5)

@@ -268,3 +268,103 @@ class TestStreamingPartitionedCms:
                                    rtol=2e-5)
         np.testing.assert_array_equal(
             np.asarray(state_s.cms.table), np.asarray(state_h.cms.table))
+
+
+class TestStreamingPartitionedLabelEdgeFeatures:
+    @staticmethod
+    def _ef_setup(cfg, hard=True):
+        """Graph whose supervision/hard-neg edges carry features, built
+        for BOTH the HBM path (DeviceGraph) and the streamed path
+        (HostGraphStore) from the same edge lists."""
+        rng = np.random.default_rng(11)
+        src = rng.integers(0, N, E)
+        dst = rng.integers(0, N, E)
+        edges = np.stack([src, dst])
+        sup_ef = np.stack([src, dst, src + dst], 1).astype(np.float32)
+        hard_edges = np.stack([dst, src]) if hard else None
+        hard_ef = (np.stack([dst, src, dst - src], 1).astype(np.float32)
+                   if hard else None)
+        g = HeteroGraph.homogeneous(
+            src=src, dst=dst, num_nodes=N,
+            node_features=rng.normal(size=(N, D)).astype(np.float32))
+        dg = DeviceGraph.from_hetero(
+            g, supervision_edges=edges, hard_neg_edges=hard_edges,
+            supervision_edge_features=sup_ef,
+            hard_neg_edge_features=hard_ef)
+        store = HostGraphStore.build(
+            message_edges=edges, supervision_edges=edges,
+            features=np.asarray(dg.node_features, np.float32),
+            num_nodes=N, fanouts=cfg.fanouts, seed=cfg.seed,
+            hard_neg_edges=hard_edges,
+            supervision_edge_features=sup_ef,
+            hard_neg_edge_features=hard_ef)
+        return dg, store
+
+    @staticmethod
+    def _ef_model():
+        from gigl_tpu.models.link_prediction import EdgeFeatureScorer
+
+        enc = GNNEncoder(hid_dim=32, out_dim=16, num_layers=2,
+                         conv="graphsage", dropout=0.0)
+        return LinkPredictionGNN(encoder=enc,
+                                 decoder=LinkPredictionDecoder(),
+                                 edge_scorer=EdgeFeatureScorer(hidden_dim=8))
+
+    @pytest.mark.slow
+    def test_edge_feature_loss_parity_with_hbm(self):
+        """Label-edge features hydrate owner-side along the routed draws:
+        the streamed-partitioned step computes the SAME losses as the
+        HBM partitioned step with an edge scorer in the model."""
+        mesh = make_mesh(8, axes=(AXIS,))
+        cfg = _cfg(num_hard_negs=2)
+        dg, store = self._ef_setup(cfg)
+        model = self._ef_model()
+        batch = 64
+        hbm = PartitionedNALPTrainer(
+            model, PartitionedGraph.build(dg, mesh), mesh, cfg,
+            capacity_factor=8.0, overflow_policy="raise")
+        st = StreamingPartitionedNALPTrainer(
+            model, store, mesh, cfg, batch_size=batch,
+            capacity_factor=8.0, overflow_policy="raise")
+        state_h = hbm.init_state(jax.random.PRNGKey(0), batch_size=batch)
+        state_s = st.init_state(jax.random.PRNGKey(0))
+        anchors = np.random.default_rng(12).integers(
+            0, N, (3, batch)).astype(np.int32)
+        state_h, losses_h = hbm.train_steps(state_h, anchors,
+                                            jax.random.PRNGKey(3))
+        rngs = np.asarray(jax.random.split(jax.random.PRNGKey(3), 3))
+        losses_s = []
+        for i in range(3):
+            state_s, l = st.train_step(state_s, anchors[i], rngs[i], i)
+            losses_s.append(float(l))
+        np.testing.assert_allclose(losses_s, np.asarray(losses_h),
+                                   rtol=2e-5)
+
+    @pytest.mark.slow
+    def test_edge_feature_ring_parity_with_hbm(self):
+        """Ring global pool + edge scorer: the own-block edge bias rides
+        the streamed-partitioned ring loss exactly like the HBM ring."""
+        mesh = make_mesh(8, axes=(AXIS,))
+        cfg = _cfg(num_hard_negs=2, global_candidate_pool=True)
+        dg, store = self._ef_setup(cfg)
+        model = self._ef_model()
+        batch = 64
+        hbm = PartitionedNALPTrainer(
+            model, PartitionedGraph.build(dg, mesh), mesh, cfg,
+            capacity_factor=8.0, overflow_policy="raise")
+        st = StreamingPartitionedNALPTrainer(
+            model, store, mesh, cfg, batch_size=batch,
+            capacity_factor=8.0, overflow_policy="raise")
+        state_h = hbm.init_state(jax.random.PRNGKey(0), batch_size=batch)
+        state_s = st.init_state(jax.random.PRNGKey(0))
+        anchors = np.random.default_rng(13).integers(
+            0, N, (2, batch)).astype(np.int32)
+        state_h, losses_h = hbm.train_steps(state_h, anchors,
+                                            jax.random.PRNGKey(4))
+        rngs = np.asarray(jax.random.split(jax.random.PRNGKey(4), 2))
+        losses_s = []
+        for i in range(2):
+            state_s, l = st.train_step(state_s, anchors[i], rngs[i], i)
+            losses_s.append(float(l))
+        np.testing.assert_allclose(losses_s, np.asarray(losses_h),
+                                   rtol=2e-5)
