@@ -282,6 +282,37 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Large-N ladder FIRST, against a pristine device: an OOM poisons
+    # subsequent multi-GB allocations in this process (observed twice:
+    # after any RESOURCE_EXHAUSTED, retries that pass in a clean process
+    # fail — gc.collect does not recover the headroom), and the small
+    # benches' resident tables alone are enough to tip the 12M rung.
+    # Run the rungs before anything else touches the chip, stash the
+    # result, and print it in the required order below (the driver
+    # records the FINAL line, which stays the flagship metric).
+    import gc
+
+    largen_line = None
+    for ln_n, ln_e in ((12_000_000, 60_000_000),
+                       (6_000_000, 30_000_000)):
+        gc.collect()
+        try:
+            ln_edges_per_s, ln_ns_row = bench_largeN(N=ln_n, E=ln_e)
+            largen_line = json.dumps({
+                "metric": "partitioned_tabularized_edges_per_s_largeN",
+                "value": round(ln_edges_per_s, 1),
+                "unit": "edges/s",
+                "n_nodes": ln_n,
+                "gather_ns_per_row_packed_table": round(ln_ns_row, 3),
+                "vs_baseline": round(ln_edges_per_s / BASELINE_EDGES_PER_S,
+                                     4),
+            })
+            break
+        except Exception as e:  # pragma: no cover - capacity dependent
+            print(f"# largeN bench failed at N={ln_n}: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+    gc.collect()
+
     from gigl_tpu.graph.csr import HeteroGraph
     from gigl_tpu.models.encoders import GNNEncoder
     from gigl_tpu.models.link_prediction import (
@@ -356,36 +387,10 @@ def main():
         "frac_of_replicated": round(part_edges_per_s / edges_per_s, 4),
         "vs_baseline": round(part_edges_per_s / BASELINE_EDGES_PER_S, 4),
     }))
-    # Large-N row (int8-packed fused table). Guarded: an OOM or transfer
-    # failure must not take down the flagship line below; on HBM
-    # exhaustion retry at the next size down, with an explicit gc between
-    # attempts — the failed attempt's device arrays stay alive through
-    # the exception traceback cycle until collected, which poisons the
-    # retry's HBM budget (observed: a 20M OOM cascaded into a 12M OOM
-    # that succeeds in a clean process). 12M is the top rung: the fused
-    # int8 table is 3.2 GB and the whole resident set ~6.5 GB — the
-    # large-row gather-locality regime this bench exists to measure —
-    # while keeping the attempt inside the round-end bench time budget.
-    import gc
-
-    for ln_n, ln_e in ((12_000_000, 60_000_000),
-                       (6_000_000, 30_000_000)):
-        gc.collect()
-        try:
-            ln_edges_per_s, ln_ns_row = bench_largeN(N=ln_n, E=ln_e)
-            print(json.dumps({
-                "metric": "partitioned_tabularized_edges_per_s_largeN",
-                "value": round(ln_edges_per_s, 1),
-                "unit": "edges/s",
-                "n_nodes": ln_n,
-                "gather_ns_per_row_packed_table": round(ln_ns_row, 3),
-                "vs_baseline": round(ln_edges_per_s / BASELINE_EDGES_PER_S,
-                                     4),
-            }))
-            break
-        except Exception as e:  # pragma: no cover - capacity dependent
-            print(f"# largeN bench failed at N={ln_n}: "
-                  f"{type(e).__name__}: {e}", file=sys.stderr)
+    # Large-N row (measured before anything else touched the chip; see
+    # the ladder at the top of main).
+    if largen_line is not None:
+        print(largen_line)
 
     print(json.dumps({
         "metric": "nalp_train_edges_per_s_per_chip",
