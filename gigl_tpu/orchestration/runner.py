@@ -277,7 +277,13 @@ class Runner:
         out_dir = UriFactory.create(
             frozen.shared.inference_metadata_uri).uri.rsplit("/", 1)[0]
         exporter = EmbeddingExporter(f"{out_dir}/embeddings")
-        num_nodes = spec.trainer.graph.num_nodes
+        tr = spec.trainer
+        if hasattr(tr, "graph"):
+            num_nodes = tr.graph.num_nodes
+        elif hasattr(tr, "store"):   # streamed backends (HostGraphStore)
+            num_nodes = tr.store.num_nodes
+        else:                        # HBM-partitioned (PartitionedGraph)
+            num_nodes = tr.pg.num_nodes
         if isinstance(num_nodes, dict):  # hetero: embed the anchor node type
             num_nodes = num_nodes[str(spec.trainer.cfg.anchor_node_type)]
         n = run_inference(

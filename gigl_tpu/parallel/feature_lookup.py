@@ -98,8 +98,16 @@ def routed_gather(
     capacity: Optional[int] = None,
     capacity_factor: float = 2.0,
     force_general: bool = False,
+    sort_ids: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather rows of a range-sharded table by GLOBAL row id.
+
+    ``sort_ids`` (num_shards == 1 closed form only): gather the big table
+    in ASCENDING id order and invert with a second gather of the small
+    result — monotonic HBM row addresses recover page locality when the
+    table has tens of millions of rows (docs/performance.md "Large-N
+    gather locality"). At P > 1 the counting-sort routing already fixes
+    the bucket order, so the flag is ignored there.
 
     Must run inside ``shard_map`` over ``axis``. ``local_table`` is this
     shard's [rows_per_shard, ...] block (global row r lives on shard
@@ -124,6 +132,10 @@ def routed_gather(
     g = global_ids.shape[0]
     if num_shards == 1 and not force_general:
         rows = jnp.clip(global_ids.astype(jnp.int32), 0, rows_per_shard - 1)
+        if sort_ids:
+            order = jnp.argsort(rows)
+            inv = jnp.argsort(order)
+            return local_table[rows[order]][inv], jnp.ones((g,), bool)
         return local_table[rows], jnp.ones((g,), bool)
     if capacity is None:
         capacity = request_capacity(g, num_shards, capacity_factor)

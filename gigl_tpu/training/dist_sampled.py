@@ -517,7 +517,16 @@ class PartitionedNALPTrainer:
                  optimizer_args: Optional[Dict[str, Any]] = None,
                  axis: str = DATA_AXIS,
                  capacity_factor: float = 4.0,
-                 overflow_policy: str = "warn"):
+                 overflow_policy: str = "warn",
+                 sort_gather_ids: Optional[bool] = None):
+        """``sort_gather_ids``: gather large tables in ascending-id order
+        (inverted by a second small gather) — recovers HBM page locality
+        when the fused table has tens of millions of rows (the r4 large-N
+        cliff, docs/performance.md "Large-N gather locality"). Default
+        None = auto: ON when this is a single-shard mesh AND the table
+        holds >= 2M rows (where the sort pays for itself — see the
+        measured before/after in docs/performance.md), OFF otherwise.
+        P > 1 ignores the flag (counting-sort routing fixes the order)."""
         if getattr(config, "num_random_negs", 0) % int(mesh.shape[axis]):
             raise ValueError("num_random_negs must divide the mesh axis size")
         if (getattr(config, "global_candidate_pool", False)
@@ -533,6 +542,10 @@ class PartitionedNALPTrainer:
         self.axis = axis
         self.cfg = config
         self.num_shards = int(mesh.shape[axis])
+        if sort_gather_ids is None:
+            sort_gather_ids = (self.num_shards == 1
+                               and pgraph.feat_deg.shape[0] >= 2_000_000)
+        self._sort_gather = bool(sort_gather_ids)
         self.capacity_factor = capacity_factor
         self.overflow_policy = overflow_policy
         # Cumulative routed-lookup requests dropped by bucket-capacity
@@ -686,7 +699,8 @@ class PartitionedNALPTrainer:
                 flat = frontier.reshape(-1)
                 row, ok = routed_gather(
                     tabs[self._tab_index[int(k)]], flat, axis=self.axis,
-                    capacity_factor=self.capacity_factor)
+                    capacity_factor=self.capacity_factor,
+                    sort_ids=self._sort_gather)
                 ovf += jnp.sum(~ok, dtype=jnp.int32)
                 row = row.reshape(frontier.shape + (int(k),))
                 okr = ok.reshape(frontier.shape)
@@ -781,7 +795,16 @@ class PartitionedNALPTrainer:
                 ovf += o
                 feats, degs, cached = [], [], []
                 for lvl in ids:
-                    rows = feat_deg_l[jnp.clip(lvl, 0, rows_max)]
+                    lvl_flat = jnp.clip(lvl.reshape(-1), 0, rows_max)
+                    if self._sort_gather:
+                        # Ascending-id hydration + small-result inverse:
+                        # page-local HBM access at large N (see __init__).
+                        order = jnp.argsort(lvl_flat)
+                        inv = jnp.argsort(order)
+                        rows = feat_deg_l[lvl_flat[order]][inv]
+                    else:
+                        rows = feat_deg_l[lvl_flat]
+                    rows = rows.reshape(lvl.shape + (rows.shape[-1],))
                     f, dg_, c = self.pg.split_rows(
                         rows.reshape(-1, rows.shape[-1]))
                     feats.append(f.reshape(lvl.shape + (d,)))

@@ -45,6 +45,7 @@ def nalp_fit_loop(
     scalar_logger=None,
     checkpoint_dir: Optional[str] = None,
     num_shards: int = 1,
+    fixed_val_batch_size: Optional[int] = None,
 ) -> Tuple[object, Dict[str, float]]:
     from gigl_tpu.training.dataset import AnchorBatchIterator
     from gigl_tpu.training.early_stop import EarlyStopper
@@ -64,10 +65,20 @@ def nalp_fit_loop(
             state = restore_train_state(checkpoint_dir, state)
             logger.info("resumed from %s at step %d", checkpoint_dir,
                         resume_step)
+    if fixed_val_batch_size is not None:
+        # Backends whose step shapes are compiled for ONE batch size
+        # (streamed-partitioned): wrap-pad the train pool so at least one
+        # full batch exists, and pin the val batch to the same size.
+        train_anchors = np.resize(np.asarray(train_anchors),
+                                  max(len(train_anchors), batch_size))
     it = AnchorBatchIterator(train_anchors, batch_size, seed=cfg.seed)
     # Val batches must exist even when the val split is small: replicated
     # shrinks the eval batch; sharded pads (by wrap) to a shard multiple.
-    if num_shards > 1:
+    if fixed_val_batch_size is not None:
+        val_bs = int(fixed_val_batch_size)
+        val_pool = np.resize(np.asarray(val_anchors),
+                             max(len(val_anchors), val_bs))
+    elif num_shards > 1:
         val_bs = max(num_shards,
                      min(batch_size, len(val_anchors))
                      // num_shards * num_shards)

@@ -233,6 +233,7 @@ class HostGraphStore:
                 agg: str = "mean", chunk: int = 65536) -> None:
         """(Re)build hopcache aggregate + frozen sample tables — host
         analog of DeviceGraph.with_neighbor_cache."""
+        self.agg_kind = agg  # recorded so refresh_cache(epoch) re-uses it
         n, k_deep = self.num_nodes, int(fanouts[-1])
         hop_key = len(fanouts)
         d = self.features.shape[1]

@@ -119,6 +119,8 @@ class NodeAnchorLinkPredictionTaskSpec(BaseTrainer, BaseInferencer):
         sp = task_config.dataset.split
         strategy = str(args.get("split_strategy", sp.strategy))
         self._split_graphs = None
+        streamed_part = str(args.get("streaming_partitioned_backend",
+                                     "false")).lower() in ("1", "true")
         if strategy == "udl_edge":
             # User-defined-labels semantics (ref UserDefinedLabels
             # NodeAnchorBasedLinkPredictionSplitStrategy +
@@ -176,8 +178,15 @@ class NodeAnchorLinkPredictionTaskSpec(BaseTrainer, BaseInferencer):
                 num_test=max(1.0 - sp.train_ratio - sp.val_ratio, 0.0),
             )
             self.splits = splitter(np.asarray(sup_edges))
-            device_graph = DeviceGraph.from_hetero(
-                graph, supervision_edges=np.asarray(sup_edges), edge_type=et)
+            if streamed_part:
+                # Beyond-HBM backend: features must never touch device
+                # HBM — no DeviceGraph is built at all (the HostGraphStore
+                # below holds topology + features host-side).
+                device_graph = None
+            else:
+                device_graph = DeviceGraph.from_hetero(
+                    graph, supervision_edges=np.asarray(sup_edges),
+                    edge_type=et)
         encoder = encoder_from_config(args)
         decoder = LinkPredictionDecoder(
             decoder_type=DecoderType(args.get("decoder", "inner_product")))
@@ -219,7 +228,53 @@ class NodeAnchorLinkPredictionTaskSpec(BaseTrainer, BaseInferencer):
                           ).lower() in ("1", "true")
         batch_size = max(1, min(int(args.get("main_sample_batch_size", 512)),
                                 len(self.splits[0])))
-        if partitioned:
+        if streamed_part:
+            # Beyond-HBM backend dispatch (the second half of the
+            # should_run_glt_backend analog, ref pb_wrappers/gbml_config
+            # .py:416-429): topology + fused features live in (sharded)
+            # HOST RAM; device HBM holds only the O(N/P) adjacency ints;
+            # each step is a plan -> host owner-gather -> apply round
+            # (training/streaming_partitioned.py).
+            if partitioned:
+                raise ValueError("set only one of partitioned_backend / "
+                                 "streaming_partitioned_backend")
+            if self._split_graphs is not None:
+                raise ValueError("streaming_partitioned_backend does not "
+                                 "support the udl_edge split strategy")
+            import dataclasses as _dc
+
+            from gigl_tpu.parallel.mesh import make_mesh
+            from gigl_tpu.training.streaming import HostGraphStore
+            from gigl_tpu.training.streaming_partitioned import (
+                StreamingPartitionedNALPTrainer,
+            )
+
+            mesh = make_mesh()
+            n_sh = int(np.prod(list(mesh.shape.values())))
+            cfg = _dc.replace(
+                cfg, num_random_negs=-(-cfg.num_random_negs // n_sh) * n_sh,
+                cached_hop=True, fused_cache=False, quantize_cache=False)
+            nt = str(et.dst_node_type)
+            hn_coo = None
+            hn_name = args.get("hard_neg_edge_type")
+            if hn_name:
+                from gigl_tpu.types.graph import _as_edge_type
+
+                hn_coo = np.asarray(graph.edges[_as_edge_type(hn_name)])
+            store = HostGraphStore.build(
+                message_edges=np.asarray(coo),
+                supervision_edges=np.asarray(sup_edges),
+                features=np.asarray(graph.node_features[nt], np.float32),
+                num_nodes=int(graph.num_nodes[et.dst_node_type]),
+                fanouts=cfg.fanouts, seed=cfg.seed,
+                hard_neg_edges=hn_coo)
+            batch_size = max(n_sh, batch_size // n_sh * n_sh)
+            self.trainer = StreamingPartitionedNALPTrainer(
+                model, store, mesh, cfg, batch_size=batch_size,
+                optimizer_args=args,
+                capacity_factor=float(args.get("capacity_factor", 4.0)),
+                answer_dtype=str(args.get("answer_dtype", "float32")))
+        elif partitioned:
             # The should_run_glt_backend analog (ref gbml_config
             # featureFlags, pb_wrappers/gbml_config.py:416-429): dispatch
             # training onto the PARTITIONED in-memory backend — graph +
@@ -373,8 +428,15 @@ class NodeAnchorLinkPredictionTaskSpec(BaseTrainer, BaseInferencer):
             self.trainer.eval_graph = self._split_graphs[idx]
         if len(anchors) == 0:
             return {"mrr": 0.0}
-        it = AnchorBatchIterator(anchors, min(self._batch_size, len(anchors)),
-                                 seed=99)
+        if getattr(self.trainer, "_fixed_batch", False):
+            # Streamed-partitioned step shapes are compiled for exactly
+            # one batch size: wrap-pad the split pool to it.
+            pool = np.resize(np.asarray(anchors),
+                             max(len(anchors), self._batch_size))
+            it = AnchorBatchIterator(pool, self._batch_size, seed=99)
+        else:
+            it = AnchorBatchIterator(
+                anchors, min(self._batch_size, len(anchors)), seed=99)
         batches = []
         for i, b in enumerate(it.epoch(0)):
             if i >= num_batches:
