@@ -157,18 +157,22 @@ def bench_routed_gather_us(dg, G=8192, D=129):
     return dt * 1e6, dt / G * 1e9
 
 
-def bench_largeN(K=200, N=20_000_000, E=100_000_000):
-    """Large-N single-chip row (VERDICT r3 item 4): N=20M nodes / E=100M
-    edges / D=128 with the int8-packed fused table — the largest shape
-    that fits one v5e's HBM (~10 GB resident: 5.4 GB tabularized int8
-    fused table + 1.2 GB sample tables + ~1 GB CSR + base table). All
-    small-N headline numbers extrapolate gather locality; this measures
-    it at realistic row counts (MAG240M is 244M rows — 12x this, same
-    HBM-page regime vs the 100k-row toy).
+def bench_largeN(K=200, N=12_000_000, E=60_000_000):
+    """Large-N single-chip rung: N=12M nodes / E=60M edges / D=128 with
+    the int8-packed fused table — the largest shape that reliably fits
+    one v5e's HBM alongside the trainer state (20M brushes the HBM limit
+    and OOMs with the state resident, docs/performance.md "Large-N gather
+    locality"). All small-N headline numbers extrapolate gather locality;
+    this measures it at realistic row counts (MAG240M is 244M rows — 20x
+    this, same HBM-page regime vs the 100k-row toy). ALWAYS run in its
+    own subprocess (main() does): an OOM here poisons every later
+    multi-GB allocation in the process.
 
-    Returns (edges_per_s, gather_ns_per_row) for the partitioned P=1
-    tabularized trainer step and a plain 8192-row gather on the packed
-    table."""
+    Returns (edges_per_s_sorted, edges_per_s_unsorted, gather_ns_per_row)
+    — the partitioned P=1 tabularized trainer step with the sorted-id
+    hydration (the r5 locality remedy, the trainer default at this N)
+    and with it disabled (the r4 baseline, kept as the before/after
+    evidence), plus a plain 8192-row gather on the packed table."""
     import dataclasses
     import time as _t
     import types
@@ -219,29 +223,46 @@ def bench_largeN(K=200, N=20_000_000, E=100_000_000):
                      conv="graphsage", dtype=jnp.bfloat16)
     model = LinkPredictionGNN(encoder=enc, decoder=LinkPredictionDecoder())
     trainer = PartitionedNALPTrainer(model, pg, mesh, cfg,
-                                     capacity_factor=4.0)
+                                     capacity_factor=4.0,
+                                     sort_gather_ids=True)
     # Free the pre-tabularization base table (~N x 136 B int8): the
     # trainer keeps it only for refresh_cache, which this bench never
-    # calls — at N=20M that is ~2.7 GB of HBM back.
+    # calls — at this N that is ~1.6 GB of HBM back.
     trainer.pg_base = None
+    pg_tab = trainer.pg
     del pg, hostdg
     print(f"# largeN build+tabularize: {_t.perf_counter() - t0:.1f}s",
           file=sys.stderr)
-    state = trainer.init_state(jax.random.PRNGKey(0), batch_size=B)
     anchors = (np.arange(B * K).reshape(K, B) * 2654435761 % N).astype(
         np.int32)
-    state, losses = trainer.train_steps(state, anchors,
-                                        jax.random.PRNGKey(1))
-    _ = float(np.asarray(losses)[-1])
-    best_dt = float("inf")
-    for trial in range(2):
-        t0 = _t.perf_counter()
-        state, losses = trainer.train_steps(state, anchors,
-                                            jax.random.PRNGKey(2 + trial))
-        _ = float(np.asarray(losses)[-1])
-        best_dt = min(best_dt, (_t.perf_counter() - t0) / K)
     k1, k2 = FANOUTS
-    edges_per_s = (2 * k1 + k1 * k2) * (B + B + R) / best_dt
+    per_step_edges = (2 * k1 + k1 * k2) * (B + B + R)
+
+    def rate(tr):
+        state = tr.init_state(jax.random.PRNGKey(0), batch_size=B)
+        state, losses = tr.train_steps(state, anchors,
+                                       jax.random.PRNGKey(1))
+        _ = float(np.asarray(losses)[-1])
+        best_dt = float("inf")
+        for trial in range(2):
+            t1 = _t.perf_counter()
+            state, losses = tr.train_steps(state, anchors,
+                                           jax.random.PRNGKey(2 + trial))
+            _ = float(np.asarray(losses)[-1])
+            best_dt = min(best_dt, (_t.perf_counter() - t1) / K)
+        del state
+        return per_step_edges / best_dt
+
+    edges_per_s = rate(trainer)
+    # Before/after evidence for the locality remedy: the r4 baseline
+    # (unsorted hydration) on the same build — pg is already tabularized,
+    # so this adds only a recompile + 2 timing chunks.
+    tr_unsorted = PartitionedNALPTrainer(model, pg_tab, mesh, cfg,
+                                         capacity_factor=4.0,
+                                         sort_gather_ids=False)
+    tr_unsorted.pg_base = None
+    edges_per_s_unsorted = rate(tr_unsorted)
+    del tr_unsorted
 
     # Plain-gather locality at 20M rows: scan programs of 250/500
     # 8192-row gathers of the packed int8 table, timed by DIFFERENCE so
@@ -275,43 +296,275 @@ def bench_largeN(K=200, N=20_000_000, E=100_000_000):
     _ = int(f_big(table, ids))
     t_big = _t.perf_counter() - t0
     ns_row = max(t_big - t_small, 1e-9) / 250 / 8192 * 1e9
-    return edges_per_s, ns_row
+    return edges_per_s, edges_per_s_unsorted, ns_row
+
+
+def _flagship_model_cfg(D=128, R=512, FANOUTS=(15, 10)):
+    import jax.numpy as jnp
+
+    from gigl_tpu.models.encoders import GNNEncoder
+    from gigl_tpu.models.link_prediction import (
+        LinkPredictionDecoder,
+        LinkPredictionGNN,
+    )
+    from gigl_tpu.training.trainer import NALPTrainerConfig
+
+    enc = GNNEncoder(hid_dim=256, out_dim=D, num_layers=2,
+                     conv="graphsage", dtype=jnp.bfloat16)
+    model = LinkPredictionGNN(encoder=enc, decoder=LinkPredictionDecoder())
+    cfg = NALPTrainerConfig(fanouts=FANOUTS, num_random_negs=R,
+                            loss_type="retrieval", num_positives=1,
+                            cached_hop=True)
+    return model, cfg
+
+
+def _streamed_partitioned_rate(trainer, N, B, K, warm=8):
+    """Steady-state pipelined rate + a per-phase breakdown of ONE step.
+
+    The breakdown splits the un-pipelined step into: plan (device program
+    + the request-id D2H), host_gather (owner-side fused-row gather in
+    host RAM), apply (answer H2D + device program + loss sync). On this
+    tunneled single-chip setup each device sync pays the ~28 ms fixed
+    dispatch round trip, so the breakdown phases OVERSTATE a directly
+    PCIe-attached host; the pipelined rate amortizes most of it (plan
+    t+1 and the host gather run while apply t executes)."""
+    import time as _t
+
+    import jax
+
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    batches = rng.integers(0, N, (warm, B)).astype(np.int32)
+    state, _ = trainer.run_steps(state, batches, jax.random.PRNGKey(1))
+    k_batches = rng.integers(0, N, (K, B)).astype(np.int32)
+    best_dt = float("inf")
+    for trial in range(2):
+        t0 = _t.perf_counter()
+        state, losses = trainer.run_steps(state, k_batches,
+                                          jax.random.PRNGKey(2 + trial),
+                                          start_step=warm + trial * K)
+        best_dt = min(best_dt, (_t.perf_counter() - t0) / K)
+    # Un-pipelined single-step phase breakdown (private APIs, mirrors
+    # train_step's structure).
+    a = k_batches[0]
+    breakdown = {"plan_ms": [], "host_gather_ms": [], "apply_ms": []}
+    rng_put = trainer._put(np.asarray(jax.random.PRNGKey(9)))
+    for _i in range(3):
+        t0 = _t.perf_counter()
+        plan_out = trainer._plan_step(a, 10_000 + _i)
+        jax.block_until_ready(plan_out)
+        recv_np = {int(sh.index[0].start or 0): np.asarray(sh.data)
+                   for sh in plan_out[0].addressable_shards}
+        t1 = _t.perf_counter()
+        p = trainer.num_shards
+        blocks = {start // p: trainer.host.answer_shard(start // p, ids)
+                  .astype(trainer._answer_np_dtype)
+                  for start, ids in recv_np.items()}
+        t2 = _t.perf_counter()
+        sharding = trainer._NS(trainer.mesh,
+                               trainer._P(trainer.axis, None, None))
+        ans = jax.make_array_from_callback(
+            (p * p, trainer.capacity, trainer.host.width), sharding,
+            lambda idx: blocks[int(idx[0].start or 0) // p])
+        state, loss, _ovf = trainer._apply(
+            state, ans, *plan_out[1:], rng_put)
+        _ = float(loss)
+        t3 = _t.perf_counter()
+        breakdown["plan_ms"].append((t1 - t0) * 1e3)
+        breakdown["host_gather_ms"].append((t2 - t1) * 1e3)
+        breakdown["apply_ms"].append((t3 - t2) * 1e3)
+    bd = {k: round(min(v), 2) for k, v in breakdown.items()}
+    bd["unpipelined_ms"] = round(sum(min(v) for v in
+                                     breakdown.values()), 2)
+    bd["pipelined_ms"] = round(best_dt * 1e3, 2)
+    return best_dt, bd
+
+
+def bench_streamed_partitioned(N=100_000, E=2_000_000, K=40):
+    """Beyond-HBM path at the flagship bench shape (r4 VERDICT item 1):
+    the streamed-PARTITIONED step (per-shard HOST fused table, device HBM
+    holds only adjacency ints) vs the HBM-resident partitioned row. One
+    chip: the all_to_alls degenerate; the HOST round trip (request-id
+    D2H, fused-row gather in host RAM, answer H2D) is the measured cost
+    on top of the HBM step. fp32 answers (exact parity contract) headline;
+    bf16 answers (halved payload) reported alongside."""
+    import jax
+
+    from gigl_tpu.parallel.mesh import make_mesh
+    from gigl_tpu.training.streaming import HostGraphStore
+    from gigl_tpu.training.streaming_partitioned import (
+        StreamingPartitionedNALPTrainer,
+    )
+
+    D, B, R, FANOUTS = 128, 512, 512, (15, 10)
+    model, cfg = _flagship_model_cfg(D, R, FANOUTS)
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, N, E)
+    dst = rng.integers(0, N, E)
+    edges = np.stack([src, dst])
+    store = HostGraphStore.build(
+        message_edges=edges, supervision_edges=edges,
+        features=rng.normal(size=(N, D)).astype(np.float32),
+        num_nodes=N, fanouts=FANOUTS, seed=0)
+    mesh = make_mesh(1, axes=("data",))
+    out = {}
+    k1, k2 = FANOUTS
+    per_step_edges = (2 * k1 + k1 * k2) * (B + B + R)
+    for dtype in ("float32", "bfloat16"):
+        tr = StreamingPartitionedNALPTrainer(
+            model, store, mesh, cfg, batch_size=B,
+            capacity_factor=1.0,  # P=1: capacity == union, exact fit
+            overflow_policy="raise", answer_dtype=dtype)
+        dt, bd = _streamed_partitioned_rate(tr, N, B, K)
+        out[dtype] = (per_step_edges / dt, bd)
+        del tr
+    return out
+
+
+def bench_streamed_largen(K=30, N=30_000_000, E=150_000_000):
+    """Beyond-HBM LARGE-N rung (r4 VERDICT item 1): the fused
+    [feat|deg|agg] table (~31 GB fp32 at N=30M, D=128) lives in HOST RAM
+    — past this chip's 16 GB HBM ceiling, the regime the streamed-
+    partitioned trainer exists for (MAG240M: 244M rows, ~8x this rung).
+    Device HBM holds only the frozen sample table + supervision CSR
+    (~2.5 GB of ints).
+
+    Build shortcut (documented, timing-only): topology, CSR, frozen
+    sample tables and degrees are REAL (native C++ sampler); the fused
+    table's feature/aggregate VALUES are a tiled random block instead of
+    the 230 GB host hop-aggregate precompute (2-vCPU box; value-
+    independent timing — real nonzero bytes on distinct pages, so host
+    gather + PCIe cost is faithful). bf16 answers (the production choice
+    at this scale — halves the answer payload).
+
+    ALWAYS run in its own subprocess: the ~37 GB host working set should
+    not outlive the measurement."""
+    import time as _t
+
+    import jax
+
+    from gigl_tpu.graph.csr import build_csr
+    from gigl_tpu.parallel.mesh import make_mesh
+    from gigl_tpu.training.streaming import HostGraphStore, _HostTable
+    from gigl_tpu.training.streaming_partitioned import (
+        ShardedHostStore,
+        StreamingPartitionedNALPTrainer,
+    )
+
+    D, B, R, FANOUTS = 128, 512, 512, (15, 10)
+    model, cfg = _flagship_model_cfg(D, R, FANOUTS)
+    t0 = _t.perf_counter()
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, N, E, dtype=np.int64)
+    dst = rng.integers(0, N, E, dtype=np.int64)
+    csr = build_csr(src, dst, num_anchor_nodes=N, num_neighbor_nodes=N,
+                    anchor="dst")
+    del src, dst
+    degrees = np.diff(csr.indptr).astype(np.float32)
+    store = HostGraphStore(
+        message_indptr=csr.indptr.astype(np.int64),
+        message_indices=csr.indices.astype(np.int32),
+        supervision_indptr=csr.indptr.astype(np.int64),
+        supervision_indices=csr.indices.astype(np.int32),
+        features=_HostTable(np.zeros((1, D), np.float32)),  # dim only
+        agg=_HostTable(np.zeros((1, D), np.float32)),
+        degrees=degrees, sample_tables={}, num_nodes=N)
+    # Frozen sample tables: REAL draws from the real CSR (native C++).
+    for k in sorted(set(int(x) for x in FANOUTS[:-1])):
+        ids_t = np.empty((N, k), np.int32)
+        mask_t = np.empty((N, k), bool)
+        chunk = 1 << 20
+        for s in range(0, N, chunk):
+            ids = np.arange(s, min(s + chunk, N), dtype=np.int32)
+            ids_t[s: s + len(ids)], mask_t[s: s + len(ids)] = (
+                store._sample(ids, k, 0, 1))
+        store.sample_tables[k] = (ids_t, mask_t)
+    # Fused host table: [feat D | deg | agg D] fp32 — values tiled from
+    # one random block (see docstring), degrees REAL.
+    w = 2 * D + 1
+    fused = np.empty((N, w), np.float32)
+    block = np.random.default_rng(1).standard_normal(
+        (1 << 16, w)).astype(np.float32)
+    for s in range(0, N, 1 << 16):
+        e = min(s + (1 << 16), N)
+        fused[s:e] = block[: e - s]
+    fused[:, D] = degrees
+    host = ShardedHostStore(fused, rows_per_shard=N, local_shards=[0])
+    print(f"# streamed-largeN build: {_t.perf_counter() - t0:.1f}s "
+          f"(fused {fused.nbytes / 1e9:.1f} GB host-resident)",
+          file=sys.stderr)
+    mesh = make_mesh(1, axes=("data",))
+    tr = StreamingPartitionedNALPTrainer(
+        model, store, mesh, cfg, batch_size=B, capacity_factor=1.0,
+        overflow_policy="raise", host_store=host,
+        answer_dtype="bfloat16")
+    dt, bd = _streamed_partitioned_rate(tr, N, B, K, warm=4)
+    k1, k2 = FANOUTS
+    return (2 * k1 + k1 * k2) * (B + B + R) / dt, bd
+
+
+def _rung_subprocess(args, tries):
+    """Run one bench rung per fresh subprocess (a RESOURCE_EXHAUSTED
+    poisons every later multi-GB allocation in a process, and the child
+    must own the chip alone) and return the child's final JSON line."""
+    import subprocess
+
+    for extra in tries:
+        cmd = [sys.executable, __file__] + args + [str(x) for x in extra]
+        r = subprocess.run(cmd, capture_output=True, text=True,
+                           timeout=3600)
+        sys.stderr.write(r.stderr)
+        lines = [ln for ln in r.stdout.strip().splitlines()
+                 if ln.startswith("{")]
+        if r.returncode == 0 and lines:
+            return lines[-1]
+        print(f"# rung {args} {extra} failed rc={r.returncode}",
+              file=sys.stderr)
+    return None
 
 
 def main():
+    # Subprocess rungs FIRST, before this process touches the chip: each
+    # rung owns a pristine device and its host RAM dies with the child
+    # (r4 ADVICE items 1-2; r4 VERDICT weak 1: the in-process ladder
+    # contaminated the flagship row by ~9%).
+    if "--largen" in sys.argv:
+        i = sys.argv.index("--largen")
+        n, e = int(sys.argv[i + 1]), int(sys.argv[i + 2])
+        eps, eps_uns, ns_row = bench_largeN(N=n, E=e)
+        print(json.dumps({
+            "metric": "partitioned_tabularized_edges_per_s_largeN",
+            "value": round(eps, 1),
+            "unit": "edges/s",
+            "n_nodes": n,
+            "edges_per_s_unsorted_hydration": round(eps_uns, 1),
+            "gather_ns_per_row_packed_table": round(ns_row, 3),
+            "vs_baseline": round(eps / BASELINE_EDGES_PER_S, 4),
+        }))
+        return
+    if "--streamed-largen" in sys.argv:
+        i = sys.argv.index("--streamed-largen")
+        n, e = int(sys.argv[i + 1]), int(sys.argv[i + 2])
+        eps, bd = bench_streamed_largen(N=n, E=e)
+        print(json.dumps({
+            "metric": "streamed_partitioned_edges_per_s_largeN",
+            "value": round(eps, 1),
+            "unit": "edges/s",
+            "n_nodes": n,
+            "host_resident_gb": round(n * (2 * 128 + 1) * 4 / 1e9, 1),
+            "breakdown_ms": bd,
+            "vs_baseline": round(eps / BASELINE_EDGES_PER_S, 4),
+        }))
+        return
+
+    largen_line = _rung_subprocess(
+        ["--largen"], [(12_000_000, 60_000_000), (6_000_000, 30_000_000)])
+    sp_largen_line = _rung_subprocess(
+        ["--streamed-largen"],
+        [(30_000_000, 150_000_000), (20_000_000, 100_000_000)])
+
     import jax
     import jax.numpy as jnp
-
-    # Large-N ladder FIRST, against a pristine device: an OOM poisons
-    # subsequent multi-GB allocations in this process (observed twice:
-    # after any RESOURCE_EXHAUSTED, retries that pass in a clean process
-    # fail — gc.collect does not recover the headroom), and the small
-    # benches' resident tables alone are enough to tip the 12M rung.
-    # Run the rungs before anything else touches the chip, stash the
-    # result, and print it in the required order below (the driver
-    # records the FINAL line, which stays the flagship metric).
-    import gc
-
-    largen_line = None
-    for ln_n, ln_e in ((12_000_000, 60_000_000),
-                       (6_000_000, 30_000_000)):
-        gc.collect()
-        try:
-            ln_edges_per_s, ln_ns_row = bench_largeN(N=ln_n, E=ln_e)
-            largen_line = json.dumps({
-                "metric": "partitioned_tabularized_edges_per_s_largeN",
-                "value": round(ln_edges_per_s, 1),
-                "unit": "edges/s",
-                "n_nodes": ln_n,
-                "gather_ns_per_row_packed_table": round(ln_ns_row, 3),
-                "vs_baseline": round(ln_edges_per_s / BASELINE_EDGES_PER_S,
-                                     4),
-            })
-            break
-        except Exception as e:  # pragma: no cover - capacity dependent
-            print(f"# largeN bench failed at N={ln_n}: "
-                  f"{type(e).__name__}: {e}", file=sys.stderr)
-    gc.collect()
 
     from gigl_tpu.graph.csr import HeteroGraph
     from gigl_tpu.models.encoders import GNNEncoder
@@ -387,10 +640,27 @@ def main():
         "frac_of_replicated": round(part_edges_per_s / edges_per_s, 4),
         "vs_baseline": round(part_edges_per_s / BASELINE_EDGES_PER_S, 4),
     }))
-    # Large-N row (measured before anything else touched the chip; see
-    # the ladder at the top of main).
+    # Beyond-HBM path at the flagship shape (host fused table + routed
+    # device lookups) vs the HBM-partitioned row just measured.
+    sp = bench_streamed_partitioned()
+    sp_f32, bd_f32 = sp["float32"]
+    sp_bf16, bd_bf16 = sp["bfloat16"]
+    print(json.dumps({
+        "metric": "streamed_partitioned_nalp_edges_per_s",
+        "value": round(sp_f32, 1),
+        "unit": "edges/s",
+        "frac_of_hbm_partitioned": round(sp_f32 / part_edges_per_s, 4),
+        "bf16_answers_edges_per_s": round(sp_bf16, 1),
+        "breakdown_ms": bd_f32,
+        "breakdown_ms_bf16": bd_bf16,
+        "vs_baseline": round(sp_f32 / BASELINE_EDGES_PER_S, 4),
+    }))
+    # Large-N rungs (measured first, each in its own pristine-device
+    # subprocess; see the top of main).
     if largen_line is not None:
         print(largen_line)
+    if sp_largen_line is not None:
+        print(sp_largen_line)
 
     print(json.dumps({
         "metric": "nalp_train_edges_per_s_per_chip",

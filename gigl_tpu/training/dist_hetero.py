@@ -145,7 +145,13 @@ class PartitionedHeteroGraph:
         *,
         anchor_node_type: str,
         axis: str = DATA_AXIS,
+        features_on_device: bool = True,
     ) -> "PartitionedHeteroGraph":
+        """``features_on_device=False`` skips the per-type feature upload
+        entirely (feat_dims still recorded) — the beyond-HBM typed regime
+        where features live in per-process sharded HOST stores
+        (StreamingPartitionedHeteroNALPTrainer) and device HBM holds only
+        the adjacency ints + frozen sample tables."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         num_shards = int(mesh.shape[axis])
@@ -156,10 +162,12 @@ class PartitionedHeteroGraph:
         for nt, f in hdg.node_features.items():
             f = np.asarray(f, np.float32)
             d = f.shape[1]
+            dims[nt] = d
+            if not features_on_device:
+                continue
             pad = np.zeros((num_shards * rows[nt], d), np.float32)
             pad[: f.shape[0]] = f
             feats[nt] = jax.device_put(pad, row_sh)
-            dims[nt] = d
         # csr_key -> anchor node type, from the op specs that use it.
         anchor_of: Dict[str, str] = {}
         for ops in paths.values():

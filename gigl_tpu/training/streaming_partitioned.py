@@ -54,6 +54,7 @@ from gigl_tpu.parallel.feature_lookup import (
 from gigl_tpu.parallel.mesh import DATA_AXIS, put_replicated
 from gigl_tpu.sampling.neighbor_sampler import counter_rng_uniform
 from gigl_tpu.training.dataset import NALPBatch
+from gigl_tpu.training.dist_hetero import PartitionedHeteroNALPTrainer
 from gigl_tpu.training.dist_sampled import _shard_csr, apply_overflow_policy
 from gigl_tpu.training.streaming import HostGraphStore
 from gigl_tpu.training.trainer import (
@@ -112,6 +113,26 @@ class ShardedHostStore:
             blk[:, :d] = store.features.gather(ids)
             blk[:, d] = store.degrees[lo:hi]
             blk[:, d + 1:] = store.agg.gather(ids)
+        return cls(fused, rows, local_shards)
+
+    @classmethod
+    def from_array(cls, arr: np.ndarray, *, num_shards: int,
+                   local_shards: Optional[Sequence[int]] = None
+                   ) -> "ShardedHostStore":
+        """Shard a plain [N, W] host table (no fusion) — the per-node-type
+        feature stores of the TYPED beyond-HBM path (ref
+        dist_link_prediction_dataset.py:428-439 per-type Feature stores)."""
+        arr = np.asarray(arr, np.float32)
+        n, w = arr.shape
+        rows = -(-n // num_shards)
+        if local_shards is None:
+            local_shards = range(num_shards)
+        local_shards = tuple(int(s) for s in local_shards)
+        fused = np.zeros((len(local_shards) * rows, w), np.float32)
+        for i, s in enumerate(local_shards):
+            lo, hi = s * rows, min((s + 1) * rows, n)
+            if hi > lo:
+                fused[i * rows: i * rows + (hi - lo)] = arr[lo:hi]
         return cls(fused, rows, local_shards)
 
     def answer_shard(self, shard: int, global_ids: np.ndarray) -> np.ndarray:
@@ -634,14 +655,16 @@ class StreamingPartitionedNALPTrainer:
         p, cap, w = self.num_shards, self.capacity, self.host.width
         blocks: Dict[int, np.ndarray] = {}
         for sh in recv.addressable_shards:
-            s = int(sh.index[0].start) // p
+            # A 1-device mesh yields the full array as one shard with
+            # index slice(None) — start is None, meaning 0.
+            s = int(sh.index[0].start or 0) // p
             ids = np.asarray(sh.data)          # [P, C] global ids
             blocks[s] = self.host.answer_shard(s, ids).astype(
                 self._answer_np_dtype)
         sharding = self._NS(self.mesh, self._P(self.axis, None, None))
 
         def cb(index):
-            s = int(index[0].start) // p
+            s = int(index[0].start or 0) // p
             return blocks[s]
 
         return jax.make_array_from_callback(
@@ -893,3 +916,437 @@ class StreamingPartitionedNALPTrainer:
         apply_overflow_policy(self, total_ovf,
                               grow_rebuild=self._grow_rebuild)
         return state, np.asarray([float(x) for x in jax.device_get(losses)])
+
+
+class StreamingPartitionedHeteroNALPTrainer(PartitionedHeteroNALPTrainer):
+    """TYPED beyond-HBM composition: per-NODE-TYPE sharded HOST feature
+    stores + routed device lookups (the typed analog of
+    StreamingPartitionedNALPTrainer; ref per-type Feature stores,
+    dist_link_prediction_dataset.py:428-439).
+
+    Device HBM holds only the typed adjacency: per-edge-type CSR blocks,
+    frozen sample tables, supervision/hard-neg CSRs (build the
+    PartitionedHeteroGraph with ``features_on_device=False``). Each
+    process's host RAM holds ITS shards' rows of every node type's
+    feature table. A step splits the HBM typed step
+    (PartitionedHeteroNALPTrainer) at the per-node-type hydration
+    gathers:
+
+      plan:  batch draws + op-tree expansion (device, routed) + one
+             counting-sort routing + request all_to_all PER NODE TYPE,
+      host:  per node type, the owner-side feature-row gather runs on
+             host from that type's ShardedHostStore,
+      apply: per-type answer all_to_alls + un-permute -> typed encode ->
+             loss (per-shard pool or ring global pool) -> pmean'd grads.
+
+    Draws are bit-identical to PartitionedHeteroNALPTrainer (same
+    counter-RNG keying, same frozen tables), so loss trajectories match
+    exactly (tests/test_streaming_partitioned.py typed parity)."""
+
+    _fixed_batch = True
+
+    def __init__(self, model, pgraph, paths, config, mesh, *,
+                 batch_size: int,
+                 host_features: Optional[Dict[str, np.ndarray]] = None,
+                 host_stores: Optional[Dict[str, ShardedHostStore]] = None,
+                 optimizer_args: Optional[Dict[str, Any]] = None,
+                 axis: str = DATA_AXIS, capacity_factor: float = 4.0,
+                 overflow_policy: str = "warn",
+                 answer_dtype: str = "float32"):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        super().__init__(model, pgraph, paths, config, mesh,
+                         optimizer_args=optimizer_args, axis=axis,
+                         capacity_factor=capacity_factor,
+                         overflow_policy=overflow_policy)
+        self._P, self._NS = P, NamedSharding
+        p = self.num_shards
+        if batch_size % p:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"{p} shards")
+        self.batch_size = batch_size
+        if answer_dtype in ("bfloat16", "bf16"):
+            import ml_dtypes
+
+            self._answer_np_dtype = ml_dtypes.bfloat16
+        elif answer_dtype in ("float32", "f32"):
+            self._answer_np_dtype = np.float32
+        else:
+            raise ValueError(f"unknown answer_dtype {answer_dtype!r}")
+        # Static per-group tree structure (flat-rooted level shapes) and
+        # the per-node-type level bucketing — MUST be identical between
+        # the plan's routing and the apply's un-slicing.
+        cfg = config
+        bb = batch_size // p
+        a_nt, c_nt = str(cfg.anchor_node_type), str(cfg.candidate_node_type)
+        roots = [((bb,), a_nt), ((bb, cfg.num_positives), c_nt),
+                 ((cfg.num_random_negs // p,), c_nt)]
+        if cfg.num_hard_negs > 0:
+            roots.append(((bb, cfg.num_hard_negs), c_nt))
+        self._groups_static = []
+        for root_shape, nt in roots:
+            spec = self.paths[nt]
+            shapes = [(int(np.prod(root_shape)),)]
+            types = [nt]
+            for op in spec:
+                shapes.append(shapes[op.parent + 1] + (int(op.fanout),))
+                types.append(str(op.neighbor_node_type))
+            self._groups_static.append((nt, spec, shapes, types,
+                                        root_shape))
+        by_type: Dict[str, List[Tuple[int, int]]] = {}
+        for t_i, (_nt, _sp, shapes, types, _rs) in enumerate(
+                self._groups_static):
+            for l_i, lt in enumerate(types):
+                by_type.setdefault(lt, []).append((t_i, l_i))
+        self._nt_order = tuple(sorted(by_type))
+        self._nt_levels = {nt: tuple(by_type[nt]) for nt in self._nt_order}
+        self._union = {
+            nt: sum(int(np.prod(self._groups_static[t][2][l]))
+                    for (t, l) in self._nt_levels[nt])
+            for nt in self._nt_order}
+        self._cap = {nt: request_capacity(self._union[nt], p,
+                                          capacity_factor)
+                     for nt in self._nt_order}
+        # Per-node-type host stores: this process's shards only.
+        if host_stores is None:
+            if host_features is None:
+                raise ValueError("pass host_features={node_type: [N, D]} "
+                                 "or host_stores")
+            procs = sorted({d.process_index for d in mesh.devices.flat})
+            if len(procs) > 1:
+                mine = [i for i, d in enumerate(mesh.devices.flat)
+                        if d.process_index == jax.process_index()]
+            else:
+                mine = list(range(p))
+            host_stores = {
+                str(nt): ShardedHostStore.from_array(
+                    f, num_shards=p, local_shards=mine)
+                for nt, f in host_features.items()}
+        self._host = host_stores
+        for nt in self._nt_order:
+            if nt not in self._host:
+                raise ValueError(f"no host store for node type {nt!r}")
+        self._build_sp_programs()
+
+    # -- SPMD bodies -------------------------------------------------------
+    def _sp_plan_local(self, ip_l, ix_l, w_l, sup_ip, sup_ix, hard_ip,
+                       hard_ix, sup_ef_l, hard_ef_l, tabs, anchors, step):
+        cfg = self.cfg
+        ip_l = self._squeeze_csr(ip_l)
+        ix_l = self._squeeze_csr(ix_l)
+        w_l = self._squeeze_csr(w_l)
+        sup_ip, sup_ix = sup_ip[0], sup_ix[0]
+        hard_ip, hard_ix = hard_ip[0], hard_ix[0]
+        sup_ef_l, hard_ef_l = sup_ef_l[0], hard_ef_l[0]
+        batch, ovf = self._make_batch(sup_ip, sup_ix, hard_ip, hard_ix,
+                                      sup_ef_l, hard_ef_l,
+                                      anchors.astype(jnp.int32), step)
+        r_per = cfg.num_random_negs // self.num_shards
+        shard = jax.lax.axis_index(self.axis)
+        rand_local = jax.lax.dynamic_slice_in_dim(
+            batch.random_neg, shard * r_per, r_per)
+        group_roots = [batch.anchors, batch.pos, rand_local]
+        if cfg.num_hard_negs > 0:
+            group_roots.append(batch.hard_neg)
+        trees = []
+        for off, (roots, (nt, spec, _sh, _ty, _rs)) in enumerate(
+                zip(group_roots, self._groups_static)):
+            blocks, o = self._sample_tree(
+                ip_l, ix_l, w_l, tabs, roots.reshape(-1), nt, spec,
+                cfg.seed + off)
+            trees.append(blocks)
+            ovf += o
+        ids_flat = tuple(lvl for b in trees for lvl in b.node_ids)
+        masks_flat = tuple(m for b in trees for m in b.masks)
+        recvs, owners, poss, oks = [], [], [], []
+        for nt in self._nt_order:
+            flat = jnp.concatenate(
+                [trees[t].node_ids[l].reshape(-1)
+                 for (t, l) in self._nt_levels[nt]])
+            req, owner, pos_idx, ok = _route_requests(
+                flat.astype(jnp.int32), self.pg.rows[nt],
+                self.num_shards, self._cap[nt])
+            recvs.append(jax.lax.all_to_all(req, self.axis, 0, 0,
+                                            tiled=True))
+            owners.append(owner)
+            poss.append(pos_idx)
+            oks.append(ok)
+        pos_ef = (batch.pos_edge_feats
+                  if batch.pos_edge_feats is not None
+                  else jnp.zeros(batch.pos.shape + (0,), jnp.float32))
+        hard_ef = (batch.hard_neg_edge_feats
+                   if batch.hard_neg_edge_feats is not None
+                   else jnp.zeros(batch.hard_neg.shape + (0,),
+                                  jnp.float32))
+        return (tuple(recvs), tuple(owners), tuple(poss), tuple(oks),
+                ids_flat, masks_flat, batch.anchors, batch.pos,
+                batch.pos_mask, batch.hard_neg, batch.hard_neg_mask,
+                pos_ef, hard_ef, batch.random_neg, ovf)
+
+    def _sp_embed_groups(self, params, rows_by_nt, ids_flat, masks_flat,
+                         train, rng):
+        from gigl_tpu.sampling.hetero_sampler import TypedBlocks
+
+        gathered: Dict[Tuple[int, int], jnp.ndarray] = {}
+        for i, nt in enumerate(self._nt_order):
+            rows = rows_by_nt[i].astype(jnp.float32)
+            d = self.pg.feat_dims[nt]
+            off = 0
+            for (t, l) in self._nt_levels[nt]:
+                shape = self._groups_static[t][2][l]
+                n_elem = int(np.prod(shape))
+                gathered[(t, l)] = rows[off: off + n_elem].reshape(
+                    shape + (d,))
+                off += n_elem
+        rngs = {"dropout": rng} if (train and rng is not None) else None
+        embs = []
+        idx = 0
+        for t, (nt, spec, shapes, _types, root_shape) in enumerate(
+                self._groups_static):
+            n_l = len(spec) + 1
+            blocks = TypedBlocks(
+                root_node_type=nt, spec=spec,
+                node_ids=list(ids_flat[idx: idx + n_l]),
+                masks=list(masks_flat[idx: idx + n_l]),
+                edge_slots=[None] * n_l)
+            idx += n_l
+            feats = [gathered[(t, l)] for l in range(n_l)]
+            emb = self.model.apply(params, blocks, feats, train=train,
+                                   rngs=rngs)
+            embs.append(emb.reshape(root_shape + (emb.shape[-1],)))
+        return embs
+
+    def _sp_unroute(self, answers, owners, poss, oks, ovf):
+        rows_by_nt = []
+        for i in range(len(self._nt_order)):
+            back = jax.lax.all_to_all(answers[i], self.axis, 0, 0,
+                                      tiled=True)
+            rows, ok_req = _unroute(back, owners[i], poss[i], oks[i])
+            ovf = ovf + jnp.sum(~ok_req, dtype=jnp.int32)
+            rows_by_nt.append(rows)
+        return rows_by_nt, ovf
+
+    def _sp_apply_local(self, state, answers, owners, poss, oks, ids_flat,
+                        masks_flat, anchors, pos, pos_mask, hard,
+                        hard_mask, pos_ef, hard_ef, rand, ovf, rng):
+        cfg = self.cfg
+        rows_by_nt, ovf = self._sp_unroute(answers, owners, poss, oks, ovf)
+        batch = NALPBatch(
+            anchors=anchors, pos=pos, pos_mask=pos_mask, hard_neg=hard,
+            hard_neg_mask=hard_mask, random_neg=rand,
+            pos_edge_feats=pos_ef if self._has_sup_ef else None,
+            hard_neg_edge_feats=hard_ef if self._has_hard_ef else None)
+
+        def loss_fn(p):
+            embs = self._sp_embed_groups(p, rows_by_nt, ids_flat,
+                                         masks_flat, True, rng)
+            q, pos_e, rand_l = embs[0], embs[1], embs[2]
+            hard_e = embs[3] if cfg.num_hard_negs > 0 else None
+            if getattr(cfg, "global_candidate_pool", False):
+                return self._ring_loss_local(p, batch, q, pos_e, hard_e,
+                                             rand_l)
+            rand_g = jax.lax.all_gather(rand_l, self.axis, axis=0,
+                                        tiled=True)
+            loss, _ = nalp_loss_from_embeddings(
+                self.model, p, cfg, batch, q, pos_e, hard_e, rand_g, None)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grads = jax.lax.pmean(grads, self.axis)
+        loss = jax.lax.pmean(loss, self.axis)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, cms=state.cms)
+        return new_state, loss, jax.lax.psum(ovf, self.axis)
+
+    def _sp_eval_local(self, params, answers, owners, poss, oks, ids_flat,
+                       masks_flat, anchors, pos, pos_mask, hard,
+                       hard_mask, pos_ef, hard_ef, rand, ovf):
+        from gigl_tpu.losses.metrics import hits_at_k, mean_reciprocal_rank
+
+        cfg = self.cfg
+        rows_by_nt, ovf = self._sp_unroute(answers, owners, poss, oks, ovf)
+        embs = self._sp_embed_groups(params, rows_by_nt, ids_flat,
+                                     masks_flat, False, None)
+        q, pos_e, rand_l = embs[0], embs[1], embs[2]
+        rand_g = jax.lax.all_gather(rand_l, self.axis, axis=0, tiled=True)
+        b, p_, _d = pos_e.shape
+        if (getattr(self.model, "edge_scorer", None) is not None
+                and self._has_sup_ef):
+            pos_scores = self.model.apply(params, q[:, None, :], pos_e,
+                                          pos_ef, method="decode")
+        else:
+            pos_scores = self.model.apply(params, q[:, None, :], pos_e,
+                                          method="decode")
+        rand_scores = self.model.apply(params, q, rand_g,
+                                       method="decode_all_pairs")
+        pos_flat = pos_scores.reshape(-1)
+        mask_flat = pos_mask.reshape(-1)
+        neg_rep = jnp.repeat(rand_scores, p_, axis=0)
+        acc = (pos.reshape(-1)[:, None] == rand[None, :])
+        rr_sum, rr_cnt = mean_reciprocal_rank(
+            pos_flat, neg_rep, pos_mask=mask_flat, neg_mask=~acc)
+        hits, _ = hits_at_k(pos_flat, neg_rep, cfg.eval_ks,
+                            pos_mask=mask_flat, neg_mask=~acc)
+        hits_arr = jnp.stack([hits[int(k)] for k in cfg.eval_ks])
+        return (jax.lax.psum(rr_sum, self.axis),
+                jax.lax.psum(hits_arr, self.axis),
+                jax.lax.psum(rr_cnt, self.axis),
+                jax.lax.psum(ovf, self.axis))
+
+    # -- programs ----------------------------------------------------------
+    def _build_sp_programs(self) -> None:
+        from jax.sharding import PartitionSpec as P
+
+        mesh, axis, pg = self.mesh, self.axis, self.pg
+        n_ids = sum(len(sp) + 1 for (_n, sp, _s, _t, _r)
+                    in self._groups_static)
+        ids_spec = tuple(P(axis) for _ in range(n_ids))
+        n_nt = len(self._nt_order)
+        plan_in = ({k: P(axis, None) for k in pg.csr_ip},
+                   {k: P(axis, None) for k in pg.csr_ix},
+                   {k: P(axis, None) for k in (pg.csr_w or {})},
+                   P(axis, None), P(axis, None), P(axis, None),
+                   P(axis, None), P(axis, None, None),
+                   P(axis, None, None),
+                   {k: P(axis) for k in (pg.sample_tables or {})},
+                   P(axis), P())
+        plan_out = (tuple(P(axis, None) for _ in range(n_nt)),
+                    tuple(P(axis) for _ in range(n_nt)),
+                    tuple(P(axis) for _ in range(n_nt)),
+                    tuple(P(axis) for _ in range(n_nt)),
+                    ids_spec, ids_spec,
+                    P(axis), P(axis), P(axis), P(axis), P(axis),
+                    P(axis), P(axis), P(), P())
+        self._sp_plan = jax.jit(jax.shard_map(
+            self._sp_plan_local, mesh=mesh, in_specs=plan_in,
+            out_specs=plan_out, check_vma=False))
+        ans_spec = tuple(P(axis, None, None) for _ in range(n_nt))
+        meta_spec = tuple(P(axis) for _ in range(n_nt))
+        common = (ans_spec, meta_spec, meta_spec, meta_spec, ids_spec,
+                  ids_spec, P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(axis), P(), P())
+        self._sp_apply = jax.jit(jax.shard_map(
+            self._sp_apply_local, mesh=mesh,
+            in_specs=(P(),) + common + (P(),),
+            out_specs=(P(), P(), P()),
+            check_vma=False), donate_argnums=(0,))
+        self._sp_eval = jax.jit(jax.shard_map(
+            self._sp_eval_local, mesh=mesh,
+            in_specs=(P(),) + common,
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False))
+
+    def _sp_grow_rebuild(self) -> None:
+        self._cap = {nt: request_capacity(self._union[nt],
+                                          self.num_shards,
+                                          self.capacity_factor)
+                     for nt in self._nt_order}
+        self._build_sp_programs()
+
+    # -- host round + drivers ----------------------------------------------
+    def _plan_step(self, anchors, step: int):
+        anchors = np.asarray(anchors, np.int32)
+        if anchors.shape[0] != self.batch_size:
+            raise ValueError(f"anchors batch {anchors.shape[0]} != "
+                             f"configured batch_size {self.batch_size}")
+        ga = self._graph_args()[1:]  # drop the (empty) device feats
+        return self._sp_plan(*ga, self._put(anchors, self.axis),
+                             self._put(np.asarray(step, np.int32)))
+
+    def _host_answers(self, recvs) -> Tuple[jax.Array, ...]:
+        p = self.num_shards
+        outs = []
+        sharding = self._NS(self.mesh, self._P(self.axis, None, None))
+        for i, nt in enumerate(self._nt_order):
+            host = self._host[nt]
+            blocks: Dict[int, np.ndarray] = {}
+            for sh in recvs[i].addressable_shards:
+                s = int(sh.index[0].start or 0) // p
+                blocks[s] = host.answer_shard(s, np.asarray(sh.data)
+                                              ).astype(
+                    self._answer_np_dtype)
+            outs.append(jax.make_array_from_callback(
+                (p * p, self._cap[nt], host.width), sharding,
+                (lambda idx, b=blocks: b[int(idx[0].start or 0) // p])))
+        return tuple(outs)
+
+    def train_step(self, state: TrainState, anchors, rng: jax.Array,
+                   step: int, *, defer_overflow: bool = False):
+        plan_out = self._plan_step(anchors, step)
+        ans = self._host_answers(plan_out[0])
+        state, loss, ovf_t = self._sp_apply(
+            state, ans, *plan_out[1:], self._put(np.asarray(rng)))
+        if defer_overflow:
+            return state, loss, ovf_t
+        apply_overflow_policy(self, int(np.asarray(ovf_t)),
+                              grow_rebuild=self._sp_grow_rebuild)
+        return state, loss
+
+    def run_steps(self, state: TrainState, anchor_batches, rng: jax.Array,
+                  *, start_step: int = 0):
+        """Software-pipelined (see StreamingPartitionedNALPTrainer
+        .run_steps): plan t+1 is on the device queue before step t's host
+        gather; overflow/losses fetched once per chunk."""
+        n = len(anchor_batches)
+        if n == 0:
+            return state, np.zeros(0, np.float32)
+        rngs = np.asarray(jax.random.split(rng, n))
+        losses, ovfs = [], []
+        plans: List[Any] = [None] * n
+        plans[0] = self._plan_step(anchor_batches[0], start_step)
+        for t in range(n):
+            if t + 1 < n:
+                plans[t + 1] = self._plan_step(anchor_batches[t + 1],
+                                               start_step + t + 1)
+            ans = self._host_answers(plans[t][0])
+            state, loss, ovf = self._sp_apply(
+                state, ans, *plans[t][1:], self._put(rngs[t]))
+            plans[t] = None
+            losses.append(loss)
+            ovfs.append(ovf)
+        total_ovf = int(np.asarray(jax.device_get(ovfs)).sum())
+        apply_overflow_policy(self, total_ovf,
+                              grow_rebuild=self._sp_grow_rebuild)
+        return state, np.asarray([float(x) for x in jax.device_get(losses)])
+
+    def train_steps(self, state: TrainState, anchors_kb, rng: jax.Array
+                    ) -> Tuple[TrainState, np.ndarray]:
+        anchors_kb = np.asarray(anchors_kb, np.int32)
+        start = int(np.asarray(state.step))
+        return self.run_steps(state, list(anchors_kb), rng,
+                              start_step=start)
+
+    def evaluate(self, params, anchor_batches, step: int = 0
+                 ) -> Dict[str, float]:
+        batches = [np.asarray(a, np.int32) for a in anchor_batches]
+        n = len(batches)
+        rr_t, hits_t, cnt_t, ovf_t = 0.0, None, 0.0, 0
+        if n:
+            plans: List[Any] = [None] * n
+            plans[0] = self._plan_step(batches[0], step)
+            results = []
+            for i in range(n):
+                if i + 1 < n:
+                    plans[i + 1] = self._plan_step(batches[i + 1],
+                                                   step + i + 1)
+                ans = self._host_answers(plans[i][0])
+                results.append(self._sp_eval(params, ans, *plans[i][1:]))
+                plans[i] = None
+            for rr, hits, cnt, ovf_n in jax.device_get(results):
+                rr_t += float(rr)
+                cnt_t += float(cnt)
+                ovf_t += int(ovf_n)
+                h = np.asarray(hits)
+                hits_t = h if hits_t is None else hits_t + h
+        apply_overflow_policy(self, ovf_t,
+                              grow_rebuild=self._sp_grow_rebuild)
+        cnt_t = max(cnt_t, 1.0)
+        if hits_t is None:
+            hits_t = np.zeros(len(self.cfg.eval_ks))
+        out = {"mrr": rr_t / cnt_t}
+        for i, k in enumerate(self.cfg.eval_ks):
+            out[f"hits@{k}"] = float(hits_t[i]) / cnt_t
+        return out

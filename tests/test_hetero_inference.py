@@ -172,3 +172,102 @@ class TestPartitionedInference:
             trainer.encode_batch(state.params, np.arange(N)))
         np.testing.assert_allclose(embs[order], direct, rtol=1e-5,
                                    atol=1e-6)
+
+
+class TestEncodeFullExactness:
+    """The sparse layerwise path (encode_full; segment softmax/mean) must
+    equal the dense typed-block tree with fanout >= degree — for every
+    hetero conv family."""
+
+    @pytest.mark.parametrize("conv", ["rgcn", "hgt", "simple_hgn"])
+    def test_matches_exact_tree(self, conv):
+        g = _graph()
+        paths = exact_full_neighborhood_paths(g, num_layers=2)
+        enc = HeteroGNNEncoder(
+            hid_dim=16, out_dim=8,
+            node_types=tuple(str(t) for t in g.metadata.node_types),
+            edge_types=tuple(str(t) for t in g.metadata.edge_types),
+            num_layers=2, conv=conv, heads=2, dropout=0.0)
+        params = _init(enc, g)
+        nt = str(g.metadata.node_types[0])
+        ids = jnp.arange(min(12, g.num_nodes[g.metadata.node_types[0]]),
+                         dtype=jnp.int32)
+        hdg = HeteroDeviceGraph.from_hetero(g, paths)
+        blocks = hdg.sample(ids, nt, paths[nt], seed=0)
+        feats, _ = hdg.hydrate(blocks)
+        tree_emb = np.asarray(enc.apply(params, blocks, feats))
+        features = {str(t): jnp.asarray(np.asarray(g.node_features[t]),
+                                        jnp.float32)
+                    for t in g.metadata.node_types}
+        edges = {str(et): (jnp.asarray(np.asarray(coo[0]), jnp.int32),
+                           jnp.asarray(np.asarray(coo[1]), jnp.int32))
+                 for et, coo in g.edges.items()}
+        num_nodes = {str(t): int(g.num_nodes[t])
+                     for t in g.metadata.node_types}
+        full = enc.apply(params, features, edges, num_nodes,
+                         method="encode_full")
+        np.testing.assert_allclose(tree_emb,
+                                   np.asarray(full[nt])[np.asarray(ids)],
+                                   rtol=2e-4, atol=2e-5)
+
+
+class TestHubNodeInference:
+    """Power-law survival (r4 VERDICT weak 4): a 5000-in-degree hub. The
+    r4 op-tree path would pad every level-2 block to
+    [B, 5000, 5000] (~10^7 slots per root x feature dim — OOM-scale);
+    encode_full costs O(E). Correctness at the hub is checked against an
+    independent numpy 2-layer RGCN."""
+
+    def test_hub_graph_exact(self, tmp_path):
+        from gigl_tpu.graph.csr import HeteroGraph
+
+        rng = np.random.default_rng(0)
+        N, E_rand, HUB_DEG = 6000, 20000, 5000
+        src = rng.integers(0, N, E_rand)
+        dst = rng.integers(0, N, E_rand)
+        hub_src = rng.choice(N, HUB_DEG, replace=False)
+        src = np.concatenate([src, hub_src])
+        dst = np.concatenate([dst, np.zeros(HUB_DEG, np.int64)])  # hub = 0
+        x = rng.normal(size=(N, 8)).astype(np.float32)
+        g = HeteroGraph.homogeneous(src=src, dst=dst, num_nodes=N,
+                                    node_features=x)
+        deg = np.bincount(dst, minlength=N)
+        assert deg.max() >= 4096
+        enc = HeteroGNNEncoder(
+            hid_dim=16, out_dim=8,
+            node_types=tuple(str(t) for t in g.metadata.node_types),
+            edge_types=tuple(str(t) for t in g.metadata.edge_types),
+            num_layers=2, conv="rgcn", dropout=0.0)
+        params = enc.init(jax.random.PRNGKey(0), {"default": 8},
+                          method="warmup")
+        exporters = {"default": EmbeddingExporter(str(tmp_path / "emb"))}
+        counts = run_full_graph_inference_hetero(enc, params, g, exporters)
+        assert counts["default"] == N
+
+        # Independent numpy 2-layer RGCN (in_proj -> [w_self + w_rel @
+        # mean] x2 -> out_proj), weights read from the flax params.
+        p = jax.tree_util.tree_map(np.asarray, params)["params"]
+
+        def dense(node, h):
+            return h @ node["kernel"] + node.get(
+                "bias", np.zeros(node["kernel"].shape[1]))
+
+        def mean_agg(h):
+            s = np.zeros((N, h.shape[1]), np.float32)
+            np.add.at(s, dst, h[src])
+            c = np.maximum(deg, 1)[:, None]
+            return s / c
+
+        h = dense(p["in_default"], x)
+        for li in range(2):
+            rel_key = [k for k in p[f"conv_{li}"] if k.startswith("w_")
+                       and k != "w_self"][0]
+            h = (dense(p[f"conv_{li}"]["w_self"], h)
+                 + mean_agg(h) @ p[f"conv_{li}"][rel_key]["kernel"])
+        want = dense(p["out_proj"], h)
+        shards = list(read_embedding_shards(str(tmp_path / "emb")))
+        ids = np.concatenate([s[0] for s in shards])
+        embs = np.concatenate([s[1] for s in shards])[np.argsort(ids)]
+        np.testing.assert_allclose(embs[0], want[0], rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(embs[:64], want[:64], rtol=2e-3,
+                                   atol=2e-4)
