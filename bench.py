@@ -168,11 +168,12 @@ def bench_largeN(K=200, N=12_000_000, E=60_000_000):
     own subprocess (main() does): an OOM here poisons every later
     multi-GB allocation in the process.
 
-    Returns (edges_per_s_sorted, edges_per_s_unsorted, gather_ns_per_row)
-    — the partitioned P=1 tabularized trainer step with the sorted-id
-    hydration (the r5 locality remedy, the trainer default at this N)
-    and with it disabled (the r4 baseline, kept as the before/after
-    evidence), plus a plain 8192-row gather on the packed table."""
+    Returns (edges_per_s, edges_per_s_sorted, gather_ns_per_row) — the
+    partitioned P=1 tabularized trainer step (default, unsorted
+    hydration) and with sorted-id hydration (the r4-documented locality
+    remedy — MEASURED NEGATIVE, 0.80x, kept as the before/after
+    evidence; docs/performance.md), plus a plain 8192-row gather on the
+    packed table."""
     import dataclasses
     import time as _t
     import types
@@ -223,8 +224,7 @@ def bench_largeN(K=200, N=12_000_000, E=60_000_000):
                      conv="graphsage", dtype=jnp.bfloat16)
     model = LinkPredictionGNN(encoder=enc, decoder=LinkPredictionDecoder())
     trainer = PartitionedNALPTrainer(model, pg, mesh, cfg,
-                                     capacity_factor=4.0,
-                                     sort_gather_ids=True)
+                                     capacity_factor=4.0)
     # Free the pre-tabularization base table (~N x 136 B int8): the
     # trainer keeps it only for refresh_cache, which this bench never
     # calls — at this N that is ~1.6 GB of HBM back.
@@ -254,15 +254,14 @@ def bench_largeN(K=200, N=12_000_000, E=60_000_000):
         return per_step_edges / best_dt
 
     edges_per_s = rate(trainer)
-    # Before/after evidence for the locality remedy: the r4 baseline
-    # (unsorted hydration) on the same build — pg is already tabularized,
-    # so this adds only a recompile + 2 timing chunks.
-    tr_unsorted = PartitionedNALPTrainer(model, pg_tab, mesh, cfg,
-                                         capacity_factor=4.0,
-                                         sort_gather_ids=False)
-    tr_unsorted.pg_base = None
-    edges_per_s_unsorted = rate(tr_unsorted)
-    del tr_unsorted
+    # Before/after evidence for the r4-documented "sorted hydration"
+    # locality remedy (measured NEGATIVE; same build, recompile only).
+    tr_sorted = PartitionedNALPTrainer(model, pg_tab, mesh, cfg,
+                                       capacity_factor=4.0,
+                                       sort_gather_ids=True)
+    tr_sorted.pg_base = None
+    edges_per_s_sorted = rate(tr_sorted)
+    del tr_sorted
 
     # Plain-gather locality at 20M rows: scan programs of 250/500
     # 8192-row gathers of the packed int8 table, timed by DIFFERENCE so
@@ -296,7 +295,7 @@ def bench_largeN(K=200, N=12_000_000, E=60_000_000):
     _ = int(f_big(table, ids))
     t_big = _t.perf_counter() - t0
     ns_row = max(t_big - t_small, 1e-9) / 250 / 8192 * 1e9
-    return edges_per_s, edges_per_s_unsorted, ns_row
+    return edges_per_s, edges_per_s_sorted, ns_row
 
 
 def _flagship_model_cfg(D=128, R=512, FANOUTS=(15, 10)):
@@ -531,13 +530,13 @@ def main():
     if "--largen" in sys.argv:
         i = sys.argv.index("--largen")
         n, e = int(sys.argv[i + 1]), int(sys.argv[i + 2])
-        eps, eps_uns, ns_row = bench_largeN(N=n, E=e)
+        eps, eps_sorted, ns_row = bench_largeN(N=n, E=e)
         print(json.dumps({
             "metric": "partitioned_tabularized_edges_per_s_largeN",
             "value": round(eps, 1),
             "unit": "edges/s",
             "n_nodes": n,
-            "edges_per_s_unsorted_hydration": round(eps_uns, 1),
+            "edges_per_s_sorted_hydration": round(eps_sorted, 1),
             "gather_ns_per_row_packed_table": round(ns_row, 3),
             "vs_baseline": round(eps / BASELINE_EDGES_PER_S, 4),
         }))

@@ -520,13 +520,15 @@ class PartitionedNALPTrainer:
                  overflow_policy: str = "warn",
                  sort_gather_ids: Optional[bool] = None):
         """``sort_gather_ids``: gather large tables in ascending-id order
-        (inverted by a second small gather) — recovers HBM page locality
-        when the fused table has tens of millions of rows (the r4 large-N
-        cliff, docs/performance.md "Large-N gather locality"). Default
-        None = auto: ON when this is a single-shard mesh AND the table
-        holds >= 2M rows (where the sort pays for itself — see the
-        measured before/after in docs/performance.md), OFF otherwise.
-        P > 1 ignores the flag (counting-sort routing fixes the order)."""
+        (inverted by a second small gather). MEASURED NEGATIVE on v5e and
+        default OFF: at N=12M the sorted step is 0.80x the unsorted one
+        (the two argsorts cost more than any page-locality win — the v5e
+        gather unit shows no measurable sorted-vs-random difference:
+        9.9 ns/row random vs 22.4 sorted incl. sort; docs/performance.md
+        "Large-N gather locality", r5 measurements replacing the r4
+        hypothesis). The flag is kept for experimentation on other
+        topologies. P > 1 always ignores it (counting-sort routing fixes
+        the order)."""
         if getattr(config, "num_random_negs", 0) % int(mesh.shape[axis]):
             raise ValueError("num_random_negs must divide the mesh axis size")
         if (getattr(config, "global_candidate_pool", False)
@@ -542,10 +544,7 @@ class PartitionedNALPTrainer:
         self.axis = axis
         self.cfg = config
         self.num_shards = int(mesh.shape[axis])
-        if sort_gather_ids is None:
-            sort_gather_ids = (self.num_shards == 1
-                               and pgraph.feat_deg.shape[0] >= 2_000_000)
-        self._sort_gather = bool(sort_gather_ids)
+        self._sort_gather = bool(sort_gather_ids)  # measured: keep OFF
         self.capacity_factor = capacity_factor
         self.overflow_policy = overflow_policy
         # Cumulative routed-lookup requests dropped by bucket-capacity

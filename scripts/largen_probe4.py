@@ -107,5 +107,14 @@ def main():
         del tr
 
 
+def main12():
+    tr, _n, _shape = build_trainer(12_000_000, 60_000_000, True, 200)
+    res = run(tr, 12_000_000, K=200)
+    print("12M", {k: round(v, 3) for k, v in res.items()}, flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--12m" in sys.argv:
+        main12()
+    else:
+        main()

@@ -184,6 +184,29 @@ def run_scenario() -> dict:
     out["hetero_partitioned_losses"] = [float(x)
                                         for x in np.asarray(hlosses)]
 
+    # -- TYPED streamed-partitioned: per-process per-NODE-TYPE host
+    # feature shards + the plan/host/apply split of the typed step (the
+    # beyond-HBM typed regime; same seeds as the HBM typed trainer above,
+    # so the losses must be bit-compatible across regimes AND across the
+    # process fabric) ----------------------------------------------------
+    from gigl_tpu.training.streaming_partitioned import (
+        StreamingPartitionedHeteroNALPTrainer,
+    )
+
+    hpg_nofeat = PartitionedHeteroGraph.build(
+        hdg, hpaths, mesh, anchor_node_type="user",
+        features_on_device=False)
+    hspt = StreamingPartitionedHeteroNALPTrainer(
+        hmodel, hpg_nofeat, hpaths, hcfg, mesh, batch_size=32,
+        host_features={nt: np.asarray(f)
+                       for nt, f in hdg.node_features.items()},
+        capacity_factor=8.0, overflow_policy="raise")
+    hs_state = hspt.init_state(jax.random.PRNGKey(4), batch_size=32)
+    hs_state, hs_losses = hspt.run_steps(hs_state, hanchors,
+                                         jax.random.PRNGKey(5))
+    out["hetero_streamed_partitioned_losses"] = [float(x)
+                                                 for x in hs_losses]
+
     # -- halo ring SpMM over the edge-partitioned graph -------------------
     feats = np.asarray(dg.node_features, np.float32)
     agg, _run, _sched = ring_sharded_aggregate(edges, feats, N, mesh,
