@@ -157,16 +157,21 @@ def bench_routed_gather_us(dg, G=8192, D=129):
     return dt * 1e6, dt / G * 1e9
 
 
-def bench_largeN(K=200, N=12_000_000, E=60_000_000):
+def bench_largeN(K=1000, N=12_000_000, E=60_000_000):
     """Large-N single-chip rung: N=12M nodes / E=60M edges / D=128 with
     the int8-packed fused table — the largest shape that reliably fits
     one v5e's HBM alongside the trainer state (20M brushes the HBM limit
-    and OOMs with the state resident, docs/performance.md "Large-N gather
-    locality"). All small-N headline numbers extrapolate gather locality;
-    this measures it at realistic row counts (MAG240M is 244M rows — 20x
-    this, same HBM-page regime vs the 100k-row toy). ALWAYS run in its
-    own subprocess (main() does): an OOM here poisons every later
-    multi-GB allocation in the process.
+    and OOMs with the state resident). MAG240M is 244M rows — 20x this.
+
+    ALWAYS run in its own subprocess (main() does), for two measured
+    reasons (docs/performance.md "Large-N: the r4 cliff was process
+    contamination"): (1) an OOM here poisons every later multi-GB
+    allocation in the process; (2) big programs/buffers compiled EARLIER
+    in the same process inflate this step 3-6x (r4's 87.6M edges/s "10x
+    locality cliff" was exactly this — in a fresh process the 12M step
+    is ~0.5 ms, within ~25-30% of the 100k step; the residual is
+    hydration cache misses, ~3.5 -> ~10 ns/row fwd+bwd). K=1000
+    amortizes the ~28 ms dispatch round trip to 28 us/step.
 
     Returns (edges_per_s, edges_per_s_sorted, gather_ns_per_row) — the
     partitioned P=1 tabularized trainer step (default, unsorted
