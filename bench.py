@@ -361,8 +361,8 @@ def _streamed_partitioned_rate(trainer, N, B, K, warm=8):
                    for sh in plan_out[0].addressable_shards}
         t1 = _t.perf_counter()
         p = trainer.num_shards
-        blocks = {start // p: trainer.host.answer_shard(start // p, ids)
-                  .astype(trainer._answer_np_dtype)
+        blocks = {start // p: trainer._answer_cast(
+                      trainer.host.answer_shard(start // p, ids))
                   for start, ids in recv_np.items()}
         t2 = _t.perf_counter()
         sharding = trainer._NS(trainer.mesh,

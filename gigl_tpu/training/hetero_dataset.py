@@ -122,7 +122,13 @@ class HeteroDeviceGraph:
         supervision_anchor: str = "dst",
         supervision_edge_features: Optional[np.ndarray] = None,  # [Es, De]
         hard_neg_edge_features: Optional[np.ndarray] = None,     # [Eh, De]
+        features_on_device: bool = True,
     ) -> "HeteroDeviceGraph":
+        """``features_on_device=False`` keeps the per-type feature tables
+        as HOST numpy arrays (dims intact, nothing uploaded) — for
+        builders that only need topology + dims, e.g. the typed
+        beyond-HBM route (PartitionedHeteroGraph.build(
+        features_on_device=False) + per-type ShardedHostStores)."""
         needed = {op.csr_key for ops in paths.values() for op in ops}
         # CSRs whose ops sample weighted/top_k carry per-slot edge weights
         # (from the edge-feature column named by the op; ref: weighted
@@ -149,7 +155,9 @@ class HeteroDeviceGraph:
             n = graph.num_nodes[nt]
             f = (graph.node_features[nt] if nt in graph.node_features
                  else np.zeros((n, 1), np.float32))
-            feats[str(nt)] = jnp.asarray(np.asarray(f), dtype=jnp.float32)
+            feats[str(nt)] = (jnp.asarray(np.asarray(f), dtype=jnp.float32)
+                              if features_on_device
+                              else np.asarray(f, np.float32))
         sup_csr = None
         sup_ef = hn_ef = None
         if supervision_edge_features is not None and supervision_edges is None:

@@ -322,6 +322,10 @@ class StreamingNALPTrainer:
             self._stream_np_dtype = ml_dtypes.bfloat16
         elif stream_dtype not in (None, "float32", "f32"):
             raise ValueError(f"unknown stream_dtype {stream_dtype!r}")
+        from gigl_tpu.utils.cast import answer_cast
+
+        # Vectorized f32->bf16 (ml_dtypes astype is a scalar loop).
+        self._stream_cast = answer_cast(self._stream_np_dtype)
         self.mesh = mesh
         self._data_sh = self._repl_sh = None
         if mesh is not None:
@@ -415,8 +419,8 @@ class StreamingNALPTrainer:
                 degs.append(d)
                 parent = mask
             return GroupArrays(
-                feats=tuple(x.astype(dt, copy=False) for x in feats),
-                cached=tuple(x.astype(dt, copy=False) for x in cached),
+                feats=tuple(self._stream_cast(x) for x in feats),
+                cached=tuple(self._stream_cast(x) for x in cached),
                 masks=tuple(masks),
                 degs=tuple(degs),
             )
@@ -432,9 +436,9 @@ class StreamingNALPTrainer:
             masks.append(m)
             frontier, parent = nbr, m
         return GroupArrays(
-            feats=tuple(self.store.features.gather(l).astype(dt)
+            feats=tuple(self._stream_cast(self.store.features.gather(l))
                         for l in levels),
-            cached=tuple(self.store.agg.gather(l).astype(dt)
+            cached=tuple(self._stream_cast(self.store.agg.gather(l))
                          for l in levels),
             masks=tuple(masks),
             degs=tuple(self.store.degrees[l] for l in levels),

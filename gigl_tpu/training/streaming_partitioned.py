@@ -305,6 +305,9 @@ class StreamingPartitionedNALPTrainer:
             self._answer_np_dtype = np.float32
         else:
             raise ValueError(f"unknown answer_dtype {answer_dtype!r}")
+        from gigl_tpu.utils.cast import answer_cast
+
+        self._answer_cast = answer_cast(self._answer_np_dtype)
         self._global_pool = bool(getattr(cfg, "global_candidate_pool",
                                          False))
         self._build_programs()
@@ -659,8 +662,7 @@ class StreamingPartitionedNALPTrainer:
             # index slice(None) — start is None, meaning 0.
             s = int(sh.index[0].start or 0) // p
             ids = np.asarray(sh.data)          # [P, C] global ids
-            blocks[s] = self.host.answer_shard(s, ids).astype(
-                self._answer_np_dtype)
+            blocks[s] = self._answer_cast(self.host.answer_shard(s, ids))
         sharding = self._NS(self.mesh, self._P(self.axis, None, None))
 
         def cb(index):
@@ -973,6 +975,9 @@ class StreamingPartitionedHeteroNALPTrainer(PartitionedHeteroNALPTrainer):
             self._answer_np_dtype = np.float32
         else:
             raise ValueError(f"unknown answer_dtype {answer_dtype!r}")
+        from gigl_tpu.utils.cast import answer_cast
+
+        self._answer_cast = answer_cast(self._answer_np_dtype)
         # Static per-group tree structure (flat-rooted level shapes) and
         # the per-node-type level bucketing — MUST be identical between
         # the plan's routing and the apply's un-slicing.
@@ -1265,9 +1270,8 @@ class StreamingPartitionedHeteroNALPTrainer(PartitionedHeteroNALPTrainer):
             blocks: Dict[int, np.ndarray] = {}
             for sh in recvs[i].addressable_shards:
                 s = int(sh.index[0].start or 0) // p
-                blocks[s] = host.answer_shard(s, np.asarray(sh.data)
-                                              ).astype(
-                    self._answer_np_dtype)
+                blocks[s] = self._answer_cast(
+                    host.answer_shard(s, np.asarray(sh.data)))
             outs.append(jax.make_array_from_callback(
                 (p * p, self._cap[nt], host.width), sharding,
                 (lambda idx, b=blocks: b[int(idx[0].start or 0) // p])))
@@ -1318,6 +1322,93 @@ class StreamingPartitionedHeteroNALPTrainer(PartitionedHeteroNALPTrainer):
         start = int(np.asarray(state.step))
         return self.run_steps(state, list(anchors_kb), rng,
                               start_step=start)
+
+    def _sp_encode_local(self, params, answers, owners, poss, oks,
+                         ids_flat, masks_flat, anchors, pos, pos_mask,
+                         hard, hard_mask, pos_ef, hard_ef, rand, ovf):
+        """Inference encode of the anchor group (reuses the full plan)."""
+        rows_by_nt, _ovf = self._sp_unroute(answers, owners, poss, oks,
+                                            ovf)
+        embs = self._sp_embed_groups(params, rows_by_nt, ids_flat,
+                                     masks_flat, False, None)
+        return embs[0]
+
+    def encode_batch(self, params, node_ids,
+                     node_type: Optional[str] = None) -> np.ndarray:
+        """Streamed-partitioned typed inference encode of the ANCHOR node
+        type (other node types: run a trainer configured with that type
+        as anchor — the plan program's group structure is anchored)."""
+        nt = str(node_type or self.cfg.anchor_node_type)
+        if nt != str(self.cfg.anchor_node_type):
+            raise ValueError(
+                f"encode_batch over the streamed-partitioned backend "
+                f"serves the anchor node type "
+                f"{self.cfg.anchor_node_type!r}; got {nt!r}")
+        if not hasattr(self, "_sp_encode"):
+            from jax.sharding import PartitionSpec as P
+
+            n_ids = sum(len(sp) + 1 for (_n, sp, _s, _t, _r)
+                        in self._groups_static)
+            ids_spec = tuple(P(self.axis) for _ in range(n_ids))
+            n_nt = len(self._nt_order)
+            ans_spec = tuple(P(self.axis, None, None)
+                             for _ in range(n_nt))
+            meta_spec = tuple(P(self.axis) for _ in range(n_nt))
+            self._sp_encode = jax.jit(jax.shard_map(
+                self._sp_encode_local, mesh=self.mesh,
+                in_specs=(P(), ans_spec, meta_spec, meta_spec, meta_spec,
+                          ids_spec, ids_spec, P(self.axis), P(self.axis),
+                          P(self.axis), P(self.axis), P(self.axis),
+                          P(self.axis), P(self.axis), P(), P()),
+                out_specs=P(self.axis),
+                check_vma=False))
+        node_ids = np.asarray(node_ids, np.int32)
+        m = node_ids.shape[0]
+        bs = self.batch_size
+        out = []
+        for s in range(0, m, bs):
+            chunk = node_ids[s: s + bs]
+            pad = np.resize(chunk, bs)
+            plan_out = self._plan_step(pad, 10 ** 6 + s)
+            ans = self._host_answers(plan_out[0])
+            z = self._sp_encode(params, ans, *plan_out[1:])
+            out.append(np.asarray(z)[: len(chunk)])
+        return np.concatenate(out, axis=0)
+
+    def fit(
+        self,
+        state: TrainState,
+        train_anchors: np.ndarray,
+        val_anchors: np.ndarray,
+        *,
+        batch_size: Optional[int] = None,
+        num_epochs: int = 1,
+        val_every_n_batches: int = 100,
+        num_val_batches: int = 8,
+        early_stop_patience: int = 5,
+        log_every: int = 50,
+        scalar_logger=None,
+        checkpoint_dir: Optional[str] = None,
+    ) -> Tuple[TrainState, Dict[str, float]]:
+        """Shared NALP fit contract over the TYPED beyond-HBM backend
+        (val cadence, early stop, checkpoint/auto-resume; frozen sample
+        tables stay fixed for the run — call refresh_tables(hdg, epoch)
+        between fits to resample, mirroring the HBM typed trainer)."""
+        from gigl_tpu.training.fit_loop import nalp_fit_loop
+
+        if batch_size is not None and batch_size != self.batch_size:
+            raise ValueError(
+                f"batch_size {batch_size} != the compiled batch_size "
+                f"{self.batch_size} (fixed at construction)")
+        return nalp_fit_loop(
+            self, state, train_anchors, val_anchors,
+            batch_size=self.batch_size, num_epochs=num_epochs,
+            val_every_n_batches=val_every_n_batches,
+            num_val_batches=num_val_batches,
+            early_stop_patience=early_stop_patience, log_every=log_every,
+            scalar_logger=scalar_logger, checkpoint_dir=checkpoint_dir,
+            num_shards=self.num_shards,
+            fixed_val_batch_size=self.batch_size)
 
     def evaluate(self, params, anchor_batches, step: int = 0
                  ) -> Dict[str, float]:

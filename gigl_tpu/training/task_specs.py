@@ -361,13 +361,22 @@ class NodeAnchorLinkPredictionTaskSpec(BaseTrainer, BaseInferencer):
             num_test=max(1.0 - sp.train_ratio - sp.val_ratio, 0.0))
         self.splits = splitter(np.stack([anchor_row, anchor_row]))
 
+        partitioned = str(args.get("partitioned_backend", "false")
+                          ).lower() in ("1", "true")
+        streamed_part = str(args.get("streaming_partitioned_backend",
+                                     "false")).lower() in ("1", "true")
+        if partitioned and streamed_part:
+            raise ValueError("set only one of partitioned_backend / "
+                             "streaming_partitioned_backend")
         paths = paths_from_config(
             graph, task_config.dataset.sampling, [anchor_nt, cand_nt],
             default_fanouts=_fanouts_from_config(task_config, args))
         device_graph = HeteroDeviceGraph.from_hetero(
             graph, paths, supervision_edge_type=et,
             supervision_edges=np.asarray(sup_edges),
-            supervision_anchor=sup_anchor)
+            supervision_anchor=sup_anchor,
+            # Beyond-HBM typed route: per-type features stay host numpy.
+            features_on_device=not streamed_part)
         encoder = hetero_encoder_from_config(
             args,
             node_types=[str(n) for n in graph.metadata.node_types],
@@ -386,14 +395,64 @@ class NodeAnchorLinkPredictionTaskSpec(BaseTrainer, BaseInferencer):
             margin=float(args.get("margin", 0.5)),
             temperature=float(args.get("temperature", 0.07)),
             seed=int(args.get("seed", sp.seed)),
+            # Typed tabularized fast path (frozen per-op sample tables)
+            # and the ring global candidate pool — both config-driven
+            # like their homogeneous counterparts.
+            tabularized=str(args.get("tabularized", "false")
+                            ).lower() in ("1", "true"),
+            global_candidate_pool=str(
+                args.get("global_candidate_pool", "false")
+            ).lower() in ("1", "true"),
         )
-        self.trainer = HeteroNALPTrainer(model, device_graph, paths, cfg,
-                                         optimizer_args=args)
         # Clamp to the train split (the iterator drops partial batches —
         # a batch size above the split would train zero steps).
-        self._batch_size = max(1, min(
+        batch_size = max(1, min(
             int(args.get("main_sample_batch_size", 512)),
             len(self.splits[0])))
+        if partitioned or streamed_part:
+            # Typed backend dispatch (the hetero half of the
+            # should_run_glt_backend analog, ref pb_wrappers/gbml_config
+            # .py:416-429): HBM-partitioned typed graph, or the typed
+            # beyond-HBM regime (per-node-type sharded HOST stores).
+            import dataclasses as _dc
+
+            from gigl_tpu.parallel.mesh import make_mesh
+            from gigl_tpu.training.dist_hetero import (
+                PartitionedHeteroGraph,
+                PartitionedHeteroNALPTrainer,
+            )
+
+            mesh = make_mesh()
+            n_sh = int(np.prod(list(mesh.shape.values())))
+            cfg = _dc.replace(
+                cfg, num_random_negs=-(-cfg.num_random_negs // n_sh) * n_sh)
+            cf = float(args.get("capacity_factor", 4.0))
+            batch_size = max(n_sh, batch_size // n_sh * n_sh)
+            pgh = PartitionedHeteroGraph.build(
+                device_graph, paths, mesh, anchor_node_type=anchor_nt,
+                features_on_device=not streamed_part)
+            if cfg.tabularized:
+                pgh = pgh.with_sample_tables(device_graph, paths, mesh,
+                                             seed=cfg.seed)
+            if streamed_part:
+                from gigl_tpu.training.streaming_partitioned import (
+                    StreamingPartitionedHeteroNALPTrainer,
+                )
+
+                self.trainer = StreamingPartitionedHeteroNALPTrainer(
+                    model, pgh, paths, cfg, mesh, batch_size=batch_size,
+                    host_features={str(nt): np.asarray(f) for nt, f
+                                   in device_graph.node_features.items()},
+                    optimizer_args=args, capacity_factor=cf,
+                    answer_dtype=str(args.get("answer_dtype", "float32")))
+            else:
+                self.trainer = PartitionedHeteroNALPTrainer(
+                    model, pgh, paths, cfg, mesh, optimizer_args=args,
+                    capacity_factor=cf)
+        else:
+            self.trainer = HeteroNALPTrainer(model, device_graph, paths,
+                                             cfg, optimizer_args=args)
+        self._batch_size = batch_size
         params = state
         if params is None and task_config.trainer.pretrained_model_uri:
             params = restore_params(task_config.trainer.pretrained_model_uri)

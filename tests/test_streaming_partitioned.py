@@ -492,3 +492,40 @@ class TestTypedStreamingPartitioned:
         ev_h = hbm.evaluate(state_h.params, [batches[0]], step=100)
         ev_s = st.evaluate(state_s.params, [batches[0]], step=100)
         assert ev_h["mrr"] == pytest.approx(ev_s["mrr"], rel=2e-4)
+
+
+class TestFastBf16Cast:
+    def test_bit_identical_to_ml_dtypes(self):
+        """The vectorized f32->bf16 cast (utils/cast.py) must be
+        bit-identical to ml_dtypes' own RNE conversion — including
+        subnormals, halfway-rounding cases, infs, and NaN quieting."""
+        import ml_dtypes
+
+        from gigl_tpu.utils.cast import to_bfloat16
+
+        rng = np.random.default_rng(0)
+        x = np.concatenate([
+            rng.standard_normal(100_000).astype(np.float32),
+            rng.standard_normal(1000).astype(np.float32) * 1e-40,
+            rng.standard_normal(1000).astype(np.float32) * 1e38,
+            np.array([0.0, -0.0, np.inf, -np.inf, np.nan,
+                      1.0, 1.0039062, 1.0039063, 1.0078125], np.float32),
+            # exact halfway cases (lower 16 bits == 0x8000)
+            np.array([1, 3, 5, 7], np.uint32).__lshift__(15)
+            .view(np.float32),
+        ])
+        got = to_bfloat16(x).view(np.uint16)
+        want = x.astype(ml_dtypes.bfloat16).view(np.uint16)
+        nan = np.isnan(x)
+        np.testing.assert_array_equal(got[~nan], want[~nan])
+        assert np.isnan(to_bfloat16(x).astype(np.float32)[nan]).all()
+
+    def test_streamed_answers_use_fast_cast(self):
+        import ml_dtypes
+
+        from gigl_tpu.utils.cast import to_bfloat16
+
+        g, _, dg, store = None, None, None, None  # noqa: F841
+        from gigl_tpu.utils.cast import answer_cast
+
+        assert answer_cast(ml_dtypes.bfloat16) is to_bfloat16

@@ -428,3 +428,67 @@ class TestStreamingPartitionedBackendDispatch:
                                   checkpoint_dir=ckpt)
         assert int(np.asarray(state2.step)) >= saved
         assert "mrr" in metrics2
+
+
+class TestHeteroBackendDispatch:
+    """partitioned_backend / streaming_partitioned_backend on the TYPED
+    (hetero) branch of the NALP spec: config-dispatched onto the
+    HBM-partitioned typed trainer or the typed beyond-HBM regime
+    (per-node-type sharded host stores) — the hetero half of the
+    should_run_glt_backend analog."""
+
+    @staticmethod
+    def _cfg(**extra):
+        from gigl_tpu.data.mocking import (
+            BIPARTITE_TOY_GRAPH_LP,
+            get_mocked_graph,
+            mocked_task_config,
+        )
+
+        g = get_mocked_graph(BIPARTITE_TOY_GRAPH_LP)
+        cfg = mocked_task_config(
+            BIPARTITE_TOY_GRAPH_LP, conv="hgt", num_heads=2,
+            random_negative_batch_size=32, **extra)
+        return g, cfg
+
+    def test_partitioned_hetero_dispatch(self):
+        from gigl_tpu.training.dist_hetero import (
+            PartitionedHeteroNALPTrainer,
+        )
+
+        g, cfg = self._cfg(partitioned_backend="true",
+                           capacity_factor="8.0")
+        spec = NodeAnchorLinkPredictionTaskSpec()
+        spec.init_model(cfg, graph=g)
+        assert isinstance(spec.trainer, PartitionedHeteroNALPTrainer)
+        emb = spec.infer_batch(np.arange(5))
+        assert emb.shape == (5, 32)
+
+    def test_streamed_partitioned_hetero_dispatch(self):
+        from gigl_tpu.training.streaming_partitioned import (
+            StreamingPartitionedHeteroNALPTrainer,
+        )
+
+        g, cfg = self._cfg(streaming_partitioned_backend="true",
+                           capacity_factor="8.0")
+        spec = NodeAnchorLinkPredictionTaskSpec()
+        spec.init_model(cfg, graph=g)
+        assert isinstance(spec.trainer,
+                          StreamingPartitionedHeteroNALPTrainer)
+        # Beyond-HBM contract: no device feature shards at all.
+        assert spec.trainer.pg.feats == {}
+        emb = spec.infer_batch(np.arange(5))
+        assert emb.shape == (5, 32)
+
+    @pytest.mark.slow
+    def test_streamed_partitioned_hetero_trains(self):
+        g, cfg = self._cfg(streaming_partitioned_backend="true",
+                           capacity_factor="8.0", num_epochs="6",
+                           val_every_num_batches="3", num_val_batches="2",
+                           tabularized="true")
+        spec = NodeAnchorLinkPredictionTaskSpec()
+        spec.init_model(cfg, graph=g)
+        metrics = spec.train()
+        assert metrics["mrr"] > 0.2, metrics
+        test_metrics = spec.eval("test", num_batches=2)
+        assert "mrr" in test_metrics
