@@ -515,8 +515,12 @@ def _rung_subprocess(args, tries):
 
     for extra in tries:
         cmd = [sys.executable, __file__] + args + [str(x) for x in extra]
-        r = subprocess.run(cmd, capture_output=True, text=True,
-                           timeout=3600)
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=3600)
+        except subprocess.TimeoutExpired:
+            print(f"# rung {args} {extra} timed out", file=sys.stderr)
+            continue
         sys.stderr.write(r.stderr)
         lines = [ln for ln in r.stdout.strip().splitlines()
                  if ln.startswith("{")]

@@ -315,17 +315,11 @@ class StreamingNALPTrainer:
         self.model = model
         self.store = store
         self.cfg = config
-        self._stream_np_dtype = np.float32
-        if stream_dtype in ("bfloat16", "bf16"):
-            import ml_dtypes
-
-            self._stream_np_dtype = ml_dtypes.bfloat16
-        elif stream_dtype not in (None, "float32", "f32"):
-            raise ValueError(f"unknown stream_dtype {stream_dtype!r}")
-        from gigl_tpu.utils.cast import answer_cast
+        from gigl_tpu.utils.cast import answer_cast_from_str
 
         # Vectorized f32->bf16 (ml_dtypes astype is a scalar loop).
-        self._stream_cast = answer_cast(self._stream_np_dtype)
+        self._stream_np_dtype, self._stream_cast = answer_cast_from_str(
+            stream_dtype)
         self.mesh = mesh
         self._data_sh = self._repl_sh = None
         if mesh is not None:

@@ -150,7 +150,191 @@ class ShardedHostStore:
         return out.reshape(np.asarray(global_ids).shape + (self.width,))
 
 
-class StreamingPartitionedNALPTrainer:
+
+class _StreamedStepDriver:
+    """Shared plan/host/apply DRIVER for the streamed-partitioned
+    trainers (homogeneous + typed) — one implementation of the
+    double-buffered step loop, deferred-overflow fold, pipelined eval,
+    wrap-pad inference encode, and the fit contract (r5 review: these
+    ~150 lines were previously near-duplicated per trainer, the same
+    drift risk fit_loop.py exists to prevent).
+
+    Subclasses provide: ``batch_size``, ``cfg``, ``num_shards``,
+    ``_put``, ``_plan_step(anchors, step)`` (async plan dispatch whose
+    first output is the routed request array(s)), ``_host_answers``,
+    the compiled ``_apply`` / ``_apply_eval`` / ``_encode`` programs,
+    and ``_grow_rebuild``. Step shapes are compiled for exactly ONE
+    batch size (``_fixed_batch``): callers wrap-pad partial batches.
+    """
+
+    _fixed_batch = True
+
+    def train_step(self, state: TrainState, anchors, rng: jax.Array,
+                   step: int, *, defer_overflow: bool = False):
+        """One plan -> host-gather -> apply round; ``step`` must be the
+        global step index (drives the draw RNG, matching the HBM
+        trainers' in-scan state.step). ``defer_overflow=True`` returns
+        ``(state, loss, ovf)`` with the overflow count left ON DEVICE
+        (no sync) — used by the pipelined ``run_steps``."""
+        plan_out = self._plan_step(anchors, step)
+        ans = self._host_answers(plan_out[0])
+        state, loss, ovf_t = self._apply(
+            state, ans, *plan_out[1:], self._put(np.asarray(rng)))
+        if defer_overflow:
+            return state, loss, ovf_t
+        apply_overflow_policy(self, int(np.asarray(ovf_t)),
+                              grow_rebuild=self._grow_rebuild)
+        return state, loss
+
+    def run_steps(self, state: TrainState, anchor_batches, rng: jax.Array,
+                  *, start_step: int = 0):
+        """Software-pipelined steps (double-buffered host round trip).
+
+        Step t+1's plan program is dispatched BEFORE step t's host
+        gather, so on the single device queue the order is
+        ``plan_t, plan_{t+1}, apply_t, plan_{t+2}, apply_{t+1}, ...`` —
+        the host gathers step t's answers while the device runs
+        plan_{t+1}, and gathers step t+1's answers while the device
+        runs apply_t. Steady-state step time is max(host_gather,
+        plan+apply) instead of their sum (r4 VERDICT weak 6). Overflow
+        counts stay on device and are folded ONCE at the end of the
+        chunk; losses are likewise fetched once."""
+        n = len(anchor_batches)
+        if n == 0:
+            return state, np.zeros(0, np.float32)
+        rngs = np.asarray(jax.random.split(rng, n))
+        losses, ovfs = [], []
+        plans: List[Any] = [None] * n
+        plans[0] = self._plan_step(anchor_batches[0], start_step)
+        for t in range(n):
+            if t + 1 < n:
+                plans[t + 1] = self._plan_step(anchor_batches[t + 1],
+                                               start_step + t + 1)
+            ans = self._host_answers(plans[t][0])
+            state, loss, ovf = self._apply(
+                state, ans, *plans[t][1:], self._put(rngs[t]))
+            plans[t] = None
+            losses.append(loss)
+            ovfs.append(ovf)
+        total_ovf = int(np.asarray(jax.device_get(ovfs)).sum())
+        apply_overflow_policy(self, total_ovf,
+                              grow_rebuild=self._grow_rebuild)
+        return state, np.asarray([float(x) for x in jax.device_get(losses)])
+
+    def train_steps(self, state: TrainState, anchors_kb, rng: jax.Array
+                    ) -> Tuple[TrainState, np.ndarray]:
+        """Chunked-steps adapter matching the HBM trainers'
+        ``train_steps(state, [K, B] anchors, rng)`` contract (used by
+        the shared fit loop); the global step index resumes from
+        ``state.step`` — one device sync per chunk."""
+        anchors_kb = np.asarray(anchors_kb, np.int32)
+        start = int(np.asarray(state.step))
+        return self.run_steps(state, list(anchors_kb), rng,
+                              start_step=start)
+
+    def evaluate(self, params, anchor_batches, step: int = 0
+                 ) -> Dict[str, float]:
+        """Ranking eval (MRR + hits@k vs the shared random negatives),
+        psum-reduced across shards — same double-buffered pipeline as
+        run_steps; results fetched once at the end."""
+        batches = [np.asarray(a, np.int32) for a in anchor_batches]
+        n = len(batches)
+        rr_t, hits_t, cnt_t, ovf_t = 0.0, None, 0.0, 0
+        if n:
+            plans: List[Any] = [None] * n
+            plans[0] = self._plan_step(batches[0], step)
+            results = []
+            for i in range(n):
+                if i + 1 < n:
+                    plans[i + 1] = self._plan_step(batches[i + 1],
+                                                   step + i + 1)
+                ans = self._host_answers(plans[i][0])
+                results.append(self._apply_eval(
+                    params, ans, *plans[i][1:]))
+                plans[i] = None
+            for rr, hits, cnt, ovf_n in jax.device_get(results):
+                rr_t += float(rr)
+                cnt_t += float(cnt)
+                ovf_t += int(ovf_n)
+                h = np.asarray(hits)
+                hits_t = h if hits_t is None else hits_t + h
+        apply_overflow_policy(self, ovf_t,
+                              grow_rebuild=self._grow_rebuild)
+        cnt_t = max(cnt_t, 1.0)
+        if hits_t is None:
+            hits_t = np.zeros(len(self.cfg.eval_ks))
+        out = {"mrr": rr_t / cnt_t}
+        for i, k in enumerate(self.cfg.eval_ks):
+            out[f"hits@{k}"] = float(hits_t[i]) / cnt_t
+        return out
+
+    def encode_batch(self, params, node_ids) -> np.ndarray:
+        """Streamed-partitioned inference encode: pad to the configured
+        batch size, run plan/host/apply-encode rounds, drop pad rows."""
+        node_ids = np.asarray(node_ids, np.int32)
+        m = node_ids.shape[0]
+        if m == 0:
+            d = getattr(self.model, "encoder", self.model).out_dim
+            return np.zeros((0, d), np.float32)
+        bs = self.batch_size
+        out = []
+        for s in range(0, m, bs):
+            chunk = node_ids[s: s + bs]
+            pad = np.resize(chunk, bs)
+            # Anchors-only plan (r5 review): inference routes and ships
+            # ONLY the anchor tree's rows through the host round trip —
+            # the full training plan would gather ~3x the rows
+            # (positives + random negatives) and discard them.
+            plan_out = self._plan_encode_step(pad)
+            ans = self._host_answers_enc(plan_out[0])
+            z = self._encode(params, ans, *plan_out[1:])
+            out.append(np.asarray(z)[: len(chunk)])
+        return np.concatenate(out, axis=0)
+
+    def _host_answers_enc(self, recv):
+        """Owner-side host gather for the encode plan (same as training
+        by default; the typed trainer narrows to the anchor tree's node
+        types)."""
+        return self._host_answers(recv)
+
+    def fit(
+        self,
+        state: TrainState,
+        train_anchors: np.ndarray,
+        val_anchors: np.ndarray,
+        *,
+        batch_size: Optional[int] = None,
+        num_epochs: int = 1,
+        val_every_n_batches: int = 100,
+        num_val_batches: int = 8,
+        early_stop_patience: int = 5,
+        log_every: int = 50,
+        scalar_logger=None,
+        checkpoint_dir: Optional[str] = None,
+    ) -> Tuple[TrainState, Dict[str, float]]:
+        """Training loop with val cadence + early stopping + checkpoint/
+        auto-resume — the NALP fit contract (ref training_process.py:
+        204-251 semantics) over the beyond-HBM backends, shared with the
+        replicated/HBM-partitioned trainers (training/fit_loop.py).
+        Train AND val batches wrap-pad to ``self.batch_size``."""
+        from gigl_tpu.training.fit_loop import nalp_fit_loop
+
+        if batch_size is not None and batch_size != self.batch_size:
+            raise ValueError(
+                f"batch_size {batch_size} != the compiled batch_size "
+                f"{self.batch_size} (fixed at construction)")
+        return nalp_fit_loop(
+            self, state, train_anchors, val_anchors,
+            batch_size=self.batch_size, num_epochs=num_epochs,
+            val_every_n_batches=val_every_n_batches,
+            num_val_batches=num_val_batches,
+            early_stop_patience=early_stop_patience, log_every=log_every,
+            scalar_logger=scalar_logger, checkpoint_dir=checkpoint_dir,
+            num_shards=self.num_shards,
+            fixed_val_batch_size=self.batch_size)
+
+
+class StreamingPartitionedNALPTrainer(_StreamedStepDriver):
     """NALP trainer: sharded HOST features + routed device lookups.
 
     ``_fixed_batch``: step shapes are compiled for exactly one batch size
@@ -169,8 +353,6 @@ class StreamingPartitionedNALPTrainer:
     their CSR blocks (edge-feature bytes are adjacency-scale, not
     node-feature-scale) and ride the ring loss as the own-block bias.
     """
-
-    _fixed_batch = True
 
     def __init__(self, model, store: HostGraphStore, mesh,
                  config: NALPTrainerConfig, *, batch_size: int,
@@ -277,6 +459,7 @@ class StreamingPartitionedNALPTrainer:
             self._hard_ef = jax.device_put(
                 np.zeros((p, 1, 0), np.float32), ef_sh)
         # Host store: this process's shards only.
+        self._host_auto = host_store is None
         if host_store is None:
             local = sorted({d.process_index for d in mesh.devices.flat})
             if len(local) > 1:
@@ -294,20 +477,18 @@ class StreamingPartitionedNALPTrainer:
         self._union = sum(int(np.prod(s)) for shapes in self._group_shapes
                           for s in shapes)
         self.capacity = request_capacity(self._union, p, capacity_factor)
+        # Anchors-only inference plan: routes just the anchor tree.
+        self._enc_shapes = self._group_shapes[0]
+        self._enc_union = sum(int(np.prod(s)) for s in self._enc_shapes)
+        self.capacity_enc = request_capacity(self._enc_union, p,
+                                             capacity_factor)
         # "bfloat16" halves the host->device answer payload (the streamed
         # path's PCIe bound); the encoder upcasts. Degree counts > 256
         # round in bf16 (only the gcn-normalization weights notice).
-        if answer_dtype in ("bfloat16", "bf16"):
-            import ml_dtypes
+        from gigl_tpu.utils.cast import answer_cast_from_str
 
-            self._answer_np_dtype = ml_dtypes.bfloat16
-        elif answer_dtype in ("float32", "f32"):
-            self._answer_np_dtype = np.float32
-        else:
-            raise ValueError(f"unknown answer_dtype {answer_dtype!r}")
-        from gigl_tpu.utils.cast import answer_cast
-
-        self._answer_cast = answer_cast(self._answer_np_dtype)
+        self._answer_np_dtype, self._answer_cast = answer_cast_from_str(
+            answer_dtype)
         self._global_pool = bool(getattr(cfg, "global_candidate_pool",
                                          False))
         self._build_programs()
@@ -433,7 +614,8 @@ class StreamingPartitionedNALPTrainer:
             out.append((ids_l, m_l))
         return out
 
-    def _embed_groups(self, params, rows, masks_flat, train, rng):
+    def _embed_groups(self, params, rows, masks_flat, train, rng,
+                      group_shapes=None):
         """Split the un-routed fused rows per group/level and encode."""
         d = self.feat_dim
         rows = rows.astype(jnp.float32)
@@ -444,7 +626,8 @@ class StreamingPartitionedNALPTrainer:
         embs = []
         offset = 0
         mi = 0
-        for shapes in self._group_shapes:
+        for shapes in (group_shapes if group_shapes is not None
+                       else self._group_shapes):
             f_l, c_l, m_l, g_l = [], [], [], []
             for s in shapes:
                 n_elem = int(np.prod(s))
@@ -603,15 +786,33 @@ class StreamingPartitionedNALPTrainer:
                 jax.lax.psum(rr_cnt, self.axis),
                 jax.lax.psum(ovf, self.axis))
 
-    def _encode_local(self, params, ans, owner, pos_idx, ok, masks_flat,
-                      anchors, pos, pos_mask, hard, hard_mask, pos_ef,
-                      hard_ef, rand, ovf):
+    def _plan_enc_local(self, tabs, anchors):
+        """Anchors-only plan: tree expansion + routing for the ANCHOR
+        group alone — no batch draws, no negative trees (inference ships
+        ~3x fewer rows through the host round trip than the train plan)."""
+        levels, ovf = self._expand_joint(tabs, anchors.astype(jnp.int32)
+                                         .reshape(-1))
+        del ovf  # dropped expansion rows also zero-mask below
+        ids_flat = jnp.concatenate([l.reshape(-1) for l, _m in levels])
+        masks_flat = tuple(m for _l, m in levels)
+        req, owner, pos_idx, ok = _route_requests(
+            ids_flat.astype(jnp.int32), self.rows_per_shard,
+            self.num_shards, self.capacity_enc)
+        recv = jax.lax.all_to_all(req, self.axis, 0, 0, tiled=True)
+        return recv, owner, pos_idx, ok, masks_flat
+
+    def _encode_local(self, params, ans, owner, pos_idx, ok, masks_flat):
         """Inference encode of the anchor group (plan/host/apply split of
-        PartitionedNALPTrainer.encode_batch)."""
+        PartitionedNALPTrainer.encode_batch; fed by _plan_enc_local)."""
         back = jax.lax.all_to_all(ans, self.axis, 0, 0, tiled=True)
         rows, _ok_req = _unroute(back, owner, pos_idx, ok)
-        embs = self._embed_groups(params, rows, masks_flat, False, None)
+        embs = self._embed_groups(params, rows, masks_flat, False, None,
+                                  group_shapes=[self._enc_shapes])
         return embs[0]
+
+    def _plan_encode_step(self, anchors):
+        anchors = np.asarray(anchors, np.int32)
+        return self._plan_enc(self._tabs, self._put(anchors, self.axis))
 
     def _build_programs(self) -> None:
         P, mesh, axis = self._P, self.mesh, self.axis
@@ -642,11 +843,17 @@ class StreamingPartitionedNALPTrainer:
                       P(axis), P(axis), P(axis), P(), P()),
             out_specs=(P(), P(), P(), P()),
             check_vma=False))
+        enc_masks_spec = tuple(P(axis) for _ in range(n_levels))
+        self._plan_enc = jax.jit(jax.shard_map(
+            self._plan_enc_local, mesh=mesh,
+            in_specs=(tabs_spec, P(axis)),
+            out_specs=(P(axis, None), P(axis), P(axis), P(axis),
+                       enc_masks_spec),
+            check_vma=False))
         self._encode = jax.jit(jax.shard_map(
             self._encode_local, mesh=mesh,
             in_specs=(P(), P(axis, None, None), P(axis), P(axis), P(axis),
-                      masks_spec, P(axis), P(axis), P(axis), P(axis),
-                      P(axis), P(axis), P(axis), P(), P()),
+                      enc_masks_spec),
             out_specs=P(axis),
             check_vma=False))
 
@@ -655,7 +862,8 @@ class StreamingPartitionedNALPTrainer:
         """Owner-side gather on HOST: each addressable shard's received
         request ids are answered from this process's host store rows; the
         answers re-enter the mesh as one [P*P, C, W] sharded array."""
-        p, cap, w = self.num_shards, self.capacity, self.host.width
+        p, w = self.num_shards, self.host.width
+        cap = recv.shape[1]
         blocks: Dict[int, np.ndarray] = {}
         for sh in recv.addressable_shards:
             # A 1-device mesh yields the full array as one shard with
@@ -727,29 +935,12 @@ class StreamingPartitionedNALPTrainer:
             self._put(anchors, self.axis),
             self._put(np.asarray(step, np.int32)))
 
-    def train_step(self, state: TrainState, anchors, rng: jax.Array,
-                   step: int, *, defer_overflow: bool = False):
-        """One plan -> host-gather -> apply round; ``step`` must be the
-        global step index (drives the draw RNG, matching the HBM
-        trainer's in-scan state.step).
-
-        ``defer_overflow=True`` returns ``(state, loss, ovf)`` with the
-        overflow count left ON DEVICE (no sync) — used by the pipelined
-        ``run_steps``, which folds the counts once per chunk. The default
-        syncs and applies the overflow policy per step."""
-        plan_out = self._plan_step(anchors, step)
-        ans = self._host_answers(plan_out[0])
-        state, loss, ovf_t = self._apply(
-            state, ans, *plan_out[1:], self._put(np.asarray(rng)))
-        if defer_overflow:
-            return state, loss, ovf_t
-        apply_overflow_policy(self, int(np.asarray(ovf_t)),
-                              grow_rebuild=self._grow_rebuild)
-        return state, loss
-
     def _grow_rebuild(self) -> None:
         self.capacity = request_capacity(self._union, self.num_shards,
                                          self.capacity_factor)
+        self.capacity_enc = request_capacity(self._enc_union,
+                                             self.num_shards,
+                                             self.capacity_factor)
         self._build_programs()
 
     def refresh_cache(self, epoch: int = 0) -> None:
@@ -758,6 +949,12 @@ class StreamingPartitionedNALPTrainer:
         seed schedule as the HBM trainers (dist_sampled.py refresh_cache).
         Rebuilds the device sample tables AND the fused host store; array
         shapes are unchanged, so no recompile."""
+        if not self._host_auto:
+            raise ValueError(
+                "refresh_cache over a constructor-supplied host_store "
+                "would rebuild it from store.refresh() and discard the "
+                "custom layout; rebuild the ShardedHostStore yourself "
+                "and construct a new trainer (or pass host_store=None)")
         self.store.refresh(
             fanouts=tuple(self.cfg.fanouts),
             seed=self.cfg.seed + 1_299_709 * epoch,
@@ -777,150 +974,8 @@ class StreamingPartitionedNALPTrainer:
         self.host = ShardedHostStore.from_host_store(
             self.store, num_shards=p, local_shards=self.host.local_shards)
 
-    def train_steps(self, state: TrainState, anchors_kb, rng: jax.Array
-                    ) -> Tuple[TrainState, np.ndarray]:
-        """Chunked-steps adapter matching the HBM trainers'
-        ``train_steps(state, [K, B] anchors, rng)`` contract (used by the
-        shared fit loop); the global step index resumes from
-        ``state.step`` — one device sync per chunk."""
-        anchors_kb = np.asarray(anchors_kb, np.int32)
-        start = int(np.asarray(state.step))
-        return self.run_steps(state, list(anchors_kb), rng,
-                              start_step=start)
-
-    def encode_batch(self, params, node_ids) -> np.ndarray:
-        """Streamed-partitioned inference encode: pad to the configured
-        batch size, run plan/host/apply-encode rounds, drop pad rows."""
-        node_ids = np.asarray(node_ids, np.int32)
-        m = node_ids.shape[0]
-        bs = self.batch_size
-        out = []
-        for s in range(0, m, bs):
-            chunk = node_ids[s: s + bs]
-            pad = np.resize(chunk, bs)
-            plan_out = self._plan_step(pad, 10 ** 6 + s)
-            ans = self._host_answers(plan_out[0])
-            z = self._encode(params, ans, *plan_out[1:])
-            out.append(np.asarray(z)[: len(chunk)])
-        return np.concatenate(out, axis=0)
-
-    def fit(
-        self,
-        state: TrainState,
-        train_anchors: np.ndarray,
-        val_anchors: np.ndarray,
-        *,
-        batch_size: Optional[int] = None,
-        num_epochs: int = 1,
-        val_every_n_batches: int = 100,
-        num_val_batches: int = 8,
-        early_stop_patience: int = 5,
-        log_every: int = 50,
-        scalar_logger=None,
-        checkpoint_dir: Optional[str] = None,
-    ) -> Tuple[TrainState, Dict[str, float]]:
-        """Training loop with val cadence + early stopping + checkpoint/
-        auto-resume — the NALP fit contract (ref training_process.py:
-        204-251 semantics) over the beyond-HBM streamed-partitioned
-        backend, shared with the replicated/HBM-partitioned trainers
-        (training/fit_loop.py). The step shapes are compiled for ONE
-        batch size, so train AND val batches are padded (by wrap) to
-        ``self.batch_size``."""
-        from gigl_tpu.training.fit_loop import nalp_fit_loop
-
-        if batch_size is not None and batch_size != self.batch_size:
-            raise ValueError(
-                f"batch_size {batch_size} != the compiled batch_size "
-                f"{self.batch_size} (fixed at construction)")
-        return nalp_fit_loop(
-            self, state, train_anchors, val_anchors,
-            batch_size=self.batch_size, num_epochs=num_epochs,
-            val_every_n_batches=val_every_n_batches,
-            num_val_batches=num_val_batches,
-            early_stop_patience=early_stop_patience, log_every=log_every,
-            scalar_logger=scalar_logger, checkpoint_dir=checkpoint_dir,
-            num_shards=self.num_shards,
-            fixed_val_batch_size=self.batch_size)
-
-    def evaluate(self, params, anchor_batches, step: int = 0
-                 ) -> Dict[str, float]:
-        """Ranking eval (MRR + hits@k vs the shared random negatives) over
-        the streamed-partitioned path — one plan/host/apply-eval round per
-        batch; metrics psum-reduced across shards."""
-        batches = [np.asarray(a, np.int32) for a in anchor_batches]
-        n = len(batches)
-        rr_t, hits_t, cnt_t, ovf_t = 0.0, None, 0.0, 0
-        if n == 0:
-            pass
-        else:
-            # Same double-buffered pipeline as run_steps: plan i+1 is on
-            # the device queue before batch i's host gather, and results
-            # are fetched once at the end.
-            plans: List[Any] = [None] * n
-            plans[0] = self._plan_step(batches[0], step)
-            results = []
-            for i in range(n):
-                if i + 1 < n:
-                    plans[i + 1] = self._plan_step(batches[i + 1],
-                                                   step + i + 1)
-                ans = self._host_answers(plans[i][0])
-                results.append(self._apply_eval(
-                    params, ans, *plans[i][1:]))
-                plans[i] = None
-            for rr, hits, cnt, ovf_n in jax.device_get(results):
-                rr_t += float(rr)
-                cnt_t += float(cnt)
-                ovf_t += int(ovf_n)
-                h = np.asarray(hits)
-                hits_t = h if hits_t is None else hits_t + h
-        apply_overflow_policy(self, ovf_t,
-                              grow_rebuild=self._grow_rebuild)
-        cnt_t = max(cnt_t, 1.0)
-        if hits_t is None:
-            hits_t = np.zeros(len(self.cfg.eval_ks))
-        out = {"mrr": rr_t / cnt_t}
-        for i, k in enumerate(self.cfg.eval_ks):
-            out[f"hits@{k}"] = float(hits_t[i]) / cnt_t
-        return out
-
-    def run_steps(self, state: TrainState, anchor_batches, rng: jax.Array,
-                  *, start_step: int = 0):
-        """Software-pipelined steps (double-buffered host round trip).
-
-        Step t+1's plan program is dispatched BEFORE step t's host gather,
-        so on the single device queue the order is
-        ``plan_t, plan_{t+1}, apply_t, plan_{t+2}, apply_{t+1}, ...`` —
-        the host gathers step t's answers while the device runs
-        plan_{t+1}, and gathers step t+1's answers while the device runs
-        apply_t. Steady-state step time is max(host_gather, plan+apply)
-        instead of their sum (r4 VERDICT weak 6). Overflow counts stay on
-        device and are folded ONCE at the end of the chunk (a per-step
-        ``int(ovf)`` sync would re-serialize the pipeline); losses are
-        likewise fetched once."""
-        n = len(anchor_batches)
-        if n == 0:
-            return state, np.zeros(0, np.float32)
-        rngs = np.asarray(jax.random.split(rng, n))
-        losses, ovfs = [], []
-        plans: List[Any] = [None] * n
-        plans[0] = self._plan_step(anchor_batches[0], start_step)
-        for t in range(n):
-            if t + 1 < n:
-                plans[t + 1] = self._plan_step(anchor_batches[t + 1],
-                                               start_step + t + 1)
-            ans = self._host_answers(plans[t][0])
-            state, loss, ovf = self._apply(
-                state, ans, *plans[t][1:], self._put(rngs[t]))
-            plans[t] = None
-            losses.append(loss)
-            ovfs.append(ovf)
-        total_ovf = int(np.asarray(jax.device_get(ovfs)).sum())
-        apply_overflow_policy(self, total_ovf,
-                              grow_rebuild=self._grow_rebuild)
-        return state, np.asarray([float(x) for x in jax.device_get(losses)])
-
-
-class StreamingPartitionedHeteroNALPTrainer(PartitionedHeteroNALPTrainer):
+class StreamingPartitionedHeteroNALPTrainer(_StreamedStepDriver,
+                                            PartitionedHeteroNALPTrainer):
     """TYPED beyond-HBM composition: per-NODE-TYPE sharded HOST feature
     stores + routed device lookups (the typed analog of
     StreamingPartitionedNALPTrainer; ref per-type Feature stores,
@@ -945,8 +1000,6 @@ class StreamingPartitionedHeteroNALPTrainer(PartitionedHeteroNALPTrainer):
     counter-RNG keying, same frozen tables), so loss trajectories match
     exactly (tests/test_streaming_partitioned.py typed parity)."""
 
-    _fixed_batch = True
-
     def __init__(self, model, pgraph, paths, config, mesh, *,
                  batch_size: int,
                  host_features: Optional[Dict[str, np.ndarray]] = None,
@@ -967,17 +1020,10 @@ class StreamingPartitionedHeteroNALPTrainer(PartitionedHeteroNALPTrainer):
             raise ValueError(f"batch_size {batch_size} not divisible by "
                              f"{p} shards")
         self.batch_size = batch_size
-        if answer_dtype in ("bfloat16", "bf16"):
-            import ml_dtypes
+        from gigl_tpu.utils.cast import answer_cast_from_str
 
-            self._answer_np_dtype = ml_dtypes.bfloat16
-        elif answer_dtype in ("float32", "f32"):
-            self._answer_np_dtype = np.float32
-        else:
-            raise ValueError(f"unknown answer_dtype {answer_dtype!r}")
-        from gigl_tpu.utils.cast import answer_cast
-
-        self._answer_cast = answer_cast(self._answer_np_dtype)
+        self._answer_np_dtype, self._answer_cast = answer_cast_from_str(
+            answer_dtype)
         # Static per-group tree structure (flat-rooted level shapes) and
         # the per-node-type level bucketing — MUST be identical between
         # the plan's routing and the apply's un-slicing.
@@ -1012,6 +1058,21 @@ class StreamingPartitionedHeteroNALPTrainer(PartitionedHeteroNALPTrainer):
         self._cap = {nt: request_capacity(self._union[nt], p,
                                           capacity_factor)
                      for nt in self._nt_order}
+        # Anchors-only inference plan: bucket just group 0's levels.
+        enc_types = self._groups_static[0][3]
+        by_type_enc: Dict[str, List[Tuple[int, int]]] = {}
+        for l_i, lt in enumerate(enc_types):
+            by_type_enc.setdefault(lt, []).append((0, l_i))
+        self._enc_nt_order = tuple(sorted(by_type_enc))
+        self._enc_nt_levels = {nt: tuple(by_type_enc[nt])
+                               for nt in self._enc_nt_order}
+        self._enc_union = {
+            nt: sum(int(np.prod(self._groups_static[t][2][l]))
+                    for (t, l) in self._enc_nt_levels[nt])
+            for nt in self._enc_nt_order}
+        self._enc_cap = {nt: request_capacity(self._enc_union[nt], p,
+                                              capacity_factor)
+                         for nt in self._enc_nt_order}
         # Per-node-type host stores: this process's shards only.
         if host_stores is None:
             if host_features is None:
@@ -1089,16 +1150,21 @@ class StreamingPartitionedHeteroNALPTrainer(PartitionedHeteroNALPTrainer):
                 pos_ef, hard_ef, batch.random_neg, ovf)
 
     def _sp_embed_groups(self, params, rows_by_nt, ids_flat, masks_flat,
-                         train, rng):
+                         train, rng, groups_static=None, nt_order=None,
+                         nt_levels=None):
         from gigl_tpu.sampling.hetero_sampler import TypedBlocks
 
+        groups_static = (groups_static if groups_static is not None
+                         else self._groups_static)
+        nt_order = nt_order if nt_order is not None else self._nt_order
+        nt_levels = nt_levels if nt_levels is not None else self._nt_levels
         gathered: Dict[Tuple[int, int], jnp.ndarray] = {}
-        for i, nt in enumerate(self._nt_order):
+        for i, nt in enumerate(nt_order):
             rows = rows_by_nt[i].astype(jnp.float32)
             d = self.pg.feat_dims[nt]
             off = 0
-            for (t, l) in self._nt_levels[nt]:
-                shape = self._groups_static[t][2][l]
+            for (t, l) in nt_levels[nt]:
+                shape = groups_static[t][2][l]
                 n_elem = int(np.prod(shape))
                 gathered[(t, l)] = rows[off: off + n_elem].reshape(
                     shape + (d,))
@@ -1107,7 +1173,7 @@ class StreamingPartitionedHeteroNALPTrainer(PartitionedHeteroNALPTrainer):
         embs = []
         idx = 0
         for t, (nt, spec, shapes, _types, root_shape) in enumerate(
-                self._groups_static):
+                groups_static):
             n_l = len(spec) + 1
             blocks = TypedBlocks(
                 root_node_type=nt, spec=spec,
@@ -1123,7 +1189,7 @@ class StreamingPartitionedHeteroNALPTrainer(PartitionedHeteroNALPTrainer):
 
     def _sp_unroute(self, answers, owners, poss, oks, ovf):
         rows_by_nt = []
-        for i in range(len(self._nt_order)):
+        for i in range(len(answers)):
             back = jax.lax.all_to_all(answers[i], self.axis, 0, 0,
                                       tiled=True)
             rows, ok_req = _unroute(back, owners[i], poss[i], oks[i])
@@ -1233,22 +1299,50 @@ class StreamingPartitionedHeteroNALPTrainer(PartitionedHeteroNALPTrainer):
         common = (ans_spec, meta_spec, meta_spec, meta_spec, ids_spec,
                   ids_spec, P(axis), P(axis), P(axis), P(axis), P(axis),
                   P(axis), P(axis), P(), P())
-        self._sp_apply = jax.jit(jax.shard_map(
+        self._apply = jax.jit(jax.shard_map(
             self._sp_apply_local, mesh=mesh,
             in_specs=(P(),) + common + (P(),),
             out_specs=(P(), P(), P()),
             check_vma=False), donate_argnums=(0,))
-        self._sp_eval = jax.jit(jax.shard_map(
+        self._apply_eval = jax.jit(jax.shard_map(
             self._sp_eval_local, mesh=mesh,
             in_specs=(P(),) + common,
             out_specs=(P(), P(), P(), P()),
             check_vma=False))
 
-    def _sp_grow_rebuild(self) -> None:
+        n_enc_ids = len(self._groups_static[0][1]) + 1
+        enc_ids_spec = tuple(P(axis) for _ in range(n_enc_ids))
+        n_enc_nt = len(self._enc_nt_order)
+        enc_meta = tuple(P(axis) for _ in range(n_enc_nt))
+        self._plan_enc = jax.jit(jax.shard_map(
+            self._sp_plan_enc_local, mesh=mesh,
+            in_specs=({k: P(axis, None) for k in pg.csr_ip},
+                      {k: P(axis, None) for k in pg.csr_ix},
+                      {k: P(axis, None) for k in (pg.csr_w or {})},
+                      {k: P(axis) for k in (pg.sample_tables or {})},
+                      P(axis)),
+            out_specs=(tuple(P(axis, None) for _ in range(n_enc_nt)),
+                       enc_meta, enc_meta, enc_meta,
+                       enc_ids_spec, enc_ids_spec),
+            check_vma=False))
+        self._encode = jax.jit(jax.shard_map(
+            self._sp_encode_local, mesh=mesh,
+            in_specs=(P(),
+                      tuple(P(axis, None, None) for _ in range(n_enc_nt)),
+                      enc_meta, enc_meta, enc_meta,
+                      enc_ids_spec, enc_ids_spec),
+            out_specs=P(axis),
+            check_vma=False))
+
+    def _grow_rebuild(self) -> None:
         self._cap = {nt: request_capacity(self._union[nt],
                                           self.num_shards,
                                           self.capacity_factor)
                      for nt in self._nt_order}
+        self._enc_cap = {nt: request_capacity(self._enc_union[nt],
+                                              self.num_shards,
+                                              self.capacity_factor)
+                         for nt in self._enc_nt_order}
         self._build_sp_programs()
 
     # -- host round + drivers ----------------------------------------------
@@ -1261,183 +1355,84 @@ class StreamingPartitionedHeteroNALPTrainer(PartitionedHeteroNALPTrainer):
         return self._sp_plan(*ga, self._put(anchors, self.axis),
                              self._put(np.asarray(step, np.int32)))
 
-    def _host_answers(self, recvs) -> Tuple[jax.Array, ...]:
+    def _host_answers(self, recvs, nt_order=None) -> Tuple[jax.Array, ...]:
         p = self.num_shards
         outs = []
         sharding = self._NS(self.mesh, self._P(self.axis, None, None))
-        for i, nt in enumerate(self._nt_order):
+        for i, nt in enumerate(nt_order if nt_order is not None
+                               else self._nt_order):
             host = self._host[nt]
+            cap = recvs[i].shape[1]
             blocks: Dict[int, np.ndarray] = {}
             for sh in recvs[i].addressable_shards:
                 s = int(sh.index[0].start or 0) // p
                 blocks[s] = self._answer_cast(
                     host.answer_shard(s, np.asarray(sh.data)))
             outs.append(jax.make_array_from_callback(
-                (p * p, self._cap[nt], host.width), sharding,
+                (p * p, cap, host.width), sharding,
                 (lambda idx, b=blocks: b[int(idx[0].start or 0) // p])))
         return tuple(outs)
 
-    def train_step(self, state: TrainState, anchors, rng: jax.Array,
-                   step: int, *, defer_overflow: bool = False):
-        plan_out = self._plan_step(anchors, step)
-        ans = self._host_answers(plan_out[0])
-        state, loss, ovf_t = self._sp_apply(
-            state, ans, *plan_out[1:], self._put(np.asarray(rng)))
-        if defer_overflow:
-            return state, loss, ovf_t
-        apply_overflow_policy(self, int(np.asarray(ovf_t)),
-                              grow_rebuild=self._sp_grow_rebuild)
-        return state, loss
-
-    def run_steps(self, state: TrainState, anchor_batches, rng: jax.Array,
-                  *, start_step: int = 0):
-        """Software-pipelined (see StreamingPartitionedNALPTrainer
-        .run_steps): plan t+1 is on the device queue before step t's host
-        gather; overflow/losses fetched once per chunk."""
-        n = len(anchor_batches)
-        if n == 0:
-            return state, np.zeros(0, np.float32)
-        rngs = np.asarray(jax.random.split(rng, n))
-        losses, ovfs = [], []
-        plans: List[Any] = [None] * n
-        plans[0] = self._plan_step(anchor_batches[0], start_step)
-        for t in range(n):
-            if t + 1 < n:
-                plans[t + 1] = self._plan_step(anchor_batches[t + 1],
-                                               start_step + t + 1)
-            ans = self._host_answers(plans[t][0])
-            state, loss, ovf = self._sp_apply(
-                state, ans, *plans[t][1:], self._put(rngs[t]))
-            plans[t] = None
-            losses.append(loss)
-            ovfs.append(ovf)
-        total_ovf = int(np.asarray(jax.device_get(ovfs)).sum())
-        apply_overflow_policy(self, total_ovf,
-                              grow_rebuild=self._sp_grow_rebuild)
-        return state, np.asarray([float(x) for x in jax.device_get(losses)])
-
-    def train_steps(self, state: TrainState, anchors_kb, rng: jax.Array
-                    ) -> Tuple[TrainState, np.ndarray]:
-        anchors_kb = np.asarray(anchors_kb, np.int32)
-        start = int(np.asarray(state.step))
-        return self.run_steps(state, list(anchors_kb), rng,
-                              start_step=start)
+    def _sp_plan_enc_local(self, ip_l, ix_l, w_l, tabs, anchors):
+        """Anchors-only typed plan: one tree, routed per node type —
+        inference ships only the anchor tree's rows host-side."""
+        ip_l = self._squeeze_csr(ip_l)
+        ix_l = self._squeeze_csr(ix_l)
+        w_l = self._squeeze_csr(w_l)
+        nt0, spec, _sh, _ty, _rs = self._groups_static[0]
+        blocks, _ovf = self._sample_tree(
+            ip_l, ix_l, w_l, tabs, anchors.astype(jnp.int32).reshape(-1),
+            nt0, spec, self.cfg.seed)
+        ids_flat = tuple(blocks.node_ids)
+        masks_flat = tuple(blocks.masks)
+        recvs, owners, poss, oks = [], [], [], []
+        for nt in self._enc_nt_order:
+            flat = jnp.concatenate(
+                [blocks.node_ids[l].reshape(-1)
+                 for (_t, l) in self._enc_nt_levels[nt]])
+            req, owner, pos_idx, ok = _route_requests(
+                flat.astype(jnp.int32), self.pg.rows[nt],
+                self.num_shards, self._enc_cap[nt])
+            recvs.append(jax.lax.all_to_all(req, self.axis, 0, 0,
+                                            tiled=True))
+            owners.append(owner)
+            poss.append(pos_idx)
+            oks.append(ok)
+        return (tuple(recvs), tuple(owners), tuple(poss), tuple(oks),
+                ids_flat, masks_flat)
 
     def _sp_encode_local(self, params, answers, owners, poss, oks,
-                         ids_flat, masks_flat, anchors, pos, pos_mask,
-                         hard, hard_mask, pos_ef, hard_ef, rand, ovf):
-        """Inference encode of the anchor group (reuses the full plan)."""
-        rows_by_nt, _ovf = self._sp_unroute(answers, owners, poss, oks,
-                                            ovf)
-        embs = self._sp_embed_groups(params, rows_by_nt, ids_flat,
-                                     masks_flat, False, None)
+                         ids_flat, masks_flat):
+        """Inference encode of the anchor group (fed by the anchors-only
+        plan)."""
+        rows_by_nt, _ovf = self._sp_unroute(
+            answers, owners, poss, oks, jnp.zeros((), jnp.int32))
+        embs = self._sp_embed_groups(
+            params, rows_by_nt, ids_flat, masks_flat, False, None,
+            groups_static=self._groups_static[:1],
+            nt_order=self._enc_nt_order, nt_levels=self._enc_nt_levels)
         return embs[0]
+
+    def _plan_encode_step(self, anchors):
+        anchors = np.asarray(anchors, np.int32)
+        ga = self._graph_args()
+        return self._plan_enc(ga[1], ga[2], ga[3], ga[10],
+                              self._put(anchors, self.axis))
+
+    def _host_answers_enc(self, recvs):
+        return self._host_answers(recvs, nt_order=self._enc_nt_order)
 
     def encode_batch(self, params, node_ids,
                      node_type: Optional[str] = None) -> np.ndarray:
         """Streamed-partitioned typed inference encode of the ANCHOR node
         type (other node types: run a trainer configured with that type
-        as anchor — the plan program's group structure is anchored)."""
+        as anchor — the plan program's group structure is anchored);
+        loop shared with the homogeneous trainer (_StreamedStepDriver)."""
         nt = str(node_type or self.cfg.anchor_node_type)
         if nt != str(self.cfg.anchor_node_type):
             raise ValueError(
                 f"encode_batch over the streamed-partitioned backend "
                 f"serves the anchor node type "
                 f"{self.cfg.anchor_node_type!r}; got {nt!r}")
-        if not hasattr(self, "_sp_encode"):
-            from jax.sharding import PartitionSpec as P
+        return _StreamedStepDriver.encode_batch(self, params, node_ids)
 
-            n_ids = sum(len(sp) + 1 for (_n, sp, _s, _t, _r)
-                        in self._groups_static)
-            ids_spec = tuple(P(self.axis) for _ in range(n_ids))
-            n_nt = len(self._nt_order)
-            ans_spec = tuple(P(self.axis, None, None)
-                             for _ in range(n_nt))
-            meta_spec = tuple(P(self.axis) for _ in range(n_nt))
-            self._sp_encode = jax.jit(jax.shard_map(
-                self._sp_encode_local, mesh=self.mesh,
-                in_specs=(P(), ans_spec, meta_spec, meta_spec, meta_spec,
-                          ids_spec, ids_spec, P(self.axis), P(self.axis),
-                          P(self.axis), P(self.axis), P(self.axis),
-                          P(self.axis), P(self.axis), P(), P()),
-                out_specs=P(self.axis),
-                check_vma=False))
-        node_ids = np.asarray(node_ids, np.int32)
-        m = node_ids.shape[0]
-        bs = self.batch_size
-        out = []
-        for s in range(0, m, bs):
-            chunk = node_ids[s: s + bs]
-            pad = np.resize(chunk, bs)
-            plan_out = self._plan_step(pad, 10 ** 6 + s)
-            ans = self._host_answers(plan_out[0])
-            z = self._sp_encode(params, ans, *plan_out[1:])
-            out.append(np.asarray(z)[: len(chunk)])
-        return np.concatenate(out, axis=0)
-
-    def fit(
-        self,
-        state: TrainState,
-        train_anchors: np.ndarray,
-        val_anchors: np.ndarray,
-        *,
-        batch_size: Optional[int] = None,
-        num_epochs: int = 1,
-        val_every_n_batches: int = 100,
-        num_val_batches: int = 8,
-        early_stop_patience: int = 5,
-        log_every: int = 50,
-        scalar_logger=None,
-        checkpoint_dir: Optional[str] = None,
-    ) -> Tuple[TrainState, Dict[str, float]]:
-        """Shared NALP fit contract over the TYPED beyond-HBM backend
-        (val cadence, early stop, checkpoint/auto-resume; frozen sample
-        tables stay fixed for the run — call refresh_tables(hdg, epoch)
-        between fits to resample, mirroring the HBM typed trainer)."""
-        from gigl_tpu.training.fit_loop import nalp_fit_loop
-
-        if batch_size is not None and batch_size != self.batch_size:
-            raise ValueError(
-                f"batch_size {batch_size} != the compiled batch_size "
-                f"{self.batch_size} (fixed at construction)")
-        return nalp_fit_loop(
-            self, state, train_anchors, val_anchors,
-            batch_size=self.batch_size, num_epochs=num_epochs,
-            val_every_n_batches=val_every_n_batches,
-            num_val_batches=num_val_batches,
-            early_stop_patience=early_stop_patience, log_every=log_every,
-            scalar_logger=scalar_logger, checkpoint_dir=checkpoint_dir,
-            num_shards=self.num_shards,
-            fixed_val_batch_size=self.batch_size)
-
-    def evaluate(self, params, anchor_batches, step: int = 0
-                 ) -> Dict[str, float]:
-        batches = [np.asarray(a, np.int32) for a in anchor_batches]
-        n = len(batches)
-        rr_t, hits_t, cnt_t, ovf_t = 0.0, None, 0.0, 0
-        if n:
-            plans: List[Any] = [None] * n
-            plans[0] = self._plan_step(batches[0], step)
-            results = []
-            for i in range(n):
-                if i + 1 < n:
-                    plans[i + 1] = self._plan_step(batches[i + 1],
-                                                   step + i + 1)
-                ans = self._host_answers(plans[i][0])
-                results.append(self._sp_eval(params, ans, *plans[i][1:]))
-                plans[i] = None
-            for rr, hits, cnt, ovf_n in jax.device_get(results):
-                rr_t += float(rr)
-                cnt_t += float(cnt)
-                ovf_t += int(ovf_n)
-                h = np.asarray(hits)
-                hits_t = h if hits_t is None else hits_t + h
-        apply_overflow_policy(self, ovf_t,
-                              grow_rebuild=self._sp_grow_rebuild)
-        cnt_t = max(cnt_t, 1.0)
-        if hits_t is None:
-            hits_t = np.zeros(len(self.cfg.eval_ks))
-        out = {"mrr": rr_t / cnt_t}
-        for i, k in enumerate(self.cfg.eval_ks):
-            out[f"hits@{k}"] = float(hits_t[i]) / cnt_t
-        return out

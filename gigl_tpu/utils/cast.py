@@ -39,3 +39,17 @@ def answer_cast(np_dtype):
     if np_dtype == ml_dtypes.bfloat16:
         return to_bfloat16
     return lambda x: np.ascontiguousarray(x, np_dtype)
+
+
+def answer_cast_from_str(name: str):
+    """Parse an answer/stream dtype name -> (np_dtype, cast_fn); the one
+    place the bf16/f32 aliases live (three trainers share it)."""
+    import ml_dtypes
+
+    if name in ("bfloat16", "bf16"):
+        dt = ml_dtypes.bfloat16
+    elif name in (None, "float32", "f32"):
+        dt = np.float32
+    else:
+        raise ValueError(f"unknown answer dtype {name!r}")
+    return dt, answer_cast(dt)

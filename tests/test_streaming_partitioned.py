@@ -525,7 +525,33 @@ class TestFastBf16Cast:
 
         from gigl_tpu.utils.cast import to_bfloat16
 
-        g, _, dg, store = None, None, None, None  # noqa: F841
         from gigl_tpu.utils.cast import answer_cast
 
         assert answer_cast(ml_dtypes.bfloat16) is to_bfloat16
+
+
+class TestEncodeParityWithHBM:
+    def test_streamed_encode_matches_hbm_encode(self):
+        """The anchors-only inference plan must produce the SAME
+        embeddings as the HBM partitioned trainer's encode_batch (same
+        frozen tables, same draws, only the hydration transport and the
+        plan's group set differ)."""
+        dg, edges = _toy()
+        mesh = make_mesh(8)
+        cfg = _cfg()
+        model = _model()
+        store = _store(dg, edges, cfg)
+        hbm = PartitionedNALPTrainer(
+            model, PartitionedGraph.build(dg, mesh), mesh, cfg,
+            capacity_factor=8.0)
+        st = StreamingPartitionedNALPTrainer(
+            model, store, mesh, cfg, batch_size=32, capacity_factor=8.0,
+            overflow_policy="raise")
+        state = hbm.init_state(jax.random.PRNGKey(0), batch_size=32)
+        ids = np.arange(50, dtype=np.int32)  # not a batch multiple
+        a = np.asarray(hbm.encode_batch(state.params, ids))
+        b = st.encode_batch(state.params, ids)
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
+        # empty input contract
+        z = st.encode_batch(state.params, np.array([], np.int32))
+        assert z.shape == (0, a.shape[1])
