@@ -83,5 +83,36 @@ def main():
     print("OK — host RAM holds the features, HBM holds O(N/P) ints.")
 
 
+def main_config_dispatched():
+    """The same backend driven entirely from a task config — the
+    should_run_glt_backend analog: trainerArgs
+    streaming_partitioned_backend=true routes the NALP spec onto the
+    beyond-HBM trainer with the full pipeline contract (fit with val
+    cadence + checkpoint/auto-resume, streamed inference encode).
+    Heterogeneous graphs dispatch the same way (per-node-type sharded
+    host stores; add conv=hgt etc.)."""
+    from gigl_tpu.data.mocking import (
+        TOY_GRAPH_NODE_ANCHOR_LP,
+        get_mocked_graph,
+        mocked_task_config,
+    )
+    from gigl_tpu.training.task_specs import (
+        NodeAnchorLinkPredictionTaskSpec,
+    )
+
+    g = get_mocked_graph(TOY_GRAPH_NODE_ANCHOR_LP)
+    cfg = mocked_task_config(
+        TOY_GRAPH_NODE_ANCHOR_LP, num_epochs=2, val_every_num_batches=3,
+        streaming_partitioned_backend="true", capacity_factor="8.0",
+        answer_dtype="bfloat16")  # halves the host->device answer bytes
+    spec = NodeAnchorLinkPredictionTaskSpec()
+    spec.init_model(cfg, graph=g)
+    metrics = spec.train()
+    emb = spec.infer_batch(np.arange(10))
+    print(f"config-dispatched beyond-HBM: mrr={metrics['mrr']:.3f}, "
+          f"inference embeddings {emb.shape}")
+
+
 if __name__ == "__main__":
     main()
+    main_config_dispatched()
