@@ -156,6 +156,10 @@ class HostGraphStore:
     # sampled positive/hard negative into the streamed batch.
     sup_edge_features: Optional[np.ndarray] = None
     hard_neg_edge_features: Optional[np.ndarray] = None
+    # Node labels [N] int (supervised node classification over the
+    # streamed store; stay DEVICE-side row-sharded — label bytes are
+    # O(N), adjacency-scale, not feature-scale).
+    node_labels: Optional[np.ndarray] = None
 
     @classmethod
     def build(
@@ -171,6 +175,7 @@ class HostGraphStore:
         hard_neg_edges: Optional[np.ndarray] = None,  # [2, Eh]
         supervision_edge_features: Optional[np.ndarray] = None,  # [Es, De]
         hard_neg_edge_features: Optional[np.ndarray] = None,     # [Eh, De]
+        node_labels: Optional[np.ndarray] = None,                # [N] int
     ) -> "HostGraphStore":
         from gigl_tpu.graph.csr import build_csr
 
@@ -201,6 +206,8 @@ class HostGraphStore:
             raise ValueError("hard_neg_edge_features needs hard_neg_edges")
         degrees = np.diff(msg.indptr).astype(np.float32)
         store = cls(
+            node_labels=(np.asarray(node_labels, np.int32)
+                         if node_labels is not None else None),
             hard_neg_indptr=hn_ip,
             hard_neg_indices=hn_ix,
             sup_edge_features=sup_ef,

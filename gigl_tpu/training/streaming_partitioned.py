@@ -1436,3 +1436,323 @@ class StreamingPartitionedHeteroNALPTrainer(_StreamedStepDriver,
                 f"{self.cfg.anchor_node_type!r}; got {nt!r}")
         return _StreamedStepDriver.encode_batch(self, params, node_ids)
 
+
+
+class StreamingPartitionedNodeClassificationTrainer(
+        StreamingPartitionedNALPTrainer):
+    """Supervised node classification over the beyond-HBM backend.
+
+    The reference's v2 loader serves node classification through the
+    same distributed dataset stack as link prediction
+    (distributed_neighborloader.py:26 + NodeClassificationModelingTaskSpec
+    semantics) — here the same plan/host/apply split: each step routes
+    only the ANCHOR tree through the sharded HOST feature store; anchor
+    LABELS stay device-side row-sharded (O(N) int bytes — adjacency
+    scale) and ride a routed gather inside the plan; apply encodes and
+    takes masked-CE grads, pmean-reduced. Bit-compatible draws with
+    PartitionedNodeClassificationTrainer in tabularized mode.
+
+    Reuses StreamingPartitionedNALPTrainer's machinery (tables, host
+    store, expansion, embed, encode plan, refresh) via a custom __init__
+    that skips the NALP-specific supervision plumbing.
+    """
+
+    def __init__(self, model, store: HostGraphStore, mesh,
+                 config, *, batch_size: int,
+                 optimizer_args: Optional[Dict[str, Any]] = None,
+                 axis: str = DATA_AXIS, capacity_factor: float = 4.0,
+                 overflow_policy: str = "warn",
+                 host_store: Optional[ShardedHostStore] = None,
+                 answer_dtype: str = "float32"):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cfg = config
+        if not getattr(cfg, "cached_hop", False):
+            raise ValueError(
+                "StreamingPartitionedNodeClassificationTrainer is "
+                "tabularized-only: set cached_hop=True")
+        if store.node_labels is None:
+            raise ValueError("store has no node_labels; build the "
+                             "HostGraphStore with node_labels=")
+        if overflow_policy not in ("warn", "raise", "silent", "grow"):
+            raise ValueError(
+                "overflow_policy must be warn | raise | silent | grow")
+        self.model = model
+        self.store = store
+        self.cfg = cfg
+        self.mesh = mesh
+        self.axis = axis
+        self._P, self._NS = P, NamedSharding
+        self.num_shards = p = int(mesh.shape[axis])
+        if batch_size % p:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"{p} shards")
+        self.batch_size = batch_size
+        self.capacity_factor = capacity_factor
+        self.overflow_policy = overflow_policy
+        self.overflow_total = 0
+        self.tx = make_optimizer(optimizer_args or {})
+        n = store.num_nodes
+        self.rows_per_shard = rows = -(-n // p)
+        self.feat_dim = store.features.shape[1]
+        row_sh = NamedSharding(mesh, P(axis))
+        # Device arrays: frozen sample tables + row-sharded labels.
+        self._tab_ks = tuple(sorted({int(k) for k in cfg.fanouts[:-1]}))
+        if any(int(k) not in store.sample_tables for k in self._tab_ks):
+            raise ValueError(
+                f"store lacks sample tables for fanouts {self._tab_ks}")
+        tabs = []
+        for k in self._tab_ks:
+            ids_t, mask_t = store.sample_tables[int(k)]
+            packed = np.where(mask_t, ids_t, -1).astype(np.int32)
+            pad = np.full((p * rows, packed.shape[1]), -1, np.int32)
+            pad[: packed.shape[0]] = packed
+            tabs.append(jax.device_put(pad, row_sh))
+        self._tabs = tuple(tabs)
+        self._tab_index = {k: i for i, k in enumerate(self._tab_ks)}
+        lab = np.zeros((p * rows, 1), np.int32)
+        lab[: n, 0] = np.asarray(store.node_labels, np.int32)
+        self._labels = jax.device_put(lab, NamedSharding(mesh,
+                                                         P(axis, None)))
+        # Host store: this process's shards only.
+        self._host_auto = host_store is None
+        if host_store is None:
+            procs = sorted({d.process_index for d in mesh.devices.flat})
+            if len(procs) > 1:
+                mine = [i for i, d in enumerate(mesh.devices.flat)
+                        if d.process_index == jax.process_index()]
+            else:
+                mine = list(range(p))
+            host_store = ShardedHostStore.from_host_store(
+                store, num_shards=p, local_shards=mine)
+        self.host = host_store
+        from gigl_tpu.utils.cast import answer_cast_from_str
+
+        self._answer_np_dtype, self._answer_cast = answer_cast_from_str(
+            answer_dtype)
+        # Single (anchor) group: tree shapes + routing capacity.
+        bb = batch_size // p
+        shapes = [(bb,)]
+        for k in cfg.fanouts[:-1]:
+            shapes.append(shapes[-1] + (int(k),))
+        self._enc_shapes = shapes
+        self._group_shapes = [shapes]   # _embed_groups default
+        self._enc_union = sum(int(np.prod(s)) for s in shapes)
+        self._union = self._enc_union
+        self.capacity = request_capacity(self._union, p, capacity_factor)
+        self.capacity_enc = self.capacity
+        self._build_programs()
+
+    # -- SPMD bodies -------------------------------------------------------
+    def _nc_plan_local(self, tabs, labels_l, anchors):
+        """Anchor tree expansion + routing + the device-side routed label
+        gather — everything before the host round trip."""
+        from gigl_tpu.parallel.feature_lookup import routed_gather
+
+        anchors = anchors.astype(jnp.int32)
+        levels, ovf = self._expand_joint(tabs, anchors.reshape(-1))
+        ids_flat = jnp.concatenate([l.reshape(-1) for l, _m in levels])
+        masks_flat = tuple(m for _l, m in levels)
+        req, owner, pos_idx, ok = _route_requests(
+            ids_flat.astype(jnp.int32), self.rows_per_shard,
+            self.num_shards, self.capacity)
+        recv = jax.lax.all_to_all(req, self.axis, 0, 0, tiled=True)
+        lab_rows, lab_ok = routed_gather(
+            labels_l, anchors, axis=self.axis,
+            capacity_factor=self.capacity_factor)
+        ovf = ovf + jnp.sum(~lab_ok, dtype=jnp.int32)
+        labels = lab_rows[:, 0].astype(jnp.int32)
+        return (recv, owner, pos_idx, ok, masks_flat, labels, lab_ok,
+                ovf)
+
+    def _nc_apply_local(self, state, ans, owner, pos_idx, ok, masks_flat,
+                        labels, lab_ok, ovf, rng):
+        from gigl_tpu.losses.losses import cross_entropy_loss
+
+        back = jax.lax.all_to_all(ans, self.axis, 0, 0, tiled=True)
+        rows, ok_req = _unroute(back, owner, pos_idx, ok)
+        ovf = ovf + jnp.sum(~ok_req, dtype=jnp.int32)
+
+        def loss_fn(p):
+            (logits,) = self._embed_groups(p, rows, masks_flat, True, rng)
+            # Dropped label requests zero-fill: mask them out of the CE
+            # (same contract as the HBM partitioned NC trainer).
+            s, c = cross_entropy_loss(logits, labels, mask=lab_ok)
+            return s / jnp.maximum(c.astype(jnp.float32), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grads = jax.lax.pmean(grads, self.axis)
+        loss = jax.lax.pmean(loss, self.axis)
+        updates, opt_state = self.tx.update(grads, state.opt_state,
+                                            state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, cms=state.cms)
+        return new_state, loss, jax.lax.psum(ovf, self.axis)
+
+    def _nc_eval_local(self, params, ans, owner, pos_idx, ok, masks_flat,
+                       labels, lab_ok, ovf):
+        from gigl_tpu.losses.metrics import accuracy
+
+        back = jax.lax.all_to_all(ans, self.axis, 0, 0, tiled=True)
+        rows, ok_req = _unroute(back, owner, pos_idx, ok)
+        ovf = ovf + jnp.sum(~ok_req, dtype=jnp.int32)
+        (logits,) = self._embed_groups(params, rows, masks_flat, False,
+                                       None)
+        correct, count = accuracy(logits, labels, mask=lab_ok)
+        return (jax.lax.psum(correct, self.axis),
+                jax.lax.psum(count, self.axis),
+                jax.lax.psum(ovf, self.axis))
+
+    def _build_programs(self) -> None:
+        from jax.sharding import PartitionSpec as P
+
+        mesh, axis = self.mesh, self.axis
+        n_levels = len(self.cfg.fanouts)
+        masks_spec = tuple(P(axis) for _ in range(n_levels))
+        tabs_spec = tuple(P(axis) for _ in self._tabs)
+        self._nc_plan = jax.jit(jax.shard_map(
+            self._nc_plan_local, mesh=mesh,
+            in_specs=(tabs_spec, P(axis, None), P(axis)),
+            out_specs=(P(axis, None), P(axis), P(axis), P(axis),
+                       masks_spec, P(axis), P(axis), P()),
+            check_vma=False))
+        self._apply = jax.jit(jax.shard_map(
+            self._nc_apply_local, mesh=mesh,
+            in_specs=(P(), P(axis, None, None), P(axis), P(axis), P(axis),
+                      masks_spec, P(axis), P(axis), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False), donate_argnums=(0,))
+        self._apply_eval = jax.jit(jax.shard_map(
+            self._nc_eval_local, mesh=mesh,
+            in_specs=(P(), P(axis, None, None), P(axis), P(axis), P(axis),
+                      masks_spec, P(axis), P(axis), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False))
+        # Inference encode: the anchors-only plan pair (no labels).
+        self._plan_enc = jax.jit(jax.shard_map(
+            self._plan_enc_local, mesh=mesh,
+            in_specs=(tabs_spec, P(axis)),
+            out_specs=(P(axis, None), P(axis), P(axis), P(axis),
+                       masks_spec),
+            check_vma=False))
+        self._encode = jax.jit(jax.shard_map(
+            self._encode_local, mesh=mesh,
+            in_specs=(P(), P(axis, None, None), P(axis), P(axis), P(axis),
+                      masks_spec),
+            out_specs=P(axis),
+            check_vma=False))
+
+    def _grow_rebuild(self) -> None:
+        self.capacity = request_capacity(self._union, self.num_shards,
+                                         self.capacity_factor)
+        self.capacity_enc = self.capacity
+        self._build_programs()
+
+    # -- drivers -----------------------------------------------------------
+    def _plan_step(self, anchors, step: int):
+        anchors = np.asarray(anchors, np.int32)
+        if anchors.shape[0] != self.batch_size:
+            raise ValueError(f"anchors batch {anchors.shape[0]} != "
+                             f"configured batch_size {self.batch_size}")
+        del step  # frozen tables: draws are step-independent
+        return self._nc_plan(self._tabs, self._labels,
+                             self._put(anchors, self.axis))
+
+    def init_state(self, rng: jax.Array, batch_size: Optional[int] = None,
+                   params: Optional[Any] = None) -> TrainState:
+        if batch_size is not None and batch_size != self.batch_size:
+            raise ValueError(
+                f"batch_size {batch_size} != the compiled batch_size "
+                f"{self.batch_size} (fixed at construction)")
+        if params is None:
+            d = self.feat_dim
+            feats, masks = [], []
+            shape = (max(self.batch_size // self.num_shards, 1),)
+            for k in self.cfg.fanouts:
+                feats.append(jnp.zeros(shape + (d,), jnp.float32))
+                masks.append(jnp.ones(shape, bool))
+                shape = shape + (int(k),)
+            feats.append(jnp.zeros(shape + (d,), jnp.float32))
+            masks.append(jnp.ones(shape, bool))
+            params = self.model.init(rng, feats, masks)
+        return put_replicated(
+            TrainState(params=params, opt_state=self.tx.init(params),
+                       step=jnp.zeros((), jnp.int32), cms=None), self.mesh)
+
+    def evaluate(self, params, node_batches, step: int = 0) -> float:
+        """Global accuracy (psum-reduced) — pipelined like run_steps;
+        returns a float, matching the HBM NC trainers' contract. Batches
+        are wrap-padded to the compiled batch size (duplicated nodes
+        count twice — the same wrap bias as the HBM fit-loop padding)."""
+        batches = [np.resize(np.asarray(b, np.int32), self.batch_size)
+                   for b in node_batches if len(b)]
+        n = len(batches)
+        correct, total, ovf_t = 0.0, 0.0, 0
+        if n:
+            plans: List[Any] = [None] * n
+            plans[0] = self._plan_step(batches[0], step)
+            results = []
+            for i in range(n):
+                if i + 1 < n:
+                    plans[i + 1] = self._plan_step(batches[i + 1],
+                                                   step + i + 1)
+                ans = self._host_answers(plans[i][0])
+                results.append(self._apply_eval(
+                    params, ans, *plans[i][1:]))
+                plans[i] = None
+            for c, cnt, ovf_n in jax.device_get(results):
+                correct += float(c)
+                total += float(cnt)
+                ovf_t += int(ovf_n)
+        apply_overflow_policy(self, ovf_t,
+                              grow_rebuild=self._grow_rebuild)
+        return correct / max(total, 1.0)
+
+    def predict_batch(self, params, node_ids) -> np.ndarray:
+        """Sharded logits for arbitrary node ids (inference path)."""
+        return self.encode_batch(params, node_ids)
+
+    def fit(self, state: TrainState, train_nodes, val_nodes, *,
+            batch_size: Optional[int] = None, num_epochs: int = 10,
+            early_stop_patience: int = 5,
+            log_every: int = 50, **_ignored
+            ) -> Tuple[TrainState, Dict[str, float]]:
+        """Per-epoch loop + accuracy val + early stop — the NC fit
+        contract (mirrors PartitionedNodeClassificationTrainer.fit);
+        batches wrap-pad to the compiled batch size."""
+        from gigl_tpu.training.dataset import AnchorBatchIterator
+        from gigl_tpu.training.early_stop import EarlyStopper
+
+        if batch_size is not None and batch_size != self.batch_size:
+            raise ValueError(
+                f"batch_size {batch_size} != the compiled batch_size "
+                f"{self.batch_size} (fixed at construction)")
+        train_nodes = np.resize(np.asarray(train_nodes),
+                                max(len(train_nodes), self.batch_size))
+        it = AnchorBatchIterator(train_nodes, self.batch_size,
+                                 seed=self.cfg.seed)
+        stopper = EarlyStopper(patience=early_stop_patience)
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        val = np.asarray(val_nodes)
+        if len(val) == 0:
+            raise ValueError("val_nodes is empty")
+        val = np.resize(val, max(len(val), self.batch_size))
+        step = 0
+        for epoch in range(num_epochs):
+            batches = np.stack(list(it.epoch(epoch)))
+            rng, erng = jax.random.split(rng)
+            state, losses = self.run_steps(state, list(batches), erng,
+                                           start_step=step)
+            step += len(batches)
+            if log_every:
+                logger.info("epoch %d step %d loss %.4f", epoch, step,
+                            float(losses[-1]))
+            acc = self.evaluate(state.params, [val[: self.batch_size]])
+            logger.info("epoch %d val acc %.4f", epoch, acc)
+            snap = jax.tree_util.tree_map(jnp.copy, state.params)
+            if stopper.update(acc, snap):
+                break
+        if stopper.best_state is not None:
+            state = state._replace(params=stopper.best_state)
+        return state, {"accuracy": stopper.best_value or 0.0}

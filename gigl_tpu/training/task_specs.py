@@ -564,6 +564,8 @@ class NodeClassificationTaskSpec(BaseTrainer, BaseInferencer):
         sp = task_config.dataset.split
         strategy = str(args.get("split_strategy", sp.strategy))
         self._split_graphs = None
+        nc_streamed = str(args.get("streaming_partitioned_backend",
+                                   "false")).lower() in ("1", "true")
         if strategy == "inductive_node":
             # Inductive SNC (ref InductiveSupervisedNodeClassification
             # SplitStrategy): train/val/test graphs are DISJOINT — a split's
@@ -603,35 +605,86 @@ class NodeClassificationTaskSpec(BaseTrainer, BaseInferencer):
             # samples see the entire message graph. "transductive_node"
             # uses the v1 ratio-bucket NodeSplitAssigner; the default keeps
             # the v2 node-anchor hash-order split.
-            device_graph = DeviceGraph.from_hetero(graph)
+            if nc_streamed:
+                # Beyond-HBM route: features never touch device HBM — no
+                # DeviceGraph at all; splits run over the raw node range.
+                device_graph = None
+            else:
+                device_graph = DeviceGraph.from_hetero(graph)
+            nt0 = graph.metadata.node_types[0]
+            n_nodes = int(graph.num_nodes[nt0])
             if strategy == "transductive_node":
                 assigner = NodeSplitAssigner(
                     train_ratio=sp.train_ratio, val_ratio=sp.val_ratio,
                     seed=sp.seed)
-                assignment = assigner(
-                    np.arange(device_graph.num_nodes, dtype=np.int64))
+                assignment = assigner(np.arange(n_nodes, dtype=np.int64))
                 self.splits = tuple(
                     np.nonzero(assignment == np.int8(s))[0]
                     for s in (DatasetSplit.TRAIN, DatasetSplit.VAL,
                               DatasetSplit.TEST))
             else:
-                labeled = np.arange(device_graph.num_nodes)
+                labeled = np.arange(n_nodes)
                 edges = np.stack([labeled, labeled])
                 splitter = HashedNodeAnchorLinkSplitter(
                     sampling_direction="in", num_val=sp.val_ratio,
                     num_test=max(1.0 - sp.train_ratio - sp.val_ratio, 0.0))
                 self.splits = splitter(edges)
-        if device_graph.node_labels is None:
+        if device_graph is not None:
+            labels_np = device_graph.node_labels
+        else:
+            nt0 = graph.metadata.node_types[0]
+            labels_np = graph.node_labels.get(nt0)
+        if labels_np is None:
             raise ValueError("graph has no node labels for classification")
         num_classes = int(args.get(
-            "num_classes", int(np.asarray(device_graph.node_labels).max()) + 1))
+            "num_classes", int(np.asarray(labels_np).max()) + 1))
         encoder = encoder_from_config(args, out_dim=num_classes)
         nc_cfg = NodeClassificationTrainerConfig(
             fanouts=fanouts, seed=int(args.get("seed", 0)))
         self._batch_size = int(args.get("main_sample_batch_size", 256))
         self._partitioned = str(args.get("partitioned_backend", "false")
                                 ).lower() in ("1", "true")
-        if self._partitioned:
+        if nc_streamed:
+            # Beyond-HBM node classification (the NC face of the
+            # streamed-partitioned backend): sharded HOST feature store,
+            # device HBM holds adjacency ints + row-sharded labels
+            # (training/streaming_partitioned.py).
+            if self._partitioned:
+                raise ValueError("set only one of partitioned_backend / "
+                                 "streaming_partitioned_backend")
+            if self._split_graphs is not None:
+                raise ValueError("streaming_partitioned_backend does not "
+                                 "support the inductive_node split")
+            from gigl_tpu.parallel.mesh import make_mesh
+            from gigl_tpu.training.streaming import HostGraphStore
+            from gigl_tpu.training.streaming_partitioned import (
+                StreamingPartitionedNodeClassificationTrainer,
+            )
+
+            import dataclasses as _dc
+
+            mesh = make_mesh()
+            n_sh = int(np.prod(list(mesh.shape.values())))
+            nt0 = graph.metadata.node_types[0]
+            et0 = graph.metadata.edge_types[0]
+            coo = np.asarray(graph.edges[et0])
+            nc_cfg = _dc.replace(nc_cfg, cached_hop=True)
+            store = HostGraphStore.build(
+                message_edges=coo, supervision_edges=coo,
+                features=np.asarray(graph.node_features[str(nt0)],
+                                    np.float32),
+                num_nodes=int(graph.num_nodes[nt0]),
+                fanouts=nc_cfg.fanouts, seed=nc_cfg.seed,
+                node_labels=np.asarray(labels_np))
+            self._batch_size = max(
+                n_sh, self._batch_size // n_sh * n_sh)
+            self.trainer = StreamingPartitionedNodeClassificationTrainer(
+                encoder, store, mesh, nc_cfg, optimizer_args=args,
+                batch_size=self._batch_size,
+                capacity_factor=float(args.get("capacity_factor", 4.0)),
+                answer_dtype=str(args.get("answer_dtype", "float32")))
+            self._partitioned = True  # evaluate() takes batch lists
+        elif self._partitioned:
             # should_run_glt_backend analog for node classification: the
             # reference's v2 loader serves NC through the same distributed
             # dataset stack (SURVEY.md §2.2); here the graph + labels shard

@@ -555,3 +555,99 @@ class TestEncodeParityWithHBM:
         # empty input contract
         z = st.encode_batch(state.params, np.array([], np.int32))
         assert z.shape == (0, a.shape[1])
+
+
+class TestStreamingPartitionedNodeClassification:
+    """Beyond-HBM node classification: sharded HOST features + routed
+    lookups; labels row-sharded in device HBM (adjacency-scale bytes).
+    Draws are bit-compatible with PartitionedNodeClassificationTrainer
+    in tabularized mode, so losses match exactly."""
+
+    @staticmethod
+    def _nc_setup():
+        from gigl_tpu.training.dist_sampled import (
+            PartitionedNodeClassificationTrainer,
+        )
+        from gigl_tpu.training.streaming_partitioned import (
+            StreamingPartitionedNodeClassificationTrainer,
+        )
+        from gigl_tpu.training.trainer import (
+            NodeClassificationTrainerConfig,
+        )
+
+        rng = np.random.default_rng(0)
+        src, dst = rng.integers(0, N, E), rng.integers(0, N, E)
+        edges = np.stack([src, dst])
+        labels = (np.arange(N) % 4)
+        g = HeteroGraph.homogeneous(
+            src=src, dst=dst, num_nodes=N,
+            node_features=rng.normal(size=(N, D)).astype(np.float32),
+            node_labels=labels)
+        dg = DeviceGraph.from_hetero(g)
+        store = HostGraphStore.build(
+            message_edges=edges, supervision_edges=edges,
+            features=np.asarray(dg.node_features, np.float32),
+            num_nodes=N, fanouts=(5, 3), seed=7, node_labels=labels)
+        mesh = make_mesh(8)
+        cfg = NodeClassificationTrainerConfig(fanouts=(5, 3),
+                                              cached_hop=True, seed=7)
+        enc = GNNEncoder(hid_dim=32, out_dim=4, num_layers=2,
+                         conv="graphsage", dropout=0.0)
+        hbm = PartitionedNodeClassificationTrainer(
+            enc, PartitionedGraph.build(dg, mesh), mesh, cfg,
+            capacity_factor=8.0, optimizer_args={"learning_rate": "0.01"})
+        st = StreamingPartitionedNodeClassificationTrainer(
+            enc, store, mesh, cfg, batch_size=32, capacity_factor=8.0,
+            overflow_policy="raise",
+            optimizer_args={"learning_rate": "0.01"})
+        return hbm, st
+
+    @pytest.mark.slow
+    def test_loss_and_eval_parity_with_hbm(self):
+        hbm, st = self._nc_setup()
+        B, K = 32, 3
+        state_h = hbm.init_state(jax.random.PRNGKey(0), batch_size=B)
+        state_s = st.init_state(jax.random.PRNGKey(0))
+        batches = ((np.arange(K * B).reshape(K, B) * 11) % N).astype(
+            np.int32)
+        state_h, losses_h = hbm.train_steps(state_h, batches,
+                                            jax.random.PRNGKey(1))
+        state_s, losses_s = st.run_steps(state_s, list(batches),
+                                         jax.random.PRNGKey(1))
+        np.testing.assert_allclose(np.asarray(losses_h), losses_s,
+                                   rtol=2e-5)
+        val = np.arange(64, dtype=np.int32)
+        acc_h = hbm.evaluate(state_h.params, [val])
+        acc_s = st.evaluate(state_s.params, [val[:32], val[32:]])
+        assert acc_h == pytest.approx(acc_s, abs=1e-6)
+        # logits parity on the inference path
+        lg_h = np.asarray(hbm.predict_batch(state_h.params,
+                                            np.arange(20)))
+        lg_s = st.predict_batch(state_s.params, np.arange(20))
+        np.testing.assert_allclose(lg_h, lg_s, rtol=2e-5, atol=1e-6)
+
+    def test_learns(self):
+        _, st = self._nc_setup()
+        state = st.init_state(jax.random.PRNGKey(0))
+        state, m = st.fit(state, np.arange(N), np.arange(64),
+                          num_epochs=4, log_every=0)
+        assert m["accuracy"] > 0.4, m
+
+    def test_requires_labels(self):
+        from gigl_tpu.training.streaming_partitioned import (
+            StreamingPartitionedNodeClassificationTrainer,
+        )
+        from gigl_tpu.training.trainer import (
+            NodeClassificationTrainerConfig,
+        )
+
+        dg, edges = _toy()
+        store = _store(dg, edges, _cfg())
+        enc = GNNEncoder(hid_dim=16, out_dim=4, num_layers=2,
+                         conv="graphsage", dropout=0.0)
+        with pytest.raises(ValueError, match="node_labels"):
+            StreamingPartitionedNodeClassificationTrainer(
+                enc, store, make_mesh(8),
+                NodeClassificationTrainerConfig(fanouts=(5, 3),
+                                                cached_hop=True),
+                batch_size=32)

@@ -492,3 +492,53 @@ class TestHeteroBackendDispatch:
         assert metrics["mrr"] > 0.2, metrics
         test_metrics = spec.eval("test", num_batches=2)
         assert "mrr" in test_metrics
+
+
+class TestStreamingPartitionedNCDispatch:
+    """streaming_partitioned_backend=true on the NC task spec: the
+    beyond-HBM backend serves node classification too (the reference's
+    v2 loader serves NC through the same distributed stack)."""
+
+    def _nc_config(self, **extra):
+        gm = GraphMetadata.homogeneous()
+        return TaskConfig(
+            graph_metadata=gm,
+            task_metadata=TaskMetadata(
+                task_type=TaskMetadataType.NODE_BASED_TASK,
+                supervision_node_types=gm.node_types),
+            trainer=TrainerConfig(trainer_args={
+                "hid_dim": "16", "num_layers": "2", "fanouts": "5,3",
+                "main_sample_batch_size": "32", "learning_rate": "0.01",
+                "num_epochs": "6", **extra,
+            }),
+        )
+
+    def test_dispatch_and_trains(self):
+        from gigl_tpu.training.streaming_partitioned import (
+            StreamingPartitionedNodeClassificationTrainer,
+        )
+
+        g, _, _, _ = _clustered_graph(
+            num_clusters=4, nodes_per_cluster=32, intra_edges=300)
+        cfg = self._nc_config(streaming_partitioned_backend="true",
+                              capacity_factor="8.0")
+        spec = NodeClassificationTaskSpec()
+        spec.init_model(cfg, graph=g)
+        assert isinstance(spec.trainer,
+                          StreamingPartitionedNodeClassificationTrainer)
+        metrics = spec.train()
+        assert metrics["accuracy"] > 0.5, metrics
+        test_metrics = spec.eval("test")
+        assert "accuracy" in test_metrics
+        logits = spec.infer_batch(np.arange(11))
+        assert logits.shape == (11, 4)
+
+    def test_rejects_inductive_split(self):
+        g, _, _, _ = _clustered_graph(
+            num_clusters=4, nodes_per_cluster=32, intra_edges=300)
+        cfg = self._nc_config(streaming_partitioned_backend="true",
+                              split_strategy="inductive_node")
+        spec = NodeClassificationTaskSpec()
+        with pytest.raises(ValueError,
+                           match="streaming_partitioned_backend"):
+            spec.init_model(cfg, graph=g)
