@@ -565,11 +565,18 @@ def main():
         }))
         return
 
+    # Print each rung line as soon as its subprocess returns (a later
+    # failure or driver timeout then still leaves the rungs on record);
+    # the flagship line stays LAST (the driver records the final line).
     largen_line = _rung_subprocess(
         ["--largen"], [(12_000_000, 60_000_000), (6_000_000, 30_000_000)])
+    if largen_line is not None:
+        print(largen_line, flush=True)
     sp_largen_line = _rung_subprocess(
         ["--streamed-largen"],
         [(30_000_000, 150_000_000), (20_000_000, 100_000_000)])
+    if sp_largen_line is not None:
+        print(sp_largen_line, flush=True)
 
     import jax
     import jax.numpy as jnp
@@ -663,13 +670,6 @@ def main():
         "breakdown_ms_bf16": bd_bf16,
         "vs_baseline": round(sp_f32 / BASELINE_EDGES_PER_S, 4),
     }))
-    # Large-N rungs (measured first, each in its own pristine-device
-    # subprocess; see the top of main).
-    if largen_line is not None:
-        print(largen_line)
-    if sp_largen_line is not None:
-        print(sp_largen_line)
-
     print(json.dumps({
         "metric": "nalp_train_edges_per_s_per_chip",
         "value": round(edges_per_s, 1),
